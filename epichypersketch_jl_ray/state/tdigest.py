@@ -1,0 +1,135 @@
+"""Merging t-digest (Dunning & Ertl, "Computing Extremely Accurate Quantiles
+Using t-Digests").
+
+Absent from the reference; mandated by the north_rule (SURVEY.md §2.4 A4).
+
+Implements the buffer-and-merge variant: incoming values accumulate in a
+buffer; compression sorts (centroid, buffer) together and greedily merges
+adjacent clusters while the merged cluster stays within the k1 scale
+function's size limit (delta = ``compression``). Merge of two digests =
+concatenate centroids + compress (associative in distribution; rank error is
+bounded regardless of merge order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from epichypersketch_jl_ray.state.base import MergeableSketch
+
+
+class TDigest(MergeableSketch):
+    __slots__ = ("compression", "means", "weights", "_buf", "n", "_min", "_max")
+
+    def __init__(self, compression: float = 100.0) -> None:
+        if compression < 20:
+            raise ValueError("compression must be >= 20")
+        self.compression = float(compression)
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self._buf: list[np.ndarray] = []
+        self.n = 0.0
+        self._min = np.inf
+        self._max = -np.inf
+
+    # --- scale function (k1) ----------------------------------------------
+
+    def _q_limit(self, q: float) -> float:
+        """Next cluster-boundary quantile after q under the k1 scale function."""
+        d = self.compression
+        k = d / (2.0 * np.pi) * np.arcsin(2.0 * q - 1.0)
+        return 0.5 * (np.sin(2.0 * np.pi * (k + 1.0) / d) + 1.0)
+
+    def _compress(self) -> None:
+        if self._buf:
+            bv = np.concatenate(self._buf)
+            self._buf = []
+            m = np.concatenate([self.means, bv])
+            w = np.concatenate([self.weights, np.ones(len(bv))])
+        else:
+            m, w = self.means, self.weights
+        if len(m) == 0:
+            return
+        order = np.argsort(m, kind="stable")
+        m, w = m[order], w[order]
+        total = w.sum()
+        out_m, out_w = [], []
+        cur_m, cur_w = m[0], w[0]
+        w_so_far = 0.0
+        limit = self._q_limit(0.0) * total
+        for i in range(1, len(m)):
+            if cur_w + w[i] <= limit - w_so_far:
+                cur_w += w[i]
+                cur_m += (m[i] - cur_m) * w[i] / cur_w
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                w_so_far += cur_w
+                limit = self._q_limit(w_so_far / total) * total
+                cur_m, cur_w = m[i], w[i]
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.asarray(out_m)
+        self.weights = np.asarray(out_w)
+        self.n = float(total)
+
+    # --- updates -----------------------------------------------------------
+
+    def update(self, values: np.ndarray) -> "TDigest":
+        v = np.asarray(values, dtype=np.float64).ravel()
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return self
+        self._min = min(self._min, float(v.min()))
+        self._max = max(self._max, float(v.max()))
+        self._buf.append(v)
+        self.n += v.size
+        if sum(len(b) for b in self._buf) >= 10 * self.compression:
+            self._compress()
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if self.compression != other.compression:
+            raise ValueError("cannot merge t-digests with different compression")
+        other._compress()
+        self._min = min(self._min, other._min)
+        self._max = max(self._max, other._max)
+        self.means = np.concatenate([self.means, other.means])
+        self.weights = np.concatenate([self.weights, other.weights])
+        self._compress()
+        return self
+
+    # --- queries -----------------------------------------------------------
+
+    def quantile(self, q: float) -> float:
+        self._compress()
+        if len(self.means) == 0:
+            raise ValueError("empty digest")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        q = min(max(q, 0.0), 1.0)
+        target = q * self.n
+        cum = np.cumsum(self.weights) - self.weights / 2.0  # centroid centers
+        if target <= cum[0]:
+            lo_m, lo_c, hi_m, hi_c = self._min, 0.0, self.means[0], cum[0]
+        elif target >= cum[-1]:
+            lo_m, lo_c, hi_m, hi_c = self.means[-1], cum[-1], self._max, self.n
+        else:
+            i = int(np.searchsorted(cum, target, side="right"))
+            lo_m, lo_c, hi_m, hi_c = self.means[i - 1], cum[i - 1], self.means[i], cum[i]
+        if hi_c == lo_c:
+            return float(lo_m)
+        frac = (target - lo_c) / (hi_c - lo_c)
+        return float(lo_m + frac * (hi_m - lo_m))
+
+    def quantiles(self, qs) -> np.ndarray:
+        return np.array([self.quantile(q) for q in qs])
+
+    def _state_arrays(self) -> tuple:
+        self._compress()
+        return (
+            ("compression", self.compression),
+            ("means", self.means),
+            ("weights", self.weights),
+            ("minmax", np.array([self._min, self._max])),
+        )

@@ -1,0 +1,156 @@
+"""Hashing / text / html function tests (determinism, DuckDB-parity
+tokenization, byte-identical html round-trip per input_hint)."""
+
+import subprocess
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+from epichypersketch_jl_ray.functions.hashing import fnv1a64, hash_combine, hash_int64, splitmix64
+from epichypersketch_jl_ray.functions.html import extract_text, render_html
+from epichypersketch_jl_ray.functions.text import (
+    _dedupe_per_row,
+    char_shingle_hashes,
+    langid_scores,
+    ngram_hashes,
+    quality_features,
+    token_hashes,
+    tokenize,
+    winnow_fingerprints,
+)
+from epichypersketch_jl_ray.state.minhash import MinHasher, hamming_distance64, simhash64_batch
+
+
+def test_fnv1a64_reference_vectors():
+    # independently computed FNV-1a 64 reference values
+    def ref(s):
+        h = 0xCBF29CE484222325
+        for b in s.encode():
+            h = ((h ^ b) * 0x100000001B3) % (1 << 64)
+        return h
+
+    strings = ["", "a", "hello", "hello world", "x" * 300, "héllo"]
+    got = fnv1a64(pa.array(strings))
+    for s, g in zip(strings, got):
+        assert int(g) == ref(s), s
+
+
+def test_fnv1a64_cross_process_determinism():
+    code = (
+        "import pyarrow as pa, sys; sys.path.insert(0, '/root/repo');"
+        "from epichypersketch_jl_ray.functions.hashing import fnv1a64;"
+        "print(fnv1a64(pa.array(['abc','xyzzy'])).tolist())"
+    )
+    outs = {
+        subprocess.run([sys.executable, "-c", code], capture_output=True, text=True).stdout
+        for _ in range(2)
+    }
+    assert len(outs) == 1
+
+
+def test_tokenize_matches_duckdb_string_split():
+    texts = ["a b c", "", "a  b", " lead", "trail ", "one"]
+    ours = tokenize(pa.array(texts)).to_pylist()
+    theirs = duckdb.sql(
+        "select string_split(t, ' ') from (select unnest($1::varchar[]) t)", params=[texts]
+    ).fetchall()
+    assert ours == [r[0] for r in theirs]
+
+
+def test_ngram_hashes_counts():
+    flat, off = token_hashes(pa.array(["a b c d", "a", "", "x y z"]))
+    ng, ng_off = ngram_hashes(flat, off, 3)
+    assert np.diff(ng_off).tolist() == [2, 0, 0, 1]
+    # identical trigrams hash identically across rows
+    flat2, off2 = token_hashes(pa.array(["x y z"]))
+    ng2, _ = ngram_hashes(flat2, off2, 3)
+    assert ng[-1] == ng2[0]
+
+
+def test_dedupe_per_row():
+    flat = np.array([5, 5, 3, 9, 9, 9], dtype=np.uint64)
+    off = np.array([0, 3, 6])
+    f2, o2 = _dedupe_per_row(flat, off)
+    assert o2.tolist() == [0, 2, 3]
+    assert sorted(f2[:2].tolist()) == [3, 5] and f2[2] == 9
+
+
+def test_html_round_trip_byte_identical():
+    texts = ["hello world", "", "with <p> inside? no — only template tags", "a" * 500]
+    titles = [f"title-{i}" for i in range(len(texts))]
+    html = render_html(pa.array(titles), pa.array(texts))
+    back = extract_text(html)
+    assert back.to_pylist() == texts
+    # byte-identical, not just equal strings
+    for orig, got in zip(texts, back.to_pylist()):
+        assert orig.encode() == got.encode()
+
+
+def test_quality_features_match_sql_definitions():
+    texts = ["a b a c", "", "x", "w w w w w"]
+    qf = quality_features(pa.array(texts))
+    rows = duckdb.sql(
+        "select length(t), len(string_split(t,' ')), len(list_distinct(string_split(t,' ')))"
+        " from (select unnest($1::varchar[]) t)",
+        params=[texts],
+    ).fetchall()
+    assert qf["n_chars"].tolist() == [r[0] for r in rows]
+    assert qf["n_tokens"].tolist() == [r[1] for r in rows]
+    assert qf["n_uniq_tokens"].tolist() == [r[2] for r in rows]
+
+
+def test_langid_heuristic():
+    texts = ["the cat and the dog", "der hund und die katze ist", "el gato y la casa es", "zz qq"]
+    out = langid_scores(pa.array(texts))
+    assert out.tolist() == ["en", "de", "es", "und"]
+
+
+def test_minhash_jaccard_estimate():
+    mh = MinHasher(num_perms=256, seed=4)
+    rng = np.random.default_rng(0)
+    a = hash_int64(np.arange(0, 1000), seed=5)
+    b = hash_int64(np.arange(300, 1300), seed=5)  # true J = 700/1300
+    sa, sb = mh.signature(a), mh.signature(b)
+    est = (sa == sb).mean()
+    assert abs(est - 700 / 1300) < 0.08
+
+
+def test_minhash_batch_matches_single():
+    mh = MinHasher(num_perms=64, seed=9)
+    rows = [hash_int64(np.arange(i, i + 20), seed=1) for i in range(5)]
+    flat = np.concatenate(rows)
+    off = np.concatenate(([0], np.cumsum([len(r) for r in rows])))
+    batch = mh.signatures(flat, off)
+    for i, r in enumerate(rows):
+        assert (batch[i] == mh.signature(r)).all()
+
+
+def test_simhash_similar_docs_close():
+    base = hash_int64(np.arange(200), seed=2)
+    near = np.concatenate([base[:190], hash_int64(np.arange(1000, 1010), seed=2)])
+    far = hash_int64(np.arange(5000, 5200), seed=2)
+    flat = np.concatenate([base, near, far])
+    off = np.array([0, 200, 400, 600])
+    sh = simhash64_batch(flat, off)
+    d_near = hamming_distance64(sh[:1], sh[1:2])[0]
+    d_far = hamming_distance64(sh[:1], sh[2:3])[0]
+    assert d_near < d_far
+    assert d_near <= 12
+
+
+def test_winnow_fingerprints_shift_invariant_overlap():
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "PREFIX " + a  # same content shifted
+    fa, oa = winnow_fingerprints(pa.array([a]))
+    fb, ob = winnow_fingerprints(pa.array([b]))
+    inter = np.intersect1d(fa, fb).size
+    assert inter / max(len(fa), 1) > 0.7
+
+
+def test_splitmix_and_combine_shapes():
+    x = np.arange(10, dtype=np.uint64)
+    assert splitmix64(x).shape == (10,)
+    assert hash_combine(x, x, x).shape == (10,)
+    assert len(np.unique(splitmix64(x))) == 10

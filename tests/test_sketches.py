@@ -1,0 +1,138 @@
+"""HLL / KLL / t-digest / Bloom kernel tests: published error bounds + merge
+associativity (north_rule; FIXTURES.md F5)."""
+
+import numpy as np
+import pytest
+
+from epichypersketch_jl_ray.functions.hashing import hash_int64
+from epichypersketch_jl_ray.state import BloomFilter, HyperLogLog, KLL, TDigest
+
+
+def _split_merge(parts_factory, items, splits, seed_order):
+    parts = [parts_factory().__class__ for _ in range(splits)]  # unused
+    return parts
+
+
+class TestHLL:
+    def test_accuracy_bound(self):
+        for n in [100, 1000, 50_000, 200_000]:
+            h = HyperLogLog(p=12)
+            keys = hash_int64(np.arange(n), seed=99)
+            h.update_hashed(keys)
+            rse = 1.04 / np.sqrt(h.m)
+            assert abs(h.estimate() - n) <= 4 * rse * n + 2, n
+
+    def test_merge_associative(self):
+        keys = hash_int64(np.arange(30_000), seed=1)
+        whole = HyperLogLog(p=10).update_hashed(keys)
+        chunks = np.array_split(keys, 8)
+        for order in [range(8), reversed(range(8)), [5, 2, 7, 0, 3, 6, 1, 4]]:
+            m = HyperLogLog(p=10)
+            for i in order:
+                m.merge(HyperLogLog(p=10).update_hashed(chunks[i]))
+            assert m.digest() == whole.digest()
+
+    def test_duplicates_dont_inflate(self):
+        keys = hash_int64(np.arange(500), seed=3)
+        h = HyperLogLog(p=12).update_hashed(np.tile(keys, 50))
+        assert abs(h.estimate() - 500) / 500 < 0.1
+
+
+class TestKLL:
+    def test_exact_regime(self):
+        rng = np.random.default_rng(0)
+        vals = rng.normal(size=1000)
+        k = KLL(k=2048)
+        k.update(vals)
+        s = np.sort(vals)
+        for q in [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]:
+            # lower/discrete quantile: smallest item with cumweight >= ceil(q*n)
+            expect = s[max(1, int(np.ceil(q * len(s)))) - 1]
+            assert k.quantile(q) == expect
+
+    def test_rank_error_bound(self):
+        rng = np.random.default_rng(1)
+        vals = rng.exponential(size=200_000)
+        k = KLL(k=200)
+        for c in np.array_split(vals, 40):
+            k.update(c)
+        s = np.sort(vals)
+        for q in [0.1, 0.5, 0.9, 0.99]:
+            est = k.quantile(q)
+            true_rank = np.searchsorted(s, est) / len(s)
+            assert abs(true_rank - q) < 0.03, (q, true_rank)
+
+    def test_merge_bound(self):
+        rng = np.random.default_rng(2)
+        vals = rng.normal(size=100_000)
+        chunks = np.array_split(vals, 16)
+        sketches = [KLL(k=200, seed=7).update(c) for c in chunks]
+        m = sketches[0]
+        for s in sketches[1:]:
+            m.merge(s)
+        assert m.n == len(vals)
+        srt = np.sort(vals)
+        for q in [0.25, 0.5, 0.75]:
+            est = m.quantile(q)
+            true_rank = np.searchsorted(srt, est) / len(srt)
+            assert abs(true_rank - q) < 0.04
+
+
+class TestTDigest:
+    def test_quantile_accuracy(self):
+        rng = np.random.default_rng(5)
+        vals = rng.lognormal(size=100_000)
+        td = TDigest(compression=100)
+        for c in np.array_split(vals, 25):
+            td.update(c)
+        srt = np.sort(vals)
+        for q in [0.01, 0.1, 0.5, 0.9, 0.99, 0.999]:
+            est = td.quantile(q)
+            true_rank = np.searchsorted(srt, est) / len(srt)
+            # rank error tightens toward the tails for t-digest
+            tol = 0.01 if 0.1 <= q <= 0.9 else 0.005
+            assert abs(true_rank - q) < tol, (q, true_rank)
+
+    def test_merge(self):
+        rng = np.random.default_rng(6)
+        vals = rng.normal(size=50_000)
+        parts = [TDigest(100).update(c) for c in np.array_split(vals, 10)]
+        m = parts[0]
+        for p in parts[1:]:
+            m.merge(p)
+        assert m.n == len(vals)
+        srt = np.sort(vals)
+        for q in [0.1, 0.5, 0.9]:
+            true_rank = np.searchsorted(srt, m.quantile(q)) / len(srt)
+            assert abs(true_rank - q) < 0.02
+
+    def test_centroid_count_bounded(self):
+        td = TDigest(compression=100)
+        td.update(np.random.default_rng(8).uniform(size=500_000))
+        td._compress()
+        assert len(td.means) <= 2 * td.compression
+
+
+class TestBloom:
+    def test_no_false_negatives_and_fp_rate(self):
+        present = hash_int64(np.arange(10_000), seed=11)
+        absent = hash_int64(np.arange(10_000, 60_000), seed=11)
+        bf = BloomFilter(capacity=10_000, p=0.01, seed=3)
+        bf.add_hashed(present)
+        assert bf.contains_hashed(present).all()  # zero false negatives
+        fp = bf.contains_hashed(absent).mean()
+        assert fp <= 0.02, fp  # ~2x target p head-room
+
+    def test_merge_or(self):
+        a_keys = hash_int64(np.arange(500), seed=1)
+        b_keys = hash_int64(np.arange(500, 1000), seed=1)
+        a = BloomFilter(1000, p=1e-4, seed=2).add_hashed(a_keys)
+        b = BloomFilter(1000, p=1e-4, seed=2).add_hashed(b_keys)
+        whole = BloomFilter(1000, p=1e-4, seed=2).add_hashed(np.concatenate([a_keys, b_keys]))
+        a.merge(b)
+        assert a.digest() == whole.digest()
+        assert a.contains_hashed(np.concatenate([a_keys, b_keys])).all()
+
+    def test_geometry_mismatch(self):
+        with pytest.raises(ValueError):
+            BloomFilter(100, seed=1).merge(BloomFilter(200, seed=1))
