@@ -1,0 +1,181 @@
+"""Motif enumeration pipelines (reference obtain_enriched_configurations,
+/root/reference/src/count_cpu_extract.jl:143-189) over lineitem-derived
+activation sequences.
+
+Sequence model: one sequence per order (data_index = l_orderkey), features =
+supplier keys, contribution = quantity, position = line number (conv case).
+This is the faithful translation of the reference's ActivationDict semantics
+onto a normalized relational input — every C(len, k) slot combination of every
+sequence is CMS-counted, then combinations whose estimate >= min_count are
+re-emitted one row per occurrence with summed contribution
+(/root/reference/src/count_cpu_extract.jl:3-37).
+
+Oracle-parity regime: the sketch is sized (epsilon ~ 6.5e-7 → ~4.2M columns,
+10 rows) so that at test scale the probability of ANY estimate exceeding the
+true count is < 1e-7 — estimates then equal exact counts and the DuckDB
+oracle can hash-match the ``estimate`` column. The same pipeline at 100 TB
+uses the reference's default epsilon and tolerates the published
+overcount bound instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from epichypersketch_jl_ray.sources.activation import activation_from_table
+from epichypersketch_jl_ray.sources.tables import read_table
+from epichypersketch_jl_ray.stages.motifs import MotifCounter, MotifSelector
+from epichypersketch_jl_ray.stages.udaf import tree_merge
+from epichypersketch_jl_ray.state.countmin import CountMin
+
+# collision-free-at-test-scale sketch geometry (see module docstring)
+ORACLE_DELTA = 1e-4  # 10 rows
+ORACLE_EPSILON = 6.5e-7  # 4,181,660 cols
+MOTIF_SEED = 20260817
+
+
+def motif_pipeline(
+    activation: ray.data.Dataset,
+    *,
+    motif_size: int = 3,
+    min_count: int = 3,
+    conv: bool = False,
+    filter_len: int = 0,
+    delta: float = ORACLE_DELTA,
+    epsilon: float = ORACLE_EPSILON,
+    seed: int = MOTIF_SEED,
+    max_active_len: int = 64,
+    batch_size: int = 2048,
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """count (pass 1) → tree merge → broadcast → select+extract (pass 2).
+
+    The activation dataset is materialized once because both passes read it —
+    the streaming analogue of the reference keeping its Records alive across
+    count!/make_selection! (/root/reference/src/count_gpu_extract.jl:37-53);
+    Ray spills blocks to disk if it outgrows the object store.
+    """
+    act = activation.materialize()
+    kwargs = dict(
+        motif_size=motif_size,
+        conv=conv,
+        filter_len=filter_len,
+        max_active_len=max_active_len,
+    )
+    states = act.map_batches(
+        MotifCounter,
+        fn_constructor_kwargs={**kwargs, "delta": delta, "epsilon": epsilon, "seed": seed},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    ).materialize()
+    truncated = states.sum("truncated") or 0
+    merged = tree_merge(states.select_columns(["state"]), CountMin)
+    if truncated:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "motif_pipeline: %d sequences truncated to max_active_len=%d",
+            truncated,
+            max_active_len,
+        )
+    cms_ref = ray.put(merged)
+    return act.map_batches(
+        MotifSelector,
+        fn_constructor_kwargs={"cms_ref": cms_ref, "min_count": min_count, **kwargs},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def lineitem_activation(sf_dir: str, *, conv: bool) -> ray.data.Dataset:
+    cols = ["l_orderkey", "l_suppkey", "l_quantity"] + (["l_linenumber"] if conv else [])
+    li = read_table(sf_dir, "lineitem", columns=cols)
+    return activation_from_table(
+        li,
+        key_col="l_orderkey",
+        feature_col="l_suppkey",
+        contribution_col="l_quantity",
+        position_col="l_linenumber" if conv else None,
+    )
+
+
+def motifs_ordinary(sf_dir: str, *, motif_size: int = 3, min_count: int = 3) -> ray.data.Dataset:
+    """Ordinary-features case (reference OrdinaryFeatures,
+    /root/reference/src/types.jl:10): which supplier k-sets recur across
+    orders at least min_count times, one output row per occurrence."""
+    return motif_pipeline(
+        lineitem_activation(sf_dir, conv=False),
+        motif_size=motif_size,
+        min_count=min_count,
+        conv=False,
+    )
+
+
+def motifs_conv(
+    sf_dir: str, *, motif_size: int = 3, min_count: int = 2, filter_len: int = 2
+) -> ray.data.Dataset:
+    """Convolution case (reference ConvolutionFeature,
+    /root/reference/src/types.jl:11): position-aware motifs with inter-feature
+    gaps; gap = pos2-pos1-filter_len, overlaps rejected
+    (/root/reference/src/count_cpu.jl:47-53)."""
+    return motif_pipeline(
+        lineitem_activation(sf_dir, conv=True),
+        motif_size=motif_size,
+        min_count=min_count,
+        conv=True,
+        filter_len=filter_len,
+    )
+
+
+def motifs_ordinary_sql(motif_size: int = 3, min_count: int = 3) -> str:
+    """DuckDB oracle: exact brute-force slot-combination enumeration —
+    the SQL analogue of the reference's verify_ground_truth
+    (/root/reference/test/test_large_example_ordinary.jl:118-169)."""
+    assert motif_size == 3
+    return f"""
+WITH f AS (
+  SELECT l_orderkey AS data_index, CAST(l_suppkey AS INTEGER) AS feature,
+         l_quantity AS contribution,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_suppkey, l_quantity) AS rn
+  FROM lineitem),
+c AS (
+  SELECT a.data_index, a.feature AS m1, b.feature AS m2, d.feature AS m3,
+         a.contribution + b.contribution + d.contribution AS contribution
+  FROM f a JOIN f b ON b.data_index = a.data_index AND b.rn > a.rn
+           JOIN f d ON d.data_index = a.data_index AND d.rn > b.rn),
+g AS (SELECT m1, m2, m3, COUNT(*) AS cnt FROM c GROUP BY 1, 2, 3)
+SELECT c.m1, c.m2, c.m3, c.data_index, c.contribution, g.cnt AS estimate
+FROM c JOIN g USING (m1, m2, m3)
+WHERE g.cnt >= {min_count}
+"""
+
+
+def motifs_conv_sql(motif_size: int = 3, min_count: int = 2, filter_len: int = 2) -> str:
+    assert motif_size == 3
+    return f"""
+WITH f AS (
+  SELECT l_orderkey AS data_index, CAST(l_suppkey AS INTEGER) AS feature,
+         l_quantity AS contribution, CAST(l_linenumber AS INTEGER) AS position,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+  FROM lineitem),
+c AS (
+  SELECT a.data_index, a.feature AS m1, b.feature AS m2, d.feature AS m3,
+         CAST(b.position - a.position - {filter_len} AS INTEGER) AS d12,
+         CAST(d.position - b.position - {filter_len} AS INTEGER) AS d23,
+         a.position AS start, CAST(d.position + {filter_len} - 1 AS INTEGER) AS "end",
+         a.contribution + b.contribution + d.contribution AS contribution
+  FROM f a JOIN f b ON b.data_index = a.data_index AND b.rn > a.rn
+           JOIN f d ON d.data_index = a.data_index AND d.rn > b.rn
+  WHERE b.position - a.position - {filter_len} >= 0
+    AND d.position - b.position - {filter_len} >= 0),
+g AS (SELECT m1, m2, m3, d12, d23, COUNT(*) AS cnt FROM c GROUP BY 1, 2, 3, 4, 5)
+SELECT c.m1, c.m2, c.m3, c.d12, c.d23, c.start, c."end", c.data_index,
+       c.contribution, g.cnt AS estimate
+FROM c JOIN g USING (m1, m2, m3, d12, d23)
+WHERE g.cnt >= {min_count}
+"""

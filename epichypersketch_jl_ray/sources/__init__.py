@@ -1,0 +1,3 @@
+"""Sources: pruned parquet readers for the testdata tables, activation-table
+derivation (normalized rows → per-sequence feature lists), and the
+deterministic webpages fixture generator (input_hint table shape)."""

@@ -1,0 +1,17 @@
+"""Pruned parquet readers.
+
+Reference has no file sources at all (in-memory dict only, SURVEY.md §2.1 S1);
+here every read goes through ``ray.data.read_parquet`` with an explicit column
+list so only needed columns leave storage — a hard requirement at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return ray.data.read_parquet(path, columns=columns)
