@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps one entry per implemented pipeline (SURVEY.md §2) to a
+callable(sf_dir); ``oracle_sql()`` provides the DuckDB-equivalent SQL where
+the operator is SQL-expressible (approximate sketches — HLL estimate,
+t-digest, simhash, langid, fingerprints — get rows-only checks, asserted
+against exact answers / published bounds in tests/ instead).
 """
 
 from __future__ import annotations
@@ -20,25 +17,78 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: heavy-hitter trigrams via
+    the distributed CMS (count → tree-merge → broadcast → select)."""
+    from epichypersketch_jl_ray.pipelines.ngrams import heavy_ngrams
+
+    return heavy_ngrams("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from epichypersketch_jl_ray.pipelines import (
+        ann,
+        dedup,
+        motifs,
+        ngrams,
+        relational,
+        sketches,
+        textstats,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # core reference semantics (CMS motif enumeration, SURVEY.md §2.3)
+        "motifs_ordinary": motifs.motifs_ordinary,
+        "motifs_conv": motifs.motifs_conv,
+        # webtext CMS heavy hitters
+        "heavy_ngrams": ngrams.heavy_ngrams,
+        # sketch suite (north_rule A4-A7)
+        "distinct_users_hll": sketches.distinct_users_hll,
+        "distinct_users_exact": sketches.distinct_users_exact,
+        "doc_length_quantiles_kll": sketches.doc_length_quantiles_kll,
+        "doc_length_quantiles_tdigest": sketches.doc_length_quantiles_tdigest,
+        "user_membership_bloom": sketches.user_membership_bloom,
+        # dedup suite
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        # similarity search
+        "ann_cosine_topk": ann.ann_cosine_topk,
+        # text analysis
+        "doc_stats": textstats.doc_stats,
+        "lang_predict": textstats.lang_predict,
+        "doc_fingerprints": textstats.doc_fingerprints,
+        # relational operators
+        "pricing_summary": relational.pricing_summary,
+        "top_suppliers": relational.top_suppliers,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "sessionize": relational.sessionize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from epichypersketch_jl_ray.pipelines import (
+        ann,
+        dedup,
+        motifs,
+        ngrams,
+        relational,
+        sketches,
+        textstats,
+    )
+
+    return {
+        "motifs_ordinary": motifs.motifs_ordinary_sql(),
+        "motifs_conv": motifs.motifs_conv_sql(),
+        "heavy_ngrams": ngrams.heavy_ngrams_sql(),
+        "distinct_users_exact": sketches.distinct_users_exact_sql(),
+        "doc_length_quantiles_kll": sketches.doc_length_quantiles_kll_sql(),
+        "user_membership_bloom": sketches.user_membership_bloom_sql(),
+        "dedup_exact": dedup.dedup_exact_sql(),
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh_sql(),
+        "ann_cosine_topk": ann.ann_cosine_topk_sql(),
+        "doc_stats": textstats.doc_stats_sql(),
+        "pricing_summary": relational.pricing_summary_sql(),
+        "top_suppliers": relational.top_suppliers_sql(),
+        "revenue_by_nation": relational.revenue_by_nation_sql(),
+        "sessionize": relational.sessionize_sql(),
+    }

@@ -1,0 +1,98 @@
+"""Heavy-hitter token n-grams over the documents table — the webtext
+adaptation of the reference's CMS counting (SURVEY.md §1.3: sequences derived
+from text are counted, selected against min_count, and extracted).
+
+Pass 1: map_batches → per-batch sparse CMS partial over hashed trigrams
+        (one CMS insert per n-gram occurrence, reference count! semantics).
+Pass 2: broadcast merged CMS; re-derive n-grams per batch, keep those with
+        estimate >= min_count, emit (ngram, estimate); a small groupby
+        dedupes across batches (selected set is tiny by construction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Max
+
+from epichypersketch_jl_ray.functions.text import ngram_hashes, token_hashes, tokenize
+from epichypersketch_jl_ray.sources.tables import read_table
+from epichypersketch_jl_ray.stages.udaf import tree_merge
+from epichypersketch_jl_ray.state.countmin import CountMin
+
+NGRAM_SEED = 777
+# collision-free at test scale (see pipelines/motifs.py docstring)
+NGRAM_DELTA = 1e-4
+NGRAM_EPSILON = 6.5e-7
+
+
+def _cms_factory(seed: int = NGRAM_SEED) -> CountMin:
+    return CountMin(1, delta=NGRAM_DELTA, epsilon=NGRAM_EPSILON, seed=seed)
+
+
+def _ngram_hash_u64(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    flat, off = token_hashes(texts)
+    return ngram_hashes(flat, off, n)
+
+
+def heavy_ngrams(
+    sf_dir: str,
+    *,
+    n: int = 3,
+    min_count: int = 3,
+    text_col: str = "text",
+    table: str = "documents",
+    batch_size: int = 4096,
+) -> ray.data.Dataset:
+    """Distinct token n-grams whose CMS estimate >= min_count."""
+    ds = read_table(sf_dir, table, columns=[text_col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ng, _ = _ngram_hash_u64(batch[text_col], n)
+        cms = _cms_factory().add_keys(ng)
+        return pa.table({"state": pa.array([cms.to_bytes()], type=pa.large_binary())})
+
+    states = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    merged = tree_merge(states, CountMin)
+    cms_ref = ray.put(merged)
+
+    def select(batch: pa.Table) -> pa.Table:
+        cms: CountMin = ray.get(cms_ref)
+        toks = tokenize(batch[text_col])
+        flat_h, off = token_hashes(batch[text_col])
+        ng, _ = ngram_hashes(flat_h, off, n)
+        if len(ng) == 0:
+            return pa.table({"ngram": pa.array([], pa.string()), "estimate": pa.array([], pa.int64())})
+        uniq, first = np.unique(ng, return_index=True)
+        est = cms.estimate_keys(uniq)
+        sel = est >= min_count
+        keep = first[sel]
+        # rebuild the n-gram strings for the selected occurrences
+        lengths = np.asarray(toks.value_lengths(), dtype=np.int64)
+        t_off = np.concatenate(([0], np.cumsum(lengths)))
+        out_lengths = np.maximum(lengths - (n - 1), 0)
+        o_off = np.concatenate(([0], np.cumsum(out_lengths)))
+        row_ids = np.searchsorted(o_off, keep, side="right") - 1
+        starts = t_off[row_ids] + (keep - o_off[row_ids])
+        flat_tokens = toks.flatten()
+        parts = [pc.take(flat_tokens, pa.array(starts + j)) for j in range(n)]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = pc.binary_join_element_wise(joined, p, " ")
+        return pa.table({"ngram": joined, "estimate": pa.array(est[sel], pa.int64())})
+
+    out = ds.map_batches(select, batch_format="pyarrow", batch_size=batch_size)
+    return out.groupby("ngram").aggregate(Max("estimate", alias_name="estimate"))
+
+
+def heavy_ngrams_sql(n: int = 3, min_count: int = 3) -> str:
+    assert n == 3
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS ngram
+      FROM t, LATERAL unnest(range(1, len(toks) - 1)) r(i))
+SELECT ngram, COUNT(*) AS estimate FROM g GROUP BY ngram HAVING COUNT(*) >= {min_count}
+"""

@@ -1,0 +1,194 @@
+"""Relational operator demonstrations: grouped aggregation, top-k,
+broadcast join, sessionization — the generic Dataset operations the sketch
+pipelines compose with (SURVEY.md §2.4 A3 / §2.6 O2; reference analogues are
+the documented post-processing workflows, /root/reference/README.md:156-191).
+
+Monetary aggregates are summed as integer cents (per-row round, then int64
+sum) so distributed partial-sum order cannot perturb float results — the
+driver's value-hash compare requires bit-stable answers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data.aggregate import Count, Min, Sum
+
+from epichypersketch_jl_ray.sources.tables import read_table
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    # floor(x*100 + 0.5): identical in numpy and DuckDB for positive values
+    # (numpy round() is half-to-even, DuckDB round() half-away-from-zero —
+    # they disagree on exact .5 cases, so neither is used)
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+def pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1-flavoured grouped aggregate over lineitem."""
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "l_quantity": batch["l_quantity"],
+                "base_cents": pa.array(
+                    _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Count(alias_name="n"),
+        )
+    )
+
+
+def pricing_summary_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_cents,
+       COUNT(*) AS n
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def top_suppliers(sf_dir: str, *, k: int = 10) -> ray.data.Dataset:
+    """Top-k suppliers by discounted revenue (groupby → sort → limit,
+    reference top-k workflow /root/reference/README.md:190-191)."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_suppkey": batch["l_suppkey"],
+                "revenue_cents": pa.array(_cents(price * (1.0 - disc)), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    return agg.sort(["revenue_cents", "l_suppkey"], descending=[True, False]).limit(k)
+
+
+def top_suppliers_sql(k: int = 10) -> str:
+    return f"""
+SELECT l_suppkey, SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents
+FROM lineitem GROUP BY 1 ORDER BY revenue_cents DESC, l_suppkey LIMIT {k}
+"""
+
+
+def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast join: orders ⋈ customer ⋈ nation without any shuffle join —
+    the small sides ship once via ray.put and are probed per batch
+    (SURVEY.md §2.5: broadcast-small-side is the engine's only join form;
+    large-large joins would use the bucketed-hash-join pattern)."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust = cust.sort_values("c_custkey")
+    nat_names = nation.set_index("n_nationkey")["n_name"]
+    cust_keys = cust["c_custkey"].to_numpy()
+    cust_nation = nat_names.reindex(cust["c_nationkey"]).to_numpy()
+    lookup_ref = ray.put((cust_keys, cust_nation))
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def join(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(lookup_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck)
+        pos = np.minimum(pos, len(keys) - 1)
+        ok = keys[pos] == ck
+        if not ok.all():
+            raise ValueError("order references missing customer")
+        return pa.table(
+            {
+                "n_name": pa.array(names[pos], pa.string()),
+                "revenue_cents": pa.array(
+                    _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        orders.map_batches(join, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"), Count(alias_name="n_orders"))
+    )
+
+
+def revenue_by_nation_sql() -> str:
+    return """
+SELECT n_name, SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+def sessionize(sf_dir: str, *, gap_minutes: int = 30, num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-user session counting (stateful streaming analogue, SURVEY.md
+    §2.10 — the reference has no windowing; this is the training-data-pipeline
+    extension). Bucketed groupby + vectorized run-length session breaks."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+
+    from epichypersketch_jl_ray.functions.hashing import hash_int64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        b = (hash_int64(u, seed=2) % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        same_user = np.concatenate(([False], u[1:] == u[:-1]))
+        brk = same_user & (np.diff(ts, prepend=ts[:1]) > gap_us)
+        boundaries = np.flatnonzero(~same_user)
+        counts = np.diff(np.append(boundaries, len(u)))
+        users = u[boundaries]
+        sessions = np.add.reduceat(brk.astype(np.int64), boundaries) + 1
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "n_events": pa.array(counts.astype(np.int64), pa.int64()),
+                "n_sessions": pa.array(sessions, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def sessionize_sql(gap_minutes: int = 30) -> str:
+    return f"""
+WITH o AS (
+  SELECT user_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL {gap_minutes} MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events)
+SELECT user_id, COUNT(*) AS n_events, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions
+FROM o GROUP BY user_id
+"""

@@ -1,0 +1,122 @@
+"""HLL / KLL / t-digest / Bloom pipelines over the testdata tables —
+the north_rule sketch suite (SURVEY.md §2.4 A4-A7) run through the same UDAF
+harness as the CMS.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from epichypersketch_jl_ray.sources.tables import read_table
+from epichypersketch_jl_ray.stages.udaf import sketch_dataset
+from epichypersketch_jl_ray.state import BloomFilter, HyperLogLog, KLL, TDigest
+from epichypersketch_jl_ray.functions.hashing import hash_int64
+
+SEED = 424242
+QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+# --- cardinality -----------------------------------------------------------
+
+
+def distinct_users_hll(sf_dir: str, *, p: int = 14) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT user_id) via HLL (rse ~= 1.04/sqrt(2^p)).
+
+    No SQL oracle (approximate answer); accuracy asserted in pytest against
+    the exact count.
+    """
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+
+    def update(h: HyperLogLog, batch: pa.Table) -> None:
+        h.update_hashed(hash_int64(batch["user_id"].to_numpy(zero_copy_only=False), seed=SEED))
+
+    hll = sketch_dataset(ds, lambda: HyperLogLog(p=p, seed=SEED), update, HyperLogLog)
+    return pd.DataFrame({"distinct_users_est": [float(hll.estimate())]})
+
+
+def distinct_users_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct count — Ray ``unique`` (shuffle) as the baseline the
+    HLL answer is judged against."""
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    n = len(ds.unique("user_id"))
+    return pd.DataFrame({"distinct_users": pd.array([n], dtype="int64")})
+
+
+def distinct_users_exact_sql() -> str:
+    return "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users FROM events"
+
+
+# --- quantiles -------------------------------------------------------------
+
+
+def doc_length_quantiles_kll(sf_dir: str, *, k: int = 4096) -> pd.DataFrame:
+    """n_chars quantiles via KLL.
+
+    With k >= n (true at the sf0.01 correctness gate) the sketch never
+    compacts and the answer is the exact lower order statistic — matching
+    DuckDB quantile_disc; at bench scale it degrades gracefully to the KLL
+    rank-error bound.
+    """
+    ds = read_table(sf_dir, "documents", columns=["n_chars"])
+
+    def update(s: KLL, batch: pa.Table) -> None:
+        s.update(batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64))
+
+    kll = sketch_dataset(ds, lambda: KLL(k=k, seed=SEED), update, KLL)
+    return pd.DataFrame({"q": list(QS), "n_chars_q": [kll.quantile(q) for q in QS]})
+
+
+def doc_length_quantiles_kll_sql() -> str:
+    parts = [
+        f"SELECT {q} AS q, CAST(quantile_disc(n_chars, {q}) AS DOUBLE) AS n_chars_q FROM documents"
+        for q in QS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+def doc_length_quantiles_tdigest(sf_dir: str, *, compression: float = 200.0) -> pd.DataFrame:
+    """n_chars quantiles via merging t-digest (interpolated — no exact SQL
+    oracle; rank-error bound asserted in pytest)."""
+    ds = read_table(sf_dir, "documents", columns=["n_chars"])
+
+    def update(s: TDigest, batch: pa.Table) -> None:
+        s.update(batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64))
+
+    td = sketch_dataset(ds, lambda: TDigest(compression), update, TDigest)
+    return pd.DataFrame({"q": list(QS), "n_chars_q": [td.quantile(q) for q in QS]})
+
+
+# --- membership ------------------------------------------------------------
+
+
+def user_membership_bloom(sf_dir: str, *, capacity: int = 65536, p: float = 1e-9) -> pd.DataFrame:
+    """Bloom membership for probe ids 0..2*(max_user_id+1).
+
+    Present keys always hit (zero false negatives); with p=1e-9 the absent
+    half has ~0 expected false positives, so the answer is deterministic and
+    the DuckDB oracle (exact IN) hash-matches.
+    """
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    max_id = int(ds.max("user_id"))
+
+    def update(b: BloomFilter, batch: pa.Table) -> None:
+        b.add_hashed(hash_int64(batch["user_id"].to_numpy(zero_copy_only=False), seed=SEED))
+
+    bf = sketch_dataset(
+        ds, lambda: BloomFilter(capacity=capacity, p=p, seed=SEED), update, BloomFilter
+    )
+    probes = np.arange(0, 2 * (max_id + 1), dtype=np.int64)
+    present = bf.contains_hashed(hash_int64(probes, seed=SEED))
+    return pd.DataFrame({"probe_id": probes, "present": present})
+
+
+def user_membership_bloom_sql() -> str:
+    return """
+WITH mx AS (SELECT CAST(MAX(user_id) + 1 AS BIGINT) AS m FROM events),
+p AS (SELECT unnest(range(0, 2 * m)) AS probe_id FROM mx)
+SELECT probe_id, probe_id IN (SELECT user_id FROM events) AS present FROM p
+"""

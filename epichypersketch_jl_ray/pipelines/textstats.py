@@ -1,0 +1,88 @@
+"""Text analysis over the documents table: quality features, token counts,
+language ID, fingerprints (training-data-pipeline operators; SURVEY.md §2.12
+webtext additions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from epichypersketch_jl_ray.functions.text import (
+    langid_scores,
+    quality_features,
+    winnow_fingerprints,
+)
+from epichypersketch_jl_ray.sources.tables import read_table
+
+
+def doc_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-document quality features with SQL-expressible definitions."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        qf = quality_features(batch["text"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pa.array(qf["n_chars"], pa.int64()),
+                "n_tokens": pa.array(qf["n_tokens"], pa.int64()),
+                "n_uniq_tokens": pa.array(qf["n_uniq_tokens"], pa.int64()),
+                "ttr": pa.array(qf["ttr"], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def doc_stats_sql() -> str:
+    return """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr
+FROM documents
+"""
+
+
+def lang_predict(sf_dir: str) -> ray.data.Dataset:
+    """Stopword-heuristic language ID per document (no SQL oracle — the
+    heuristic is not SQL-expressible; rows-only check)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def predict(batch: pa.Table) -> pa.Table:
+        pred = langid_scores(batch["text"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_declared": batch["lang"],
+                "lang_pred": pa.array(pred.astype(str), pa.string()),
+            }
+        )
+
+    return ds.map_batches(predict, batch_format="pyarrow")
+
+
+def doc_fingerprints(sf_dir: str, *, k: int = 8, window: int = 4) -> ray.data.Dataset:
+    """Winnowing fingerprint summary per document (rows-only check)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        hashes, off = winnow_fingerprints(batch["text"], k=k, window=window)
+        n_fp = np.diff(off)
+        # a stable per-doc digest: xor of its fingerprints
+        digest = np.zeros(len(n_fp), dtype=np.uint64)
+        if len(hashes):
+            row_ids = np.repeat(np.arange(len(n_fp)), n_fp)
+            np.bitwise_xor.at(digest, row_ids, hashes)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_fingerprints": pa.array(n_fp.astype(np.int64), pa.int64()),
+                "fp_digest": pa.array(digest.view(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")

@@ -1,0 +1,67 @@
+"""Approximate-nearest-neighbour stages over an embedding column.
+
+Baseline: brute-force cosine top-k — a numpy matmul per batch against a
+broadcast query matrix (ray.put once, fetched once per actor), per-batch
+partial top-k, tiny driver-side final merge. Scale path: LSH bucketing via
+random hyperplane signs (SimHash over embeddings) to prune candidates —
+same harness, bucket column + groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(arr[0])
+    return flat.reshape(len(arr), dim)
+
+
+class BruteForceTopK:
+    """Actor stage: per-batch cosine top-k against the broadcast queries."""
+
+    def __init__(self, query_ref, *, k: int = 10, id_col: str = "vec_id", col: str = "embedding"):
+        q_ids, q = ray.get(query_ref) if not isinstance(query_ref, tuple) else query_ref
+        self.q_ids = np.asarray(q_ids, dtype=np.int64)
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        self.q = q / np.where(qn == 0, 1, qn)
+        self.k = k
+        self.id_col = id_col
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        e = _embedding_matrix(batch, self.col)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        norms = np.linalg.norm(e, axis=1, keepdims=True)
+        e = e / np.where(norms == 0, 1, norms)
+        sims = self.q @ e.T  # (nq, nb)
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        nq = len(self.q_ids)
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(self.q_ids, k), pa.int64()),
+                "neighbor_id": pa.array(ids[part].ravel(), pa.int64()),
+                "sim": pa.array(np.take_along_axis(sims, part, axis=1).ravel(), pa.float64()),
+            }
+        )
+
+
+def final_topk(candidates, k: int = 10) -> "np.ndarray":
+    """Driver-side merge of per-batch candidates: per query, top-k by
+    (sim desc, neighbor_id asc). Input: pandas DataFrame."""
+    rows = []
+    for qid, g in candidates.groupby("query_id"):
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(g.iterrows(), start=1):
+            rows.append((int(qid), int(r["neighbor_id"]), rank))
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])

@@ -71,6 +71,7 @@ class CountMin(MergeableSketch):
         "counts",
         "n_inserts",
         "dense",
+        "row_seeds",
     )
 
     def __init__(
@@ -97,6 +98,12 @@ class CountMin(MergeableSketch):
         self.counts = np.empty(0, dtype=np.int64)
         self.n_inserts = 0  # N in the bound est <= true + eps*N
         self.dense = None  # np.ndarray (rows, cols) once densified
+        # per-row seeds for the pre-hashed-key path (see add_keys)
+        from epichypersketch_jl_ray.functions.hashing import splitmix64
+
+        self.row_seeds = splitmix64(
+            np.uint64(self.seed) ^ np.arange(1, self.rows + 1, dtype=np.uint64)
+        )
 
     # --- hashing -----------------------------------------------------------
 
@@ -116,11 +123,36 @@ class CountMin(MergeableSketch):
         h = fr @ self.coeffs.T  # (n, rows); max ~ width * M^2 < 2^63 for M<=2^21
         return (h % self.num_counters) % self.cols
 
+    def key_columns(self, keys: np.ndarray) -> np.ndarray:
+        """(n,) pre-hashed uint64 keys -> (n, rows) column indices.
+
+        The multilinear family (hash_columns) is only pairwise-independent for
+        SMALL integer features (the reference's regime,
+        /root/reference/src/sketch.jl:68): two 64-bit keys congruent mod
+        num_counters would collide in EVERY row. Pre-hashed keys therefore get
+        an independent splitmix64 mix per row instead.
+        """
+        from epichypersketch_jl_ray.functions.hashing import splitmix64
+
+        k = np.asarray(keys, dtype=np.uint64)
+        cols = np.empty((len(k), self.rows), dtype=np.int64)
+        for r in range(self.rows):
+            cols[:, r] = (splitmix64(k ^ self.row_seeds[r]) % np.uint64(self.cols)).astype(
+                np.int64
+            )
+        return cols
+
     # --- update ------------------------------------------------------------
 
     def add(self, features: np.ndarray, weights: np.ndarray | None = None) -> "CountMin":
         """Count each feature-vector occurrence once (or ``weights`` times)."""
-        cols = self.hash_columns(features)
+        return self._add_cols(self.hash_columns(features), weights)
+
+    def add_keys(self, keys: np.ndarray, weights: np.ndarray | None = None) -> "CountMin":
+        """Count pre-hashed uint64 keys (per-row independent hashing)."""
+        return self._add_cols(self.key_columns(keys), weights)
+
+    def _add_cols(self, cols: np.ndarray, weights: np.ndarray | None) -> "CountMin":
         n = cols.shape[0]
         if n == 0:
             return self
@@ -212,7 +244,12 @@ class CountMin(MergeableSketch):
 
     def estimate(self, features: np.ndarray) -> np.ndarray:
         """CMS point estimate: min over rows (/root/reference/src/count_gpu.jl:139-155)."""
-        cols = self.hash_columns(features)
+        return self._estimate_cols(self.hash_columns(features))
+
+    def estimate_keys(self, keys: np.ndarray) -> np.ndarray:
+        return self._estimate_cols(self.key_columns(keys))
+
+    def _estimate_cols(self, cols: np.ndarray) -> np.ndarray:
         flat = cols + (np.arange(self.rows, dtype=np.int64) * self.cols)[None, :]
         return self.lookup_flat(flat).min(axis=1)
 
