@@ -79,7 +79,9 @@ def fnv1a64(strings) -> np.ndarray:
                 break
             idx = starts[active] + j
             out[active] = (out[active] ^ values[idx].astype(np.uint64)) * _FNV_PRIME
-    return out
+    # FNV-1a has weak avalanche in the high bits (HLL buckets by the TOP p
+    # bits); a splitmix64 finalizer fixes the distribution
+    return splitmix64(out)
 
 
 def hash_int64(x: np.ndarray, seed: int = 0) -> np.ndarray:

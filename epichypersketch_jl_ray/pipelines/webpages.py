@@ -1,0 +1,124 @@
+"""Flagship webtext pipeline over the input_hint webpages table.
+
+    read_parquet (pruned columns)
+      → map_batches(WebSketchBuilder actor pool)   # html→text extract,
+        tokenize, (url,lang)-salted trigram keys,  # 4 sketches in ONE scan
+        per-batch partial WebSketchState
+      → tree merge → queries (heavy hitters / distinct / quantiles / membership)
+
+The html→text extraction runs INSIDE the pass and its output is checked
+byte-identical against the stored ``text`` column (input_hint invariant) —
+corruption raises rather than silently diverging.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from epichypersketch_jl_ray.functions.hashing import fnv1a64, hash_combine
+from epichypersketch_jl_ray.functions.html import extract_text
+from epichypersketch_jl_ray.functions.text import ngram_hashes, token_hashes
+from epichypersketch_jl_ray.state.websketch import WebSketchState
+from epichypersketch_jl_ray.stages.udaf import tree_merge
+
+WEB_SEED = 20260401
+
+
+def web_batch_features(batch: pa.Table, *, verify_text: bool = True):
+    """Extract per-batch arrays for the sketch update: trigram keys salted by
+    (url, lang), url hashes, text lengths."""
+    html = batch["html"]
+    text = extract_text(html)
+    if verify_text and "text" in batch.column_names:
+        stored = batch["text"]
+        if isinstance(stored, pa.ChunkedArray):
+            stored = stored.combine_chunks()
+        if not pc.all(pc.equal(text, stored)).as_py():
+            raise ValueError("extracted text differs from stored text (input_hint invariant)")
+    url = batch["url"]
+    lang = batch["lang"]
+    url_h = fnv1a64(url)
+    lang_h = fnv1a64(lang)
+    flat, off = token_hashes(text)
+    ng, ng_off = ngram_hashes(flat, off, 3)
+    # key trigrams by lang so heavy hitters are (lang, ngram) pairs — the
+    # grouped-heavy-hitter query of the north_star; url stays out of the key
+    # (url-keyed counts are what HLL/Bloom answer)
+    n_per_row = np.diff(ng_off)
+    row_lang = np.repeat(lang_h, n_per_row)
+    keys = hash_combine(row_lang, ng)
+    lengths = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+    return keys, url_h, lengths, ng
+
+
+def make_state(**kwargs) -> WebSketchState:
+    defaults = dict(seed=WEB_SEED, delta=1e-4, epsilon=5e-5, hll_p=14, kll_k=256)
+    defaults.update(kwargs)
+    return WebSketchState(**defaults)
+
+
+class WebSketchBuilder:
+    """Pass-1 actor: one scan, four sketches, per-batch partial state."""
+
+    def __init__(self, **state_kwargs) -> None:
+        self.state_kwargs = state_kwargs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, url_h, lengths, _ = web_batch_features(batch)
+        st = make_state(**self.state_kwargs)
+        st.update(ngram_keys=keys, url_hashes=url_h, text_lengths=lengths)
+        return pa.table({"state": pa.array([st.to_bytes()], type=pa.large_binary())})
+
+
+def build_web_sketches(
+    input_dir: str,
+    *,
+    batch_size: int = 1024,
+    concurrency: int | None = None,
+    **state_kwargs,
+) -> WebSketchState:
+    """Build the merged 4-sketch state for a webpages parquet directory."""
+    ds = ray.data.read_parquet(input_dir, columns=["url", "html", "text", "lang"])
+    if concurrency is None:
+        # size the pool from the Ray session's CPUs, NOT os.cpu_count — a
+        # fixed actor pool larger than the cluster blocks waiting for actors
+        avail = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(2, avail - 1)
+    states = ds.map_batches(
+        WebSketchBuilder,
+        fn_constructor_kwargs=state_kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return tree_merge(states, WebSketchState)
+
+
+def query_plants(state: WebSketchState, phrases: list[tuple[str, str]]) -> pd.DataFrame:
+    """CMS estimates for (lang, trigram) probes."""
+    rows = []
+    for lang, phrase in phrases:
+        lang_h = fnv1a64(pa.array([lang]))
+        flat, off = token_hashes(pa.array([phrase]))
+        ng, _ = ngram_hashes(flat, off, 3)
+        key = hash_combine(np.repeat(lang_h, len(ng)), ng)
+        est = int(state.cms.estimate_keys(key[:1])[0])
+        rows.append((lang, phrase, est))
+    return pd.DataFrame(rows, columns=["lang", "phrase", "estimate"])
+
+
+def web_summary(state: WebSketchState) -> dict:
+    return {
+        "rows": state.rows_seen,
+        "distinct_urls_est": float(state.hll.estimate()),
+        "text_len_p50_kll": state.kll.quantile(0.5),
+        "text_len_p99_kll": state.kll.quantile(0.99),
+        "text_len_p50_td": state.tdigest.quantile(0.5),
+        "bloom_fill": state.bloom.fill_ratio(),
+        "cms_inserts": state.cms.n_inserts,
+    }

@@ -24,12 +24,17 @@ from epichypersketch_jl_ray.state.minhash import MinHasher, hamming_distance64, 
 
 
 def test_fnv1a64_reference_vectors():
-    # independently computed FNV-1a 64 reference values
+    # independently computed FNV-1a 64 + splitmix64 finalizer reference values
     def ref(s):
         h = 0xCBF29CE484222325
         for b in s.encode():
             h = ((h ^ b) * 0x100000001B3) % (1 << 64)
-        return h
+        # splitmix64 finalizer (matches functions/hashing.py)
+        m = (1 << 64) - 1
+        z = (h + 0x9E3779B97F4A7C15) & m
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & m
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & m
+        return z ^ (z >> 31)
 
     strings = ["", "a", "hello", "hello world", "x" * 300, "héllo"]
     got = fnv1a64(pa.array(strings))
