@@ -131,15 +131,15 @@ def build_checkpointed(
         done[f] = rec
         launch_next()
 
-    # deterministic merge order: sorted file list
-    merged: MergeableSketch | None = None
+    # deterministic merge order: sorted file list; single k-way merge
+    parts: list[MergeableSketch] = []
     total_rows = 0
     for f in files:
         rec = done[f]
         with open(rec["blob"], "rb") as fh:
-            part = cls.from_bytes(fh.read())
+            parts.append(cls.from_bytes(fh.read()))
         total_rows += rec["rows"]
-        merged = part if merged is None else merged.merge(part)
+    merged = parts[0].merge_many(parts[1:]) if parts else None
     wall = time.monotonic() - t0
     metrics = {
         "partitions": len(files),

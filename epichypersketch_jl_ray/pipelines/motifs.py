@@ -10,11 +10,12 @@ sequence is CMS-counted, then combinations whose estimate >= min_count are
 re-emitted one row per occurrence with summed contribution
 (/root/reference/src/count_cpu_extract.jl:3-37).
 
-Oracle-parity regime: the sketch is sized (epsilon ~ 6.5e-7 → ~4.2M columns,
-10 rows) so that at test scale the probability of ANY estimate exceeding the
-true count is < 1e-7 — estimates then equal exact counts and the DuckDB
-oracle can hash-match the ``estimate`` column. The same pipeline at 100 TB
-uses the reference's default epsilon and tolerates the published
+Oracle-parity regime: the sketch is sized (epsilon ~ 3.24e-7 → ~8.4M columns,
+5 rows) so that at the sf0.01 correctness gate the probability of ANY
+estimate exceeding the true count is < 1e-10 — estimates then equal exact
+counts and the DuckDB oracle can hash-match the ``estimate`` column. The
+same pipeline at 100 TB uses the reference's default delta/epsilon
+(/root/reference/src/EpicHyperSketch.jl:14-16) and tolerates the published
 overcount bound instead.
 """
 
@@ -32,8 +33,8 @@ from epichypersketch_jl_ray.stages.udaf import tree_merge
 from epichypersketch_jl_ray.state.countmin import CountMin
 
 # collision-free-at-test-scale sketch geometry (see module docstring)
-ORACLE_DELTA = 1e-4  # 10 rows
-ORACLE_EPSILON = 6.5e-7  # 4,181,660 cols
+ORACLE_DELTA = 9e-3  # 5 rows
+ORACLE_EPSILON = 3.24e-7  # 8,389,040 cols
 MOTIF_SEED = 20260817
 
 
@@ -58,6 +59,8 @@ def motif_pipeline(
     count!/make_selection! (/root/reference/src/count_gpu_extract.jl:37-53);
     Ray spills blocks to disk if it outgrows the object store.
     """
+    from epichypersketch_jl_ray.stages.motifs import MotifCountState
+
     act = activation.materialize()
     kwargs = dict(
         motif_size=motif_size,
@@ -65,31 +68,20 @@ def motif_pipeline(
         filter_len=filter_len,
         max_active_len=max_active_len,
     )
-    states = act.map_batches(
-        MotifCounter,
-        fn_constructor_kwargs={**kwargs, "delta": delta, "epsilon": epsilon, "seed": seed},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    ).materialize()
-    truncated = states.sum("truncated") or 0
-    merged = tree_merge(states.select_columns(["state"]), CountMin)
-    if truncated:
+    counter = MotifCounter(**kwargs, delta=delta, epsilon=epsilon, seed=seed)
+    states = act.map_batches(counter, batch_format="pyarrow", batch_size=batch_size)
+    merged = tree_merge(states, MotifCountState)
+    if merged.truncated:
         import logging
 
         logging.getLogger(__name__).warning(
             "motif_pipeline: %d sequences truncated to max_active_len=%d",
-            truncated,
+            merged.truncated,
             max_active_len,
         )
-    cms_ref = ray.put(merged)
-    return act.map_batches(
-        MotifSelector,
-        fn_constructor_kwargs={"cms_ref": cms_ref, "min_count": min_count, **kwargs},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    cms_ref = ray.put(merged.cms)
+    selector = MotifSelector(cms_ref, min_count=min_count, **kwargs)
+    return act.map_batches(selector, batch_format="pyarrow", batch_size=batch_size)
 
 
 def lineitem_activation(sf_dir: str, *, conv: bool) -> ray.data.Dataset:

@@ -63,7 +63,10 @@ def make_state(**kwargs) -> WebSketchState:
 
 
 class WebSketchBuilder:
-    """Pass-1 actor: one scan, four sketches, per-batch partial state."""
+    """Pass-1 partial builder: one scan, four sketches, per-batch partial
+    state. Used as a plain callable (stateless map_batches tasks — there is
+    no cross-batch state to amortize, and tasks reuse Ray's warm workers
+    with none of the actor-pool spin-up cost)."""
 
     def __init__(self, **state_kwargs) -> None:
         self.state_kwargs = state_kwargs
@@ -78,24 +81,21 @@ class WebSketchBuilder:
 def build_web_sketches(
     input_dir: str,
     *,
-    batch_size: int = 1024,
+    batch_size: int = 4096,
     concurrency: int | None = None,
     **state_kwargs,
 ) -> WebSketchState:
-    """Build the merged 4-sketch state for a webpages parquet directory."""
+    """Build the merged 4-sketch state for a webpages parquet directory.
+
+    One streaming execution: read_parquet → map_batches(partial, stateless
+    tasks) → one lazy tree-merge level → driver finish. No actor pool (no
+    cross-batch state to amortize) and no mid-pipeline materialization.
+    ``batch_size=None`` uses Ray's native blocks (one partial per block —
+    fewest states); an explicit batch_size bounds per-task memory instead.
+    """
     ds = ray.data.read_parquet(input_dir, columns=["url", "html", "text", "lang"])
-    if concurrency is None:
-        # size the pool from the Ray session's CPUs, NOT os.cpu_count — a
-        # fixed actor pool larger than the cluster blocks waiting for actors
-        avail = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(2, avail - 1)
-    states = ds.map_batches(
-        WebSketchBuilder,
-        fn_constructor_kwargs=state_kwargs,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    builder = WebSketchBuilder(**state_kwargs)
+    states = ds.map_batches(builder, batch_format="pyarrow", batch_size=batch_size)
     return tree_merge(states, WebSketchState)
 
 

@@ -150,14 +150,39 @@ def enumerate_batch(
     return out
 
 
-class MotifCounter:
-    """Pass-1 actor: enumerate + count into a local CMS, emit sparse partial.
+from epichypersketch_jl_ray.state.base import MergeableSketch
 
-    Actor-pool state: the comb_table cache and CMS hash coefficients live for
-    the actor's lifetime (reference Record/`cms.hash_coeffs`,
-    /root/reference/src/record.jl:13-106) — built once in __init__, reused
-    across batches.
-    """
+
+class MotifCountState(MergeableSketch):
+    """Pass-1 partial: the CMS plus the truncated-row counter (surfaced in
+    metrics — truncation is never silent, SURVEY.md §7.4)."""
+
+    __slots__ = ("cms", "truncated")
+
+    def __init__(self, cms: CountMin, truncated: int = 0) -> None:
+        self.cms = cms
+        self.truncated = truncated
+
+    def merge(self, other: "MotifCountState") -> "MotifCountState":
+        self.cms.merge(other.cms)
+        self.truncated += other.truncated
+        return self
+
+    def merge_many(self, others: list["MotifCountState"]) -> "MotifCountState":
+        self.cms.merge_many([o.cms for o in others])
+        self.truncated += sum(o.truncated for o in others)
+        return self
+
+    def _state_arrays(self) -> tuple:
+        return (("truncated", self.truncated), ("cms", self.cms.digest()))
+
+
+class MotifCounter:
+    """Pass-1 partial builder: enumerate + count into a local CMS, emit a
+    sparse partial per batch. Used as a stateless map_batches callable; the
+    comb_table cache is module-level (lru_cache) so it persists per worker
+    process across batches (reference Record combs,
+    /root/reference/src/record.jl:13-106)."""
 
     def __init__(
         self,
@@ -187,20 +212,17 @@ class MotifCounter:
         )
         cms = CountMin(self.hash_width, **self.cms_args)
         cms.add(enum["hash_mat"])
-        return pa.table(
-            {
-                "state": pa.array([cms.to_bytes()], type=pa.large_binary()),
-                "truncated": pa.array([enum["truncated"]], type=pa.int64()),
-            }
-        )
+        state = MotifCountState(cms, enum["truncated"])
+        return pa.table({"state": pa.array([state.to_bytes()], type=pa.large_binary())})
 
 
 class MotifSelector:
-    """Pass-2 actor: re-enumerate, query the broadcast merged CMS, emit one
-    output row per (selected combination, sequence).
+    """Pass-2: re-enumerate, query the broadcast merged CMS, emit one output
+    row per (selected combination, sequence).
 
-    The merged sketch is shipped as a ray.put object ref and fetched ONCE per
-    actor in __init__ — broadcast, not per-batch reshipping.
+    The merged sketch ships as a ray.put object ref captured in the callable;
+    ``ray.get`` per call is a zero-copy plasma read (numpy buffers are
+    mmapped), i.e. broadcast — never per-batch reshipping.
     """
 
     def __init__(
@@ -213,11 +235,7 @@ class MotifSelector:
         filter_len: int = 0,
         max_active_len: int = 64,
     ) -> None:
-        import ray
-
-        self.cms: CountMin = (
-            ray.get(cms_ref) if not isinstance(cms_ref, CountMin) else cms_ref
-        )
+        self.cms_ref = cms_ref
         self.k = motif_size
         self.min_count = min_count
         self.conv = conv
@@ -225,6 +243,11 @@ class MotifSelector:
         self.max_active_len = max_active_len
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        cms: CountMin = (
+            ray.get(self.cms_ref) if not isinstance(self.cms_ref, CountMin) else self.cms_ref
+        )
         k = self.k
         enum = enumerate_batch(
             batch,
@@ -233,7 +256,7 @@ class MotifSelector:
             filter_len=self.filter_len,
             max_active_len=self.max_active_len,
         )
-        est = self.cms.estimate(enum["hash_mat"]) if len(enum["hash_mat"]) else np.empty(0, np.int64)
+        est = cms.estimate(enum["hash_mat"]) if len(enum["hash_mat"]) else np.empty(0, np.int64)
         sel = est >= self.min_count
         cols: dict[str, pa.Array] = {}
         fm = enum["feat_mat"][sel]

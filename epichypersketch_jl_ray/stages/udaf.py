@@ -22,9 +22,51 @@ from typing import Callable
 
 import pyarrow as pa
 
+from ray.data.aggregate import AggregateFnV2
+
 from epichypersketch_jl_ray.state.base import MergeableSketch
 
 STATE_SCHEMA = pa.schema([("state", pa.large_binary())])
+
+
+class SketchAggregate(AggregateFnV2):
+    """Ray-Data-native mergeable-sketch UDAF: one streaming execution does
+    per-block partial build (aggregate_block) + hierarchical combine — the
+    preferred path when no separate per-batch transform stage is needed.
+    The accumulator is the sketch object itself (picklable)."""
+
+    def __init__(
+        self,
+        factory: Callable[[], MergeableSketch],
+        update: Callable[[MergeableSketch, pa.Table], None],
+        name: str = "sketch",
+    ) -> None:
+        super().__init__(name, zero_factory=lambda: None, on=None, ignore_nulls=True)
+        self._factory = factory
+        self._update = update
+
+    def aggregate_block(self, block: pa.Table):
+        sk = self._factory()
+        self._update(sk, block)
+        return sk
+
+    def combine(self, a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return a.merge(b)
+
+
+def aggregate_sketch(
+    ds,
+    factory: Callable[[], MergeableSketch],
+    update: Callable[[MergeableSketch, pa.Table], None],
+) -> MergeableSketch:
+    """dataset → merged sketch in ONE streaming execution (no actor pool, no
+    intermediate materialization)."""
+    out = ds.aggregate(SketchAggregate(factory, update))
+    return out["sketch"]
 
 
 def make_partial_fn(
@@ -48,8 +90,7 @@ def make_merge_fn(cls: type[MergeableSketch]):
     def merge_states(batch: pa.Table) -> pa.Table:
         col = batch["state"]
         acc = cls.from_bytes(col[0].as_py())
-        for i in range(1, len(col)):
-            acc.merge(cls.from_bytes(col[i].as_py()))
+        acc.merge_many([cls.from_bytes(col[i].as_py()) for i in range(1, len(col))])
         return pa.table({"state": pa.array([acc.to_bytes()], type=pa.large_binary())})
 
     return merge_states
@@ -60,28 +101,27 @@ def tree_merge(
     cls: type[MergeableSketch],
     *,
     fanout: int = 8,
-    driver_threshold: int = 64,
+    levels: int = 0,
 ) -> MergeableSketch:
     """Merge a Dataset of serialized partial states into one sketch.
 
-    Runs log_fanout levels of map_batches merges while the state count
-    exceeds ``driver_threshold``; the final (small) remainder merges on the
-    driver. Each level materializes — legitimate, the states are small.
+    Chains ``levels`` lazy map_batches merge stages (each reduces the state
+    count by ``fanout``×) onto the pipeline — still ONE streaming execution,
+    no mid-pipeline materialization — then finishes the remainder with one
+    k-way merge_many on the driver. ``levels=0`` (driver-only k-way) is
+    fastest up to a few hundred partials; a 100 TB run with millions of
+    blocks passes ``levels=ceil(log_fanout(blocks/few-hundred))`` so state
+    traffic stays off the driver.
     """
-    states = states_ds.materialize()
-    n = states.count()
-    if n == 0:
-        raise ValueError("no partial states to merge (empty input dataset?)")
     merge_fn = make_merge_fn(cls)
-    while n > driver_threshold:
-        states = states.map_batches(
-            merge_fn, batch_format="pyarrow", batch_size=fanout
-        ).materialize()
-        n = states.count()
+    states = states_ds
+    for _ in range(max(levels, 0)):
+        states = states.map_batches(merge_fn, batch_format="pyarrow", batch_size=fanout)
     rows = states.take_all()
+    if not rows:
+        raise ValueError("no partial states to merge (empty input dataset?)")
     acc = cls.from_bytes(rows[0]["state"])
-    for r in rows[1:]:
-        acc.merge(cls.from_bytes(r["state"]))
+    acc.merge_many([cls.from_bytes(r["state"]) for r in rows[1:]])
     return acc
 
 

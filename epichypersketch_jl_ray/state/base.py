@@ -34,6 +34,15 @@ class MergeableSketch(ABC):
     def merge(self, other: "MergeableSketch") -> "MergeableSketch":
         """Merge ``other`` into ``self`` (in place) and return ``self``."""
 
+    def merge_many(self, others: list["MergeableSketch"]) -> "MergeableSketch":
+        """k-way merge. Default is sequential pairwise; implementations with
+        concat-and-sort state (CountMin COO) override with a single-pass
+        merge — pairwise merging of B partials is O(B·N log N), one k-way
+        pass is O(ΣN log ΣN)."""
+        for o in others:
+            self.merge(o)
+        return self
+
     @abstractmethod
     def _state_arrays(self) -> tuple:
         """Canonical tuple of (name, ndarray-or-scalar) pairs defining state.

@@ -172,6 +172,12 @@ class CountMin(MergeableSketch):
             d = self.dense.ravel()
             np.add.at(d, flat_ids, 1 if weights is None else weights)
             return
+        if self.num_counters <= (1 << 24):
+            # O(num_counters) bincount beats O(n log n) sort for small sketches
+            counts = np.bincount(flat_ids, weights=weights, minlength=self.num_counters)
+            nz = np.flatnonzero(counts)
+            self._merge_coo(nz.astype(np.int64), counts[nz].astype(np.int64))
+            return
         order = np.argsort(flat_ids, kind="stable")
         sid = flat_ids[order]
         uniq, start = np.unique(sid, return_index=True)
@@ -179,7 +185,7 @@ class CountMin(MergeableSketch):
             cnt = np.diff(np.append(start, len(sid))).astype(np.int64)
         else:
             cs = np.concatenate(([0], np.cumsum(weights[order])))
-            cnt = cs[np.append(start[1:], len(sid))] - cs[start]
+            cnt = (cs[np.append(start[1:], len(sid))] - cs[start]).astype(np.int64)
         self._merge_coo(uniq, cnt)
 
     def _merge_coo(self, ids: np.ndarray, counts: np.ndarray) -> None:
@@ -226,6 +232,36 @@ class CountMin(MergeableSketch):
                 np.add.at(self.dense.ravel(), other.ids, other.counts)
         else:
             self._merge_coo(other.ids.copy(), other.counts.copy())
+        return self
+
+    def merge_many(self, others: list["CountMin"]) -> "CountMin":
+        for o in others:
+            if (self.rows, self.cols, self.hash_width, self.seed) != (
+                o.rows,
+                o.cols,
+                o.hash_width,
+                o.seed,
+            ):
+                raise ValueError("cannot merge CountMin sketches with different geometry/seed")
+            self.n_inserts += o.n_inserts
+        if self.dense is not None or any(o.dense is not None for o in others):
+            self.densify()
+            d = self.dense.ravel()
+            for o in others:
+                if o.dense is not None:
+                    d += o.dense.ravel()
+                else:
+                    np.add.at(d, o.ids, o.counts)
+            return self
+        all_ids = np.concatenate([self.ids] + [o.ids for o in others])
+        all_cts = np.concatenate([self.counts] + [o.counts for o in others])
+        order = np.argsort(all_ids, kind="stable")
+        sid, sct = all_ids[order], all_cts[order]
+        starts = np.flatnonzero(np.diff(sid, prepend=sid[0] - 1)) if len(sid) else np.empty(0, np.int64)
+        self.ids = sid[starts]
+        self.counts = np.add.reduceat(sct, starts) if len(sid) else sct
+        if len(self.ids) > self.num_counters // 2:
+            self.densify()
         return self
 
     def lookup_flat(self, flat_ids: np.ndarray) -> np.ndarray:

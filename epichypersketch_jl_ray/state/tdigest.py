@@ -32,14 +32,6 @@ class TDigest(MergeableSketch):
         self._min = np.inf
         self._max = -np.inf
 
-    # --- scale function (k1) ----------------------------------------------
-
-    def _q_limit(self, q: float) -> float:
-        """Next cluster-boundary quantile after q under the k1 scale function."""
-        d = self.compression
-        k = d / (2.0 * np.pi) * np.arcsin(2.0 * q - 1.0)
-        return 0.5 * (np.sin(2.0 * np.pi * (k + 1.0) / d) + 1.0)
-
     def _compress(self) -> None:
         if self._buf:
             bv = np.concatenate(self._buf)
@@ -53,24 +45,18 @@ class TDigest(MergeableSketch):
         order = np.argsort(m, kind="stable")
         m, w = m[order], w[order]
         total = w.sum()
-        out_m, out_w = [], []
-        cur_m, cur_w = m[0], w[0]
-        w_so_far = 0.0
-        limit = self._q_limit(0.0) * total
-        for i in range(1, len(m)):
-            if cur_w + w[i] <= limit - w_so_far:
-                cur_w += w[i]
-                cur_m += (m[i] - cur_m) * w[i] / cur_w
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                w_so_far += cur_w
-                limit = self._q_limit(w_so_far / total) * total
-                cur_m, cur_w = m[i], w[i]
-        out_m.append(cur_m)
-        out_w.append(cur_w)
-        self.means = np.asarray(out_m)
-        self.weights = np.asarray(out_w)
+        # vectorized k1-scale binning (Dunning's merging digest): cluster i
+        # holds the points whose left-edge quantile maps to integer bin
+        # floor(k1(q)); guarantees <= ~delta clusters with the k1 size bound.
+        d = self.compression
+        q_left = (np.cumsum(w) - w) / total
+        k = d / (2.0 * np.pi) * (np.arcsin(np.clip(2.0 * q_left - 1.0, -1.0, 1.0)) + np.pi / 2.0)
+        kidx = np.floor(k).astype(np.int64)
+        starts = np.flatnonzero(np.diff(kidx, prepend=kidx[0] - 1))
+        sum_w = np.add.reduceat(w, starts)
+        sum_wm = np.add.reduceat(w * m, starts)
+        self.means = sum_wm / sum_w
+        self.weights = sum_w
         self.n = float(total)
 
     # --- updates -----------------------------------------------------------

@@ -66,6 +66,16 @@ class WebSketchState(MergeableSketch):
         self.rows_seen += other.rows_seen
         return self
 
+    def merge_many(self, others: list["WebSketchState"]) -> "WebSketchState":
+        self.cms.merge_many([o.cms for o in others])
+        self.bloom.merge_many([o.bloom for o in others])
+        for o in others:
+            self.hll.merge(o.hll)
+            self.kll.merge(o.kll)
+            self.tdigest.merge(o.tdigest)
+            self.rows_seen += o.rows_seen
+        return self
+
     def _state_arrays(self) -> tuple:
         out = [("rows_seen", self.rows_seen)]
         for name in ("cms", "hll", "kll", "bloom"):
