@@ -3,18 +3,20 @@
 checkpoint row).
 
 Unit of work = one input parquet file ("partition"). Each partition's partial
-sketch is computed by a raw Ray task (the one place the Dataset API genuinely
-can't express the semantics: skip-finished-partitions resume needs explicit
-per-partition identity), written to ``<ckpt>/part-<name>.bin`` with a JSONL
-manifest line:
+sketch is computed AND written by a raw Ray task (the one place the Dataset
+API genuinely can't express the semantics: skip-finished-partitions resume
+needs explicit per-partition identity), as ``<ckpt>/part-<name>.bin`` via an
+atomic tmp+rename; the driver appends a JSONL manifest line per finished
+partition:
 
-    {"file": ..., "rows": n, "wall_s": t, "digest": sha, "attempt": k}
+    {"file": ..., "blob": ..., "rows": n, "wall_s": t, "digest": sha, "attempt": k}
 
-Blob writes are atomic (tmp + os.replace) and the manifest line is appended
-only after the blob is durable, so a killed run resumes exactly: finished
-partitions are skipped, their blobs merged with the fresh ones. Merge order
-is the sorted file list — deterministic — so an interrupted+resumed run's
-final state is byte-identical to an uninterrupted one for the exactly-
+Crash safety without per-blob fsync: on resume every manifest entry's blob is
+re-validated against its recorded content digest — a torn or missing blob
+just means that partition is recomputed. Merge order is the sorted file list
+(deterministic), executed as a parallel tree (Ray merge tasks over blob
+groups, then one k-way merge_many on the driver), so an interrupted+resumed
+run's final state is byte-identical to an uninterrupted one for the exactly-
 mergeable sketches (CMS/HLL/Bloom) and answer-equivalent for KLL/t-digest.
 """
 
@@ -31,7 +33,12 @@ from epichypersketch_jl_ray.state.base import MergeableSketch
 
 
 @ray.remote
-def _partition_task(path: str, make_partial: Callable, batch_size: int) -> tuple[bytes, int, float]:
+def _partition_task(
+    path: str, make_partial: Callable, batch_size: int, blob_path: str
+) -> tuple[int, float, str]:
+    """Compute one partition's partial sketch and write its blob atomically.
+    Returns (rows, wall_s, digest)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     t0 = time.monotonic()
@@ -39,15 +46,28 @@ def _partition_task(path: str, make_partial: Callable, batch_size: int) -> tuple
     state = None
     rows = 0
     for batch in pf.iter_batches(batch_size=batch_size):
-        import pyarrow as pa
-
         tbl = pa.Table.from_batches([batch])
         part = make_partial(tbl)
         rows += len(tbl)
         state = part if state is None else state.merge(part)
     if state is None:
         raise ValueError(f"empty partition {path}")
-    return state.to_bytes(), rows, time.monotonic() - t0
+    tmp = blob_path + f".tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        fh.write(state.to_bytes())
+    os.replace(tmp, blob_path)
+    return rows, time.monotonic() - t0, state.digest()
+
+
+def _read_blob(cls: type[MergeableSketch], path: str) -> MergeableSketch:
+    with open(path, "rb") as fh:
+        return cls.from_bytes(fh.read())
+
+
+@ray.remote
+def _merge_blobs_task(cls: type[MergeableSketch], paths: list[str]) -> bytes:
+    parts = [_read_blob(cls, p) for p in paths]
+    return parts[0].merge_many(parts[1:]).to_bytes()
 
 
 def _manifest_path(ckpt_dir: str) -> str:
@@ -67,14 +87,24 @@ def read_manifest(ckpt_dir: str) -> dict[str, dict]:
     return done
 
 
+def _validate(cls: type[MergeableSketch], rec: dict) -> bool:
+    """A manifest entry is usable iff its blob exists and matches the digest
+    recorded at write time (crash-safety without fsync)."""
+    try:
+        return _read_blob(cls, rec["blob"]).digest() == rec["digest"]
+    except Exception:
+        return False
+
+
 def build_checkpointed(
     input_files: list[str],
     make_partial: Callable[["object"], MergeableSketch],
     cls: type[MergeableSketch],
     ckpt_dir: str,
     *,
-    batch_size: int = 2048,
-    max_in_flight: int = 32,
+    batch_size: int = 8192,
+    max_in_flight: int = 64,
+    merge_fanout: int = 16,
 ) -> tuple[MergeableSketch, dict]:
     """Build (or resume) a sketch over parquet files with per-file checkpoints.
 
@@ -83,62 +113,64 @@ def build_checkpointed(
     """
     os.makedirs(ckpt_dir, exist_ok=True)
     files = sorted(input_files)
-    done = read_manifest(ckpt_dir)
+    done = {f: r for f, r in read_manifest(ckpt_dir).items() if _validate(cls, r)}
     todo = [f for f in files if f not in done]
     t0 = time.monotonic()
     fn_ref = ray.put(make_partial)
 
     pending: dict = {}
-    results: dict[str, tuple[str, int, float, int]] = {}
     it = iter(todo)
 
-    def launch_next():
+    def launch_next() -> bool:
         try:
             f = next(it)
         except StopIteration:
             return False
-        pending[_partition_task.remote(f, fn_ref, batch_size)] = f
+        blob = os.path.join(ckpt_dir, f"part-{os.path.basename(f)}.bin")
+        pending[_partition_task.remote(f, fn_ref, batch_size, blob)] = (f, blob)
         return True
 
     for _ in range(max_in_flight):
         if not launch_next():
             break
-    while pending:
-        ready, _ = ray.wait(list(pending), num_returns=1)
-        ref = ready[0]
-        f = pending.pop(ref)
-        blob, rows, wall = ray.get(ref)
-        blob_path = os.path.join(ckpt_dir, f"part-{os.path.basename(f)}.bin")
-        tmp = blob_path + ".tmp"
-        with open(tmp, "wb") as fh:
-            fh.write(blob)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, blob_path)
-        attempt = done.get(f, {}).get("attempt", 0) + 1
-        rec = {
-            "file": f,
-            "blob": blob_path,
-            "rows": rows,
-            "wall_s": round(wall, 4),
-            "digest": cls.from_bytes(blob).digest(),
-            "attempt": attempt,
-        }
-        with open(_manifest_path(ckpt_dir), "a") as fh:
-            fh.write(json.dumps(rec) + "\n")
-            fh.flush()
-            os.fsync(fh.fileno())
-        done[f] = rec
-        launch_next()
+    manifest_fh = open(_manifest_path(ckpt_dir), "a")
+    try:
+        while pending:
+            ready, _ = ray.wait(
+                list(pending), num_returns=min(8, len(pending)), timeout=None
+            )
+            results = ray.get(ready)
+            lines = []
+            for ref, (rows, wall, digest) in zip(ready, results):
+                f, blob = pending.pop(ref)
+                rec = {
+                    "file": f,
+                    "blob": blob,
+                    "rows": rows,
+                    "wall_s": round(wall, 4),
+                    "digest": digest,
+                    "attempt": done.get(f, {}).get("attempt", 0) + 1,
+                }
+                lines.append(json.dumps(rec))
+                done[f] = rec
+                launch_next()
+            manifest_fh.write("\n".join(lines) + "\n")
+            manifest_fh.flush()
+    finally:
+        manifest_fh.close()
 
-    # deterministic merge order: sorted file list; single k-way merge
-    parts: list[MergeableSketch] = []
-    total_rows = 0
-    for f in files:
-        rec = done[f]
-        with open(rec["blob"], "rb") as fh:
-            parts.append(cls.from_bytes(fh.read()))
-        total_rows += rec["rows"]
+    # deterministic merge order: sorted file list; parallel tree merge of
+    # blob groups via Ray tasks, then one k-way merge_many on the driver
+    total_rows = sum(done[f]["rows"] for f in files)
+    blob_paths = [done[f]["blob"] for f in files]
+    if len(blob_paths) > merge_fanout:
+        groups = [
+            blob_paths[i : i + merge_fanout] for i in range(0, len(blob_paths), merge_fanout)
+        ]
+        refs = [_merge_blobs_task.remote(cls, g) for g in groups]
+        parts = [cls.from_bytes(b) for b in ray.get(refs)]
+    else:
+        parts = [_read_blob(cls, p) for p in blob_paths]
     merged = parts[0].merge_many(parts[1:]) if parts else None
     wall = time.monotonic() - t0
     metrics = {

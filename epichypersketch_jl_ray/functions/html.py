@@ -49,26 +49,14 @@ def extract_text(html: pa.Array | pa.ChunkedArray) -> pa.Array:
     ok_suffix = pc.ends_with(s, _SUFFIX)
     if not (pc.all(ok_prefix).as_py() and pc.all(ok_suffix).as_py()):
         raise ValueError("html does not match the fixture template")
-    mid = np.asarray(pc.find_substring(s, _MID))
-    if (mid < 0).any():
+    # split on the (unique) body marker, then drop the fixed-length suffix —
+    # both are vectorized Arrow C++ kernels (no per-byte index arrays).
+    # The marker cannot occur inside fixture text (tokens never contain '<').
+    parts = pc.split_pattern(s, pattern=_MID, max_splits=1)
+    if not pc.all(pc.equal(pc.list_value_length(parts), 2)).as_py():
         raise ValueError("html missing body marker")
-    # vectorized per-row byte slice: gather [start, stop) bytes of each row
-    from epichypersketch_jl_ray.functions.hashing import _string_buffers
-
-    offsets, values = _string_buffers(s)
-    starts = offsets[:-1] + mid + len(_MID)
-    stops = offsets[1:] - len(_SUFFIX)
-    out_len = np.maximum(stops - starts, 0)
-    out_off = np.concatenate(([0], np.cumsum(out_len)))
-    total = int(out_off[-1])
-    row_ids = np.repeat(np.arange(len(out_len)), out_len)
-    idx = starts[row_ids] + (np.arange(total) - np.repeat(out_off[:-1], out_len))
-    out_values = values[idx] if total else np.empty(0, dtype=np.uint8)
-    return pa.StringArray.from_buffers(
-        len(out_len),
-        pa.py_buffer(out_off.astype(np.int32).tobytes()),
-        pa.py_buffer(out_values.tobytes()),
-    )
+    tail = pc.list_element(parts, 1)
+    return pc.utf8_slice_codeunits(tail, start=0, stop=-len(_SUFFIX))
 
 
 def extract_text_generic(html: pa.Array) -> pa.Array:

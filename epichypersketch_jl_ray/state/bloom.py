@@ -59,7 +59,14 @@ class BloomFilter(MergeableSketch):
         return self
 
     def _set_bits(self, pos: np.ndarray) -> None:
-        np.bitwise_or.at(self.bits, pos >> 3, (np.uint8(1) << (pos & 7).astype(np.uint8)))
+        if len(pos) > self.m // 256:
+            # bulk path: bool scatter + packbits is O(m/8) sequential writes,
+            # far faster than ufunc.at's per-element dispatch on large inputs
+            bb = np.zeros(self.m, dtype=bool)
+            bb[pos] = True
+            np.bitwise_or(self.bits, np.packbits(bb, bitorder="little"), out=self.bits)
+        else:
+            np.bitwise_or.at(self.bits, pos >> 3, (np.uint8(1) << (pos & 7).astype(np.uint8)))
 
     def _add_positions(self, pos: np.ndarray) -> None:
         if self.bits is not None:
@@ -135,7 +142,7 @@ class BloomFilter(MergeableSketch):
         if self.bits is not None:
             bits = self.bits
         else:
-            bits = np.zeros((self.m + 7) // 8, dtype=np.uint8)
-            pos = self.positions
-            np.bitwise_or.at(bits, pos >> 3, (np.uint8(1) << (pos & 7).astype(np.uint8)))
+            bb = np.zeros(self.m, dtype=bool)
+            bb[self.positions] = True
+            bits = np.packbits(bb, bitorder="little")
         return (("geom", (self.m, self.k, self.seed)), ("bits", bits))

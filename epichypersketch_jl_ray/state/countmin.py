@@ -149,8 +149,17 @@ class CountMin(MergeableSketch):
         return self._add_cols(self.hash_columns(features), weights)
 
     def add_keys(self, keys: np.ndarray, weights: np.ndarray | None = None) -> "CountMin":
-        """Count pre-hashed uint64 keys (per-row independent hashing)."""
-        return self._add_cols(self.key_columns(keys), weights)
+        """Count pre-hashed uint64 keys (per-row independent hashing).
+
+        Large unweighted batches are deduped first (unique + counts as
+        weights): hashing each DISTINCT key once instead of each occurrence
+        cuts per-batch memory traffic by the mean multiplicity.
+        """
+        k = np.asarray(keys, dtype=np.uint64)
+        if weights is None and len(k) > 4096:
+            uniq, counts = np.unique(k, return_counts=True)
+            return self._add_cols(self.key_columns(uniq), counts.astype(np.int64))
+        return self._add_cols(self.key_columns(k), weights)
 
     def _add_cols(self, cols: np.ndarray, weights: np.ndarray | None) -> "CountMin":
         n = cols.shape[0]
