@@ -1,0 +1,118 @@
+"""Memory estimation (reference test_memory_management.jl analogues),
+length-bucket partitioning (test_partitioning.jl:8-87 analogues), config
+validation (test_config_errors.jl analogue), parquet sink round-trip."""
+
+import numpy as np
+import pytest
+
+from epichypersketch_jl_ray.config import SketchConfig
+from epichypersketch_jl_ray.errors import InvalidConfigurationError
+from epichypersketch_jl_ray.memory import (
+    MAX_BATCH,
+    MIN_BATCH,
+    calculate_optimal_batch_size,
+    estimate_bytes_per_point,
+    estimate_fixed_bytes,
+)
+
+
+class TestMemory:
+    def test_per_point_monotone_in_length(self):
+        a = estimate_bytes_per_point(10, 3)
+        b = estimate_bytes_per_point(40, 3)
+        assert b > a > 0
+
+    def test_conv_costs_more(self):
+        assert estimate_bytes_per_point(20, 3, conv=True) > estimate_bytes_per_point(20, 3)
+
+    def test_fixed_bytes_geometry(self):
+        # 10 rows x 54366 cols x 8B + coeffs (reference defaults)
+        fixed = estimate_fixed_bytes(1e-4, 5e-5, 3)
+        assert fixed == 10 * 54366 * 8 + 10 * 3 * 8
+
+    def test_batch_size_clamps(self):
+        # tiny budget -> clamped to MIN_BATCH; huge budget -> MAX_BATCH
+        small = calculate_optimal_batch_size(60, 3, budget_bytes=20 * 1024 * 1024)
+        assert small == MIN_BATCH
+        big = calculate_optimal_batch_size(5, 3, budget_bytes=64 * 1024**3)
+        assert big == MAX_BATCH
+
+    def test_insufficient_budget_raises(self):
+        # fixed sketch alone exceeds the budget
+        # (/root/reference/test/test_memory_management.jl:137-142)
+        with pytest.raises(InvalidConfigurationError):
+            calculate_optimal_batch_size(20, 3, budget_bytes=1024 * 1024)
+
+
+class TestConfig:
+    def test_validation_errors(self):
+        # reference InvalidConfigurationError cases
+        # (/root/reference/test/test_config_errors.jl:6-17)
+        with pytest.raises(ValueError):
+            SketchConfig(delta=0.0)
+        with pytest.raises(ValueError):
+            SketchConfig(epsilon=1.5)
+        with pytest.raises(ValueError):
+            SketchConfig(min_count=0)
+        with pytest.raises(ValueError):
+            SketchConfig(batch_size=0)
+
+
+class TestPartition:
+    @pytest.fixture(scope="class")
+    def act(self, ray_session):
+        from epichypersketch_jl_ray.api import activation_table_from_dict
+        import ray.data
+
+        rng = np.random.default_rng(1)
+        d = {}
+        for i in range(50):
+            d[i] = [(int(f), 1.0) for f in rng.integers(1, 50, size=rng.integers(5, 11))]
+        for i in range(50, 100):
+            d[i] = [(int(f), 1.0) for f in rng.integers(1, 50, size=rng.integers(25, 36))]
+        for i in range(100, 150):
+            d[i] = [(int(f), 1.0) for f in rng.integers(1, 50, size=rng.integers(50, 61))]
+        tbl, _ = activation_table_from_dict(d)
+        return ray.data.from_arrow(tbl), d
+
+    def test_buckets_disjoint_and_complete(self, act):
+        from epichypersketch_jl_ray.sources.partition import add_length_bucket
+
+        ds, d = act
+        out = add_length_bucket(ds, width=10).take_all()
+        assert len(out) == len(d)  # every key accounted for
+        for row in out:
+            n = len(row["features"])
+            # bucket must contain the row's own length range
+            assert row["len_bucket"] == (n - 5) // 10  # min length is 5
+
+    def test_partition_stats(self, act):
+        from epichypersketch_jl_ray.sources.partition import partition_stats
+
+        ds, d = act
+        stats = partition_stats(ds, width=10)
+        assert sum(s["rows"] for s in stats) == len(d)
+        for s in stats:
+            assert s["min_len"] <= s["max_len"]
+
+    def test_invalid_width(self, act):
+        from epichypersketch_jl_ray.sources.partition import add_length_bucket
+
+        with pytest.raises(ValueError):
+            add_length_bucket(act[0], width=0)
+
+
+def test_parquet_sink_round_trip(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from epichypersketch_jl_ray.sources.sinks import write_partitioned
+
+    ds = ray.data.range(1000)
+    out = write_partitioned(ds, str(tmp_path / "out"))
+    import glob
+
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) >= 1
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert total == 1000
