@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ann,
         dedup,
         motifs,
+        multimodal,
         ngrams,
         relational,
         sketches,
@@ -51,8 +52,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
+        "dedup_embedding": dedup.dedup_embedding,
         # similarity search
         "ann_cosine_topk": ann.ann_cosine_topk,
+        "ann_lsh_topk": ann.ann_lsh_topk,
+        # multimodal (stubbed decode, real plumbing)
+        "image_features": multimodal.image_features,
         # text analysis
         "doc_stats": textstats.doc_stats,
         "lang_predict": textstats.lang_predict,
@@ -85,6 +90,7 @@ def oracle_sql() -> dict[str, str]:
         "user_membership_bloom": sketches.user_membership_bloom_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh_sql(),
+        "dedup_embedding": dedup.dedup_embedding_sql(),
         "ann_cosine_topk": ann.ann_cosine_topk_sql(),
         "doc_stats": textstats.doc_stats_sql(),
         "pricing_summary": relational.pricing_summary_sql(),

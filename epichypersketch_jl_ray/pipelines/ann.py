@@ -37,6 +37,62 @@ def ann_cosine_topk(sf_dir: str, *, k: int = TOP_K) -> pd.DataFrame:
     return final_topk(cands, k=k)
 
 
+def ann_lsh_topk(sf_dir: str, *, k: int = TOP_K, bits: int = 6) -> pd.DataFrame:
+    """LSH-bucketed approximate top-k (the 100 TB scale path): candidates are
+    restricted to rows whose hyperplane sign-signature is within hamming
+    distance 1 of the query's bucket, then ranked exactly. Approximate recall
+    — no SQL oracle (rows-only check; recall asserted vs brute force in
+    pytest)."""
+    from epichypersketch_jl_ray.stages.ann import LSHBuckets
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    probe_rows = ds.filter(expr=f"vec_id < {N_QUERIES}").take_all()
+    probe_tbl = pa.Table.from_pylist(probe_rows)
+    q = _embedding_matrix(probe_tbl, "embedding")
+    q_ids = probe_tbl["vec_id"].to_numpy().astype(np.int64)
+    lsh = LSHBuckets(q.shape[1], bits=bits)
+    q_buckets = lsh.bucket_of(q)
+    # multi-probe: query bucket plus all hamming-1 neighbours
+    probes = {int(b) for b in q_buckets}
+    for b in list(probes):
+        for j in range(bits):
+            probes.add(b ^ (1 << j))
+    probes_ref = ray.put((q_ids, q, np.array(sorted(probes), dtype=np.int64)))
+
+    def bucket_filter_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = _embedding_matrix(batch, "embedding")
+        qids, qmat, probe_buckets = ray.get(probes_ref)
+        lsh_local = LSHBuckets(e.shape[1], bits=bits)
+        buckets = lsh_local.bucket_of(e)
+        mask = np.isin(buckets, probe_buckets)
+        if not mask.any():
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        e, ids = e[mask], ids[mask]
+        norms = np.linalg.norm(e, axis=1, keepdims=True)
+        e = e / np.where(norms == 0, 1, norms)
+        qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        sims = qn @ e.T
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(qids, kk), pa.int64()),
+                "neighbor_id": pa.array(ids[part].ravel(), pa.int64()),
+                "sim": pa.array(np.take_along_axis(sims, part, axis=1).ravel(), pa.float64()),
+            }
+        )
+
+    cands = ds.map_batches(bucket_filter_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    return final_topk(cands, k=k)
+
+
 def ann_cosine_topk_sql(k: int = TOP_K) -> str:
     return f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),

@@ -125,6 +125,58 @@ SELECT da AS doc_a, db AS doc_b, jac AS jaccard FROM j WHERE jac >= {threshold}
 """
 
 
+def dedup_embedding(sf_dir: str, *, threshold: float = 0.45) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs over the embeddings table.
+
+    Brute-force blocked float64 matmul (one block vs the broadcast full
+    matrix per batch) — exact, so the DuckDB list_cosine_similarity oracle
+    hash-matches. At cluster scale the same stage runs after LSH bucketing
+    (random hyperplane signs) to prune candidate blocks.
+    """
+    import ray as _ray
+
+    from epichypersketch_jl_ray.stages.ann import _embedding_matrix
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # broadcast the full (normalized) matrix once
+    full = ds.materialize()
+    rows = full.take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat_n = mat / np.where(norms == 0, 1, norms)
+    ref = _ray.put((ids, mat_n))
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        bid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = _embedding_matrix(batch, "embedding")
+        n = np.linalg.norm(e, axis=1, keepdims=True)
+        e = e / np.where(n == 0, 1, n)
+        aids, amat = _ray.get(ref)
+        sims = e @ amat.T  # (nb, N)
+        ii, jj = np.nonzero(sims >= threshold)
+        keep = bid[ii] < aids[jj]  # each unordered pair once
+        return pa.table(
+            {
+                "vec_a": pa.array(bid[ii][keep], pa.int64()),
+                "vec_b": pa.array(aids[jj][keep], pa.int64()),
+                "cosine": pa.array(np.round(sims[ii, jj][keep], 12), pa.float64()),
+            }
+        )
+
+    out = full.map_batches(block_pairs, batch_format="pyarrow", batch_size=1024).to_pandas()
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def dedup_embedding_sql(threshold: float = 0.45) -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 12) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {threshold}
+"""
+
+
 def dedup_simhash(sf_dir: str, *, max_hamming: int = 3) -> pd.DataFrame:
     """Near-dup pairs via SimHash 4x16-bit pigeonhole banding — exact for
     hamming <= 3*16/..: any pair within hamming 3 shares a chunk. Rows-only

@@ -54,6 +54,24 @@ class BruteForceTopK:
         )
 
 
+class LSHBuckets:
+    """Random-hyperplane LSH bucketing (the scale path: prune candidates to
+    matching sign-signature buckets before the exact matmul). Hyperplanes are
+    seeded so every worker derives identical buckets."""
+
+    def __init__(self, dim: int, *, bits: int = 8, seed: int = 31) -> None:
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, bits))
+        self.bits = bits
+
+    def bucket_of(self, mat: np.ndarray) -> np.ndarray:
+        signs = (mat @ self.planes) > 0
+        out = np.zeros(len(mat), dtype=np.int64)
+        for b in range(self.bits):
+            out |= signs[:, b].astype(np.int64) << b
+        return out
+
+
 def final_topk(candidates, k: int = 10) -> "np.ndarray":
     """Driver-side merge of per-batch candidates: per query, top-k by
     (sim desc, neighbor_id asc). Input: pandas DataFrame."""

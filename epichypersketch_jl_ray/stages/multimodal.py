@@ -1,0 +1,111 @@
+"""Multimodal (image/audio/video) stages: opaque ``binary`` payload columns
+with typed metadata, processed by actor-pool map_batches stages.
+
+The decode step is STUBBED (no image/audio libraries in this container) —
+``DecodeImage`` documents the real seam (a PIL/torchvision decode loaded once
+per actor) and raises NotImplementedError unless ``fake=True``, which
+produces a deterministic fake decode from the payload bytes so the Ray-side
+plumbing — schema, batch sizing, actor signature, output layout — is real and
+tested end-to-end.
+
+Schema convention:
+    id:int64, payload:binary, mime:string, width:int32, height:int32
+decode →  adds pixels:list<float>  (row-major, normalized)
+featurize → adds embedding:list<float> (dim-D pooled features)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+IMAGE_SCHEMA = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+)
+
+
+def make_fake_image_table(n: int, *, seed: int = 7, side: int = 8) -> pa.Table:
+    """Deterministic fixture: payload bytes stand in for an encoded image."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=side * side, dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/fake"] * n, pa.string()),
+            "width": pa.array([side] * n, pa.int32()),
+            "height": pa.array([side] * n, pa.int32()),
+        }
+    )
+
+
+class DecodeImage:
+    """Actor stage: decode payload bytes -> pixel arrays.
+
+    Real implementation seam: ``__init__`` would load the codec/model ONCE
+    per actor (the reason this is a callable class, not a function); with
+    ``fake=True`` the "decode" is a deterministic byte->float mapping.
+    """
+
+    def __init__(self, *, fake: bool = False) -> None:
+        self.fake = fake
+        if not fake:
+            raise NotImplementedError(
+                "image decoding requires an image library not present in this "
+                "container; pass fake=True for the deterministic test decode"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        widths = batch["width"].to_numpy(zero_copy_only=False)
+        heights = batch["height"].to_numpy(zero_copy_only=False)
+        bufs = payloads.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=np.int32, count=len(payloads) + 1)
+        values = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+        lens = np.diff(offsets)
+        if not (lens == widths * heights).all():
+            raise ValueError("payload length does not match width*height")
+        pixels = values.astype(np.float32) / 255.0
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(pixels, pa.float32()))
+        return batch.append_column("pixels", lists)
+
+
+class FeaturizeImage:
+    """Actor stage: pixels -> pooled feature vector (deterministic stand-in
+    for batched model inference; the model would load in __init__)."""
+
+    def __init__(self, *, dim: int = 16, seed: int = 11) -> None:
+        rng = np.random.default_rng(seed)
+        self.dim = dim
+        self._proj: dict[int, np.ndarray] = {}
+        self._seed = seed
+
+    def _projection(self, in_dim: int) -> np.ndarray:
+        if in_dim not in self._proj:
+            rng = np.random.default_rng((self._seed, in_dim))
+            self._proj[in_dim] = rng.standard_normal((in_dim, self.dim)).astype(np.float32)
+        return self._proj[in_dim]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch["pixels"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        lengths = np.asarray(arr.value_lengths())
+        if len(np.unique(lengths)) != 1:
+            raise ValueError("featurize expects uniform pixel counts per batch")
+        mat = flat.reshape(len(lengths), int(lengths[0]))
+        emb = mat @ self._projection(mat.shape[1])
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (len(lengths) + 1) * self.dim, self.dim, dtype=np.int32)),
+            pa.array(emb.ravel(), pa.float32()),
+        )
+        return pa.table({"id": batch["id"], "embedding": lists})
