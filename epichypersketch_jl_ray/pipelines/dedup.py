@@ -92,7 +92,7 @@ def dedup_minhash_lsh(
         concurrency=2,
     )
     cand = (
-        exploded.groupby("band_key")
+        exploded.groupby("band_bucket")
         .map_groups(candidate_pairs_from_band, batch_format="pyarrow")
         .to_pandas()
     )
@@ -184,7 +184,7 @@ def dedup_simhash(sf_dir: str, *, max_hamming: int = 3) -> pd.DataFrame:
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     cand = (
         ds.map_batches(simhash_stage, batch_format="pyarrow")
-        .groupby("chunk_key")
+        .groupby("chunk_bucket")
         .map_groups(simhash_candidates_from_chunk, batch_format="pyarrow")
         .to_pandas()
     )

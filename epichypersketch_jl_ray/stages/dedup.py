@@ -49,23 +49,46 @@ class SignatureStage:
         keys = self.mh.band_keys(sigs, self.bands)  # (n, bands)
         n = len(batch)
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # explode: one row per (band, doc)
+        # explode: one row per (band, doc); band_bucket is the shuffle key —
+        # many bands per bucket so the downstream grouping stays vectorized
+        flat_keys = keys.ravel().view(np.int64)
         return pa.table(
             {
-                "band_key": pa.array(keys.ravel().view(np.int64), pa.int64()),
+                "band_key": pa.array(flat_keys, pa.int64()),
+                "band_bucket": pa.array(flat_keys % 64, pa.int64()),
                 "doc_id": pa.array(np.repeat(doc_ids, self.bands), pa.int64()),
             }
         )
 
 
 def candidate_pairs_from_band(batch: pa.Table) -> pa.Table:
-    """map_groups fn: all (a<b) doc pairs sharing a band bucket."""
-    docs = np.unique(batch["doc_id"].to_numpy(zero_copy_only=False))
-    if len(docs) < 2:
+    """All (a<b) doc pairs sharing a band bucket, for EVERY band in the
+    batch at once — vectorized run-length grouping over (band_key, doc_id),
+    so this runs per hash-BUCKET of band keys (a few dozen calls total)
+    instead of once per band (thousands of tiny python calls)."""
+    keys = batch["band_key"].to_numpy(zero_copy_only=False)
+    docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((docs, keys))
+    keys, docs = keys[order], docs[order]
+    # dedupe (band, doc)
+    uniq = np.ones(len(keys), dtype=bool)
+    uniq[1:] = (keys[1:] != keys[:-1]) | (docs[1:] != docs[:-1])
+    keys, docs = keys[uniq], docs[uniq]
+    boundaries = np.flatnonzero(np.diff(keys, prepend=keys[0] - 1)) if len(keys) else np.empty(0, np.int64)
+    sizes = np.diff(np.append(boundaries, len(keys)))
+    out_a, out_b = [], []
+    for start, size in zip(boundaries[sizes > 1], sizes[sizes > 1]):
+        grp = docs[start : start + size]
+        ii, jj = np.triu_indices(int(size), k=1)
+        out_a.append(grp[ii])
+        out_b.append(grp[jj])
+    if not out_a:
         return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
-    ii, jj = np.triu_indices(len(docs), k=1)
     return pa.table(
-        {"doc_a": pa.array(docs[ii], pa.int64()), "doc_b": pa.array(docs[jj], pa.int64())}
+        {
+            "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+        }
     )
 
 
@@ -93,11 +116,11 @@ def simhash_stage(batch: pa.Table) -> pa.Table:
     chunks = np.empty((len(sh), 4), dtype=np.int64)
     for c in range(4):
         chunks[:, c] = ((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+    flat_chunks = (chunks + (np.arange(4, dtype=np.int64) * 65536)[None, :]).ravel()
     return pa.table(
         {
-            "chunk_key": pa.array(
-                (chunks + (np.arange(4, dtype=np.int64) * 65536)[None, :]).ravel(), pa.int64()
-            ),
+            "chunk_key": pa.array(flat_chunks, pa.int64()),
+            "chunk_bucket": pa.array(flat_chunks % 64, pa.int64()),
             "doc_id": pa.array(np.repeat(doc_ids, 4), pa.int64()),
             "simhash": pa.array(np.repeat(sh.view(np.int64), 4), pa.int64()),
         }
@@ -105,25 +128,44 @@ def simhash_stage(batch: pa.Table) -> pa.Table:
 
 
 def simhash_candidates_from_chunk(batch: pa.Table) -> pa.Table:
+    """Candidate pairs for EVERY chunk key in the batch (vectorized
+    run-length grouping, same shape as candidate_pairs_from_band)."""
+    keys = batch["chunk_key"].to_numpy(zero_copy_only=False)
     docs = batch["doc_id"].to_numpy(zero_copy_only=False)
     sh = batch["simhash"].to_numpy(zero_copy_only=False)
-    uniq, idx = np.unique(docs, return_index=True)
-    if len(uniq) < 2:
-        return pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "sim_a": pa.array([], pa.int64()),
-                "sim_b": pa.array([], pa.int64()),
-            }
-        )
-    sh = sh[idx]
-    ii, jj = np.triu_indices(len(uniq), k=1)
+    order = np.lexsort((docs, keys))
+    keys, docs, sh = keys[order], docs[order], sh[order]
+    uniq = np.ones(len(keys), dtype=bool)
+    uniq[1:] = (keys[1:] != keys[:-1]) | (docs[1:] != docs[:-1])
+    keys, docs, sh = keys[uniq], docs[uniq], sh[uniq]
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "sim_a": pa.array([], pa.int64()),
+            "sim_b": pa.array([], pa.int64()),
+        }
+    )
+    if len(keys) == 0:
+        return empty
+    boundaries = np.flatnonzero(np.diff(keys, prepend=keys[0] - 1))
+    sizes = np.diff(np.append(boundaries, len(keys)))
+    a, b, sa, sb = [], [], [], []
+    for start, size in zip(boundaries[sizes > 1], sizes[sizes > 1]):
+        grp_d = docs[start : start + size]
+        grp_s = sh[start : start + size]
+        ii, jj = np.triu_indices(int(size), k=1)
+        a.append(grp_d[ii])
+        b.append(grp_d[jj])
+        sa.append(grp_s[ii])
+        sb.append(grp_s[jj])
+    if not a:
+        return empty
     return pa.table(
         {
-            "doc_a": pa.array(uniq[ii], pa.int64()),
-            "doc_b": pa.array(uniq[jj], pa.int64()),
-            "sim_a": pa.array(sh[ii], pa.int64()),
-            "sim_b": pa.array(sh[jj], pa.int64()),
+            "doc_a": pa.array(np.concatenate(a), pa.int64()),
+            "doc_b": pa.array(np.concatenate(b), pa.int64()),
+            "sim_a": pa.array(np.concatenate(sa), pa.int64()),
+            "sim_b": pa.array(np.concatenate(sb), pa.int64()),
         }
     )
