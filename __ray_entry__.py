@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_suppliers": relational.top_suppliers,
         "revenue_by_nation": relational.revenue_by_nation,
         "sessionize": relational.sessionize,
+        "windowed_events": relational.windowed_events,
     }
 
 
@@ -97,4 +98,5 @@ def oracle_sql() -> dict[str, str]:
         "top_suppliers": relational.top_suppliers_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),
         "sessionize": relational.sessionize_sql(),
+        "windowed_events": relational.windowed_events_sql(),
     }

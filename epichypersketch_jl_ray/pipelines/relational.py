@@ -182,6 +182,46 @@ def sessionize(sf_dir: str, *, gap_minutes: int = 30, num_buckets: int = 64) -> 
     )
 
 
+def windowed_events(sf_dir: str, *, window_minutes: int = 60) -> ray.data.Dataset:
+    """Tumbling-window aggregate over the events stream: per (event_type,
+    window) count + integer-cents value sum. Window assignment is a
+    vectorized per-batch map (ts floor-div window); the aggregation is a
+    partial-per-batch groupby pushed into map_batches… expressed here simply
+    as the engine groupby, whose combiner already pre-aggregates per block."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    win_us = np.int64(window_minutes * 60 * 1_000_000)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (ts // win_us) * win_us
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": pa.array(win, pa.int64()),
+                "value_cents": pa.array(
+                    _cents(batch["value"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents"))
+    )
+
+
+def windowed_events_sql(window_minutes: int = 60) -> str:
+    us = window_minutes * 60 * 1_000_000
+    return f"""
+SELECT event_type,
+       (epoch_us(ts) // {us}) * {us} AS window_start,
+       COUNT(*) AS n_events,
+       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
 def sessionize_sql(gap_minutes: int = 30) -> str:
     return f"""
 WITH o AS (
