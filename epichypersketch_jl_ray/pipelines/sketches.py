@@ -39,11 +39,12 @@ def distinct_users_hll(sf_dir: str, *, p: int = 14) -> pd.DataFrame:
 
 
 def distinct_users_exact(sf_dir: str) -> pd.DataFrame:
-    """Exact distinct count — Ray ``unique`` (shuffle) as the baseline the
-    HLL answer is judged against."""
+    """Exact distinct count — groupby-count then count (stays distributed:
+    ``Dataset.unique`` would pull every distinct value to the driver). This
+    is the shuffle-paying baseline the HLL answer is judged against."""
     ds = read_table(sf_dir, "events", columns=["user_id"])
-    n = len(ds.unique("user_id"))
-    return pd.DataFrame({"distinct_users": pd.array([n], dtype="int64")})
+    n = ds.groupby("user_id").count().count()
+    return pd.DataFrame({"distinct_users": pd.array([int(n)], dtype="int64")})
 
 
 def distinct_users_exact_sql() -> str:
