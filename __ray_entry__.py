@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": relational.revenue_by_nation,
         "sessionize": relational.sessionize,
         "windowed_events": relational.windowed_events,
+        "part_revenue_by_brand": relational.part_revenue_by_brand,
+        "clicks_last_purchase": relational.clicks_last_purchase,
     }
 
 
@@ -99,4 +101,6 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": relational.revenue_by_nation_sql(),
         "sessionize": relational.sessionize_sql(),
         "windowed_events": relational.windowed_events_sql(),
+        "part_revenue_by_brand": relational.part_revenue_by_brand_sql(),
+        "clicks_last_purchase": relational.clicks_last_purchase_sql(),
     }

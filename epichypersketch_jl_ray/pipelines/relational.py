@@ -182,6 +182,101 @@ def sessionize(sf_dir: str, *, gap_minutes: int = 30, num_buckets: int = 64) -> 
     )
 
 
+def part_revenue_by_brand(sf_dir: str, *, bucket_count: int = 64) -> ray.data.Dataset:
+    """Large-large equi-join demo: lineitem ⋈ part on partkey via the
+    bucketed hash join (stages/join.py), then grouped revenue."""
+    from epichypersketch_jl_ray.stages.join import bucketed_hash_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_partkey": batch["l_partkey"],
+                "revenue_cents": pa.array(_cents(price * (1.0 - disc)), pa.int64()),
+            }
+        )
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    joined = bucketed_hash_join(
+        li.map_batches(prep, batch_format="pyarrow"),
+        part,
+        left_on="l_partkey",
+        right_on="p_partkey",
+        bucket_count=bucket_count,
+    )
+    return joined.groupby("p_brand").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"), Count(alias_name="n_items")
+    )
+
+
+def part_revenue_by_brand_sql() -> str:
+    return """
+SELECT p_brand,
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1
+"""
+
+
+def clicks_last_purchase(sf_dir: str) -> ray.data.Dataset:
+    """As-of join demo: for every click event, the same user's most recent
+    purchase at or before the click (bucketed merge_asof, stages/join.py).
+    Inner semantics (clicks with no prior purchase are dropped)."""
+    from epichypersketch_jl_ray.stages.join import bucketed_asof_join
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
+
+    def split(kind: str, with_value: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = pc.equal(batch["event_type"], kind)
+            sub = batch.filter(mask)
+            cols = {
+                "user_id": sub["user_id"],
+                "ts": pa.array(
+                    sub["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False), pa.int64()
+                ),
+            }
+            if with_value:
+                cols["purchase_cents"] = pa.array(
+                    _cents(sub["value"].to_numpy(zero_copy_only=False)), pa.int64()
+                )
+            return pa.table(cols)
+
+        return fn
+
+    import pyarrow.compute as pc
+
+    clicks = ev.map_batches(split("click", False), batch_format="pyarrow")
+    purchases = ev.map_batches(split("purchase", True), batch_format="pyarrow")
+    joined = bucketed_asof_join(clicks, purchases, by="user_id", on="ts")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "click_ts": batch["ts"].cast(pa.int64()),
+                "purchase_ts": batch["ts_r"].cast(pa.int64()),
+                "purchase_cents": batch["purchase_cents_r"].cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def clicks_last_purchase_sql() -> str:
+    return """
+WITH c AS (SELECT user_id, epoch_us(ts) AS click_ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, epoch_us(ts) AS purchase_ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS purchase_cents
+      FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, c.click_ts, p.purchase_ts, p.purchase_cents
+FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.click_ts >= p.purchase_ts
+"""
+
+
 def windowed_events(sf_dir: str, *, window_minutes: int = 60) -> ray.data.Dataset:
     """Tumbling-window aggregate over the events stream: per (event_type,
     window) count + integer-cents value sum. Window assignment is a

@@ -1,0 +1,129 @@
+"""Distributed joins Ray Data lacks natively, as explicit bucketed exchanges
+(the portable pattern: bucket both sides on a key hash, co-locate buckets
+with one groupby, join inside each bucket — SCALE.md "Broadcasts instead of
+shuffle joins" / ray_guide joins section).
+
+- bucketed_hash_join: large-large equi-join. Both sides get
+  ``bucket = splitmix64(key) % B`` and a side tag, are unioned (one shuffle
+  co-locates both sides' rows), and each bucket runs a vectorized pandas
+  merge. Skew: the bucket key is a hash, so hot keys spread; a single
+  pathological key maps to ONE bucket — salt that key into sub-buckets and
+  replicate the other side if profiling ever shows it (not needed for any
+  current pipeline).
+- bucketed_asof_join: as-of (backward, inclusive) join per `by` key —
+  bucket on the `by` key, sort within bucket, pandas merge_asof.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from epichypersketch_jl_ray.functions.hashing import hash_int64
+
+
+def _tag_and_bucket(ds, key_col: str, side: int, bucket_count: int, seed: int):
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (hash_int64(k, seed=seed) % np.uint64(bucket_count)).astype(np.int64)
+        return batch.append_column("_bucket", pa.array(bucket, pa.int64())).append_column(
+            "_side", pa.array(np.full(len(k), side, dtype=np.int8), pa.int8())
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def _union_padded(lt: ray.data.Dataset, rt: ray.data.Dataset) -> ray.data.Dataset:
+    """Union two bucket-tagged datasets with different columns by padding each
+    side with the other's columns as nulls (Ray union needs one schema)."""
+    ls, rs = lt.schema(), rt.schema()
+    l_fields = dict(zip(ls.names, ls.types))
+    r_fields = dict(zip(rs.names, rs.types))
+    all_names = list(l_fields) + [n for n in r_fields if n not in l_fields]
+
+    def pad(missing: dict, order: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            for name, typ in missing.items():
+                batch = batch.append_column(name, pa.nulls(n, typ))
+            return batch.select(order)
+
+        return fn
+
+    l_missing = {n: r_fields[n] for n in r_fields if n not in l_fields}
+    r_missing = {n: l_fields[n] for n in l_fields if n not in r_fields}
+    lt = lt.map_batches(pad(l_missing, all_names), batch_format="pyarrow")
+    rt = rt.map_batches(pad(r_missing, all_names), batch_format="pyarrow")
+    return lt.union(rt)
+
+
+def bucketed_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    bucket_count: int = 64,
+    seed: int = 17,
+) -> ray.data.Dataset:
+    """Inner equi-join via one co-locating shuffle + per-bucket pandas merge.
+
+    Column-name collisions other than the keys are the caller's problem
+    (prune to needed columns first — which also minimizes shuffle bytes).
+    """
+    lt = _tag_and_bucket(left, left_on, 0, bucket_count, seed)
+    rt = _tag_and_bucket(right, right_on, 1, bucket_count, seed)
+    both = _union_padded(lt, rt)
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0].dropna(axis=1, how="all").drop(columns=["_side", "_bucket"])
+        r = df[df["_side"] == 1].dropna(axis=1, how="all").drop(columns=["_side", "_bucket"])
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame()
+        out = l.merge(r, left_on=left_on, right_on=right_on, how="inner")
+        return out
+
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def bucketed_asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    by: str,
+    on: str,
+    right_suffix: str = "_r",
+    bucket_count: int = 64,
+    seed: int = 23,
+) -> ray.data.Dataset:
+    """Backward-inclusive as-of join (for each left row, the latest right row
+    with the same ``by`` key and right.on <= left.on). Inner semantics: left
+    rows with no match are dropped (no nulls in the output)."""
+    lt = _tag_and_bucket(left, by, 0, bucket_count, seed)
+    rt = _tag_and_bucket(right, by, 1, bucket_count, seed)
+    both = _union_padded(lt, rt)
+
+    def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0].dropna(axis=1, how="all").drop(columns=["_side", "_bucket"])
+        r = df[df["_side"] == 1].dropna(axis=1, how="all").drop(columns=["_side", "_bucket"])
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame()
+        l = l.sort_values(on, kind="stable")
+        r = r.sort_values(on, kind="stable").rename(
+            columns={c: c + right_suffix for c in r.columns if c != by}
+        )
+        out = pd.merge_asof(
+            l,
+            r,
+            left_on=on,
+            right_on=on + right_suffix,
+            by=by,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return out.dropna(subset=[on + right_suffix])
+
+    return both.groupby("_bucket").map_groups(asof_bucket, batch_format="pandas")
