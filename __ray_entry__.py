@@ -34,14 +34,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         relational,
         sketches,
         textstats,
+        webpages,
     )
 
     return {
         # core reference semantics (CMS motif enumeration, SURVEY.md §2.3)
         "motifs_ordinary": motifs.motifs_ordinary,
         "motifs_conv": motifs.motifs_conv,
-        # webtext CMS heavy hitters
+        # webtext CMS heavy hitters + flagship 4-sketch build
         "heavy_ngrams": ngrams.heavy_ngrams,
+        "web_sketch_summary": webpages.web_sketch_summary,
         # sketch suite (north_rule A4-A7)
         "distinct_users_hll": sketches.distinct_users_hll,
         "distinct_users_exact": sketches.distinct_users_exact,

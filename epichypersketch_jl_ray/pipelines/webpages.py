@@ -112,6 +112,26 @@ def query_plants(state: WebSketchState, phrases: list[tuple[str, str]]) -> pd.Da
     return pd.DataFrame(rows, columns=["lang", "phrase", "estimate"])
 
 
+def web_sketch_summary(sf_dir: str) -> pd.DataFrame:
+    """Driver-facing flagship query: build the 4-sketch state over the
+    deterministic webpages corpus (sized by sf) and return its summary plus
+    the planted heavy-hitter estimates — rows-only check (sketch answers are
+    approximate; bounds are asserted in tests/test_webpages.py)."""
+    from epichypersketch_jl_ray.sources.webpages import PLANTS, webpages_dir_for
+
+    rows = {"sf0.001": 3_000, "sf0.01": 12_000, "sf0.1": 120_000}.get(
+        sf_dir.rstrip("/").rsplit("/", 1)[-1], 12_000
+    )
+    web_dir = webpages_dir_for(rows, n_shards=16)
+    state = build_web_sketches(web_dir)
+    summary = web_summary(state)
+    plants = query_plants(state, [("en", phrase) for phrase, _ in PLANTS])
+    out = plants.rename(columns={"estimate": "en_estimate"})
+    for k, v in summary.items():
+        out[k] = v
+    return out
+
+
 def web_summary(state: WebSketchState) -> dict:
     return {
         "rows": state.rows_seen,
