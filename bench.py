@@ -131,8 +131,7 @@ def main() -> None:
         # curve is recorded in BASELINE.md.
         n = int(os.environ.get("GRAFT_SCALE_N", "1"))
         scale_rows = str(max(WEB_ROWS, 960_000))  # amortize fixed costs
-        results = {}
-        for cpus in (n, 4 * n):
+        def run_arm(cpus: int) -> dict:
             env = dict(
                 os.environ,
                 RAY_GRAFT_CPUS=str(cpus),
@@ -145,8 +144,22 @@ def main() -> None:
                 capture_output=True,
                 text=True,
             )
-            line = proc.stdout.strip().splitlines()[-1]
-            results[cpus] = json.loads(line)
+            return json.loads(proc.stdout.strip().splitlines()[-1])
+
+        # ABBA ordering cancels linear machine-speed drift (this sandbox's
+        # effective capacity swings over minutes); efficiency from the mean
+        # throughput of each arm's two samples, all samples reported.
+        a1 = run_arm(n)
+        b1 = run_arm(4 * n)
+        b2 = run_arm(4 * n)
+        a2 = run_arm(n)
+        thr_a = (a1["docs_per_sec"] + a2["docs_per_sec"]) / 2
+        thr_b = (b1["docs_per_sec"] + b2["docs_per_sec"]) / 2
+        results = {n: dict(a1, docs_per_sec=round(thr_a, 1)), 4 * n: dict(b1, docs_per_sec=round(thr_b, 1))}
+        samples = {
+            f"{n}cpu": [a1["docs_per_sec"], a2["docs_per_sec"]],
+            f"{4*n}cpu": [b1["docs_per_sec"], b2["docs_per_sec"]],
+        }
         thr_n = results[n]["docs_per_sec"]
         thr_4n = results[4 * n]["docs_per_sec"]
         print(
@@ -159,6 +172,7 @@ def main() -> None:
                     "n_cpus": n,
                     f"throughput_{n}cpu": thr_n,
                     f"throughput_{4*n}cpu": thr_4n,
+                    "samples": samples,
                     "scaling_efficiency": round(thr_4n / (4.0 * thr_n), 3),
                 }
             )
