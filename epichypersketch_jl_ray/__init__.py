@@ -19,7 +19,48 @@ pipelines/  end-user pipelines; each has a ``queries()`` entry in __ray_entry__.
 """
 
 from epichypersketch_jl_ray.config import SketchConfig
+from epichypersketch_jl_ray.errors import (
+    HyperSketchError,
+    InvalidConfigurationError,
+    SchemaError,
+)
 
 __version__ = "0.1.0"
 
-__all__ = ["SketchConfig", "__version__"]
+
+def __getattr__(name):
+    # lazy exports mirroring the reference's public surface
+    # (/root/reference/src/EpicHyperSketch.jl:49-72): entry points + the
+    # low-level pieces for manual pipelines. Lazy so importing the package
+    # never drags in Ray before the driver initializes it.
+    if name in ("obtain_enriched_configurations", "obtain_enriched_configurations_partitioned"):
+        from epichypersketch_jl_ray import api
+
+        return getattr(api, name)
+    if name in ("CountMin", "HyperLogLog", "KLL", "TDigest", "BloomFilter", "MinHasher"):
+        from epichypersketch_jl_ray import state
+
+        return getattr(state, name)
+    if name == "build_checkpointed":
+        from epichypersketch_jl_ray.checkpoint import build_checkpointed
+
+        return build_checkpointed
+    raise AttributeError(name)
+
+
+__all__ = [
+    "SketchConfig",
+    "HyperSketchError",
+    "InvalidConfigurationError",
+    "SchemaError",
+    "obtain_enriched_configurations",
+    "obtain_enriched_configurations_partitioned",
+    "CountMin",
+    "HyperLogLog",
+    "KLL",
+    "TDigest",
+    "BloomFilter",
+    "MinHasher",
+    "build_checkpointed",
+    "__version__",
+]

@@ -113,7 +113,9 @@ def build_checkpointed(
     """
     os.makedirs(ckpt_dir, exist_ok=True)
     files = sorted(input_files)
-    done = {f: r for f, r in read_manifest(ckpt_dir).items() if _validate(cls, r)}
+    raw_manifest = read_manifest(ckpt_dir)
+    prev_attempts = {f: r.get("attempt", 0) for f, r in raw_manifest.items()}
+    done = {f: r for f, r in raw_manifest.items() if _validate(cls, r)}
     todo = [f for f in files if f not in done]
     t0 = time.monotonic()
     fn_ref = ray.put(make_partial)
@@ -149,7 +151,7 @@ def build_checkpointed(
                     "rows": rows,
                     "wall_s": round(wall, 4),
                     "digest": digest,
-                    "attempt": done.get(f, {}).get("attempt", 0) + 1,
+                    "attempt": prev_attempts.get(f, 0) + 1,
                 }
                 lines.append(json.dumps(rec))
                 done[f] = rec
