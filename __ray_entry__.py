@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles_kll": sketches.doc_length_quantiles_kll,
         "doc_length_quantiles_tdigest": sketches.doc_length_quantiles_tdigest,
         "user_membership_bloom": sketches.user_membership_bloom,
+        "top_ngrams_spacesaving": sketches.top_ngrams_spacesaving,
+        "doc_sample": sketches.doc_sample,
         # dedup suite
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -93,6 +95,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_exact": sketches.distinct_users_exact_sql(),
         "doc_length_quantiles_kll": sketches.doc_length_quantiles_kll_sql(),
         "user_membership_bloom": sketches.user_membership_bloom_sql(),
+        "top_ngrams_spacesaving": sketches.top_ngrams_spacesaving_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh_sql(),
         "dedup_embedding": dedup.dedup_embedding_sql(),

@@ -91,6 +91,92 @@ def doc_length_quantiles_tdigest(sf_dir: str, *, compression: float = 200.0) -> 
     return pd.DataFrame({"q": list(QS), "n_chars_q": [td.quantile(q) for q in QS]})
 
 
+# --- heavy hitters without a second pass ------------------------------------
+
+
+def top_ngrams_spacesaving(
+    sf_dir: str, *, min_count: int = 3, capacity: int = 32768
+) -> pd.DataFrame:
+    """Heavy-hitter trigrams via SpaceSaving — enumerates the heavy keys in
+    ONE pass (the CMS pipeline needs a second scan to recover strings; here
+    a tiny string-lookup pass resolves only the surviving keys).
+
+    With capacity >= distinct-trigram count (true at test scale) every key
+    keeps its own counter, estimates are exact and the DuckDB oracle
+    hash-matches; at web scale the capacity caps memory and the guaranteed
+    (est - err >= min_count) set is reported instead — no false positives
+    either way.
+    """
+    from epichypersketch_jl_ray.functions.text import ngram_hashes, token_hashes
+    from epichypersketch_jl_ray.state.spacesaving import SpaceSaving
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def update(s: SpaceSaving, batch: pa.Table) -> None:
+        flat, off = token_hashes(batch["text"])
+        ng, _ = ngram_hashes(flat, off, 3)
+        s.update_hashed(ng)
+
+    ss = sketch_dataset(ds, lambda: SpaceSaving(capacity=capacity), update, SpaceSaving)
+    hh = ss.heavy_hitters(min_count=min_count)
+    if not hh:
+        return pd.DataFrame({"ngram": [], "estimate": []}).astype({"estimate": "int64"})
+    wanted = np.array(sorted(k for k, _, _ in hh), dtype=np.uint64)
+    est_by_key = {k: c for k, c, _ in hh}
+
+    # tiny second pass resolving the surviving hashes to strings
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    wanted_ref = _ray.put(wanted)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        from epichypersketch_jl_ray.functions.text import ngram_tokens
+
+        w = _ray.get(wanted_ref)
+        toks, row_ids, starts = ngram_tokens(batch["text"], 3)
+        flat, off = token_hashes(batch["text"])
+        ng, _ = ngram_hashes(flat, off, 3)
+        hit = np.isin(ng, w)
+        if not hit.any():
+            return pa.table({"key": pa.array([], pa.int64()), "ngram": pa.array([], pa.string())})
+        flat_tokens = toks.flatten()
+        sel = np.flatnonzero(hit)
+        # dedupe keys within batch
+        _, first = np.unique(ng[sel], return_index=True)
+        sel = sel[first]
+        parts = [pc.take(flat_tokens, pa.array(starts[sel] + j)) for j in range(3)]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = pc.binary_join_element_wise(joined, p, " ")
+        return pa.table({"key": pa.array(ng[sel].view(np.int64), pa.int64()), "ngram": joined})
+
+    rows = ds.map_batches(resolve, batch_format="pyarrow").to_pandas().drop_duplicates("key")
+    rows["estimate"] = [est_by_key[np.uint64(k)] for k in rows["key"].to_numpy().view(np.uint64)]
+    return rows[["ngram", "estimate"]].sort_values("ngram").reset_index(drop=True)
+
+
+def top_ngrams_spacesaving_sql(min_count: int = 3) -> str:
+    from epichypersketch_jl_ray.pipelines.ngrams import heavy_ngrams_sql
+
+    return heavy_ngrams_sql(3, min_count)
+
+
+def doc_sample(sf_dir: str, *, k: int = 100) -> pd.DataFrame:
+    """Deterministic distributed uniform sample of doc_ids via the mergeable
+    priority reservoir (partition/merge-order invariant; rows-only check)."""
+    from epichypersketch_jl_ray.state.reservoir import ReservoirSample
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def update(r: ReservoirSample, batch: pa.Table) -> None:
+        r.update(batch["doc_id"].to_numpy(zero_copy_only=False))
+
+    res = sketch_dataset(ds, lambda: ReservoirSample(k=k, seed=SEED), update, ReservoirSample)
+    return pd.DataFrame({"doc_id": res.sample()})
+
+
 # --- membership ------------------------------------------------------------
 
 

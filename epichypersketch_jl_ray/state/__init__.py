@@ -14,6 +14,8 @@ from epichypersketch_jl_ray.state.kll import KLL
 from epichypersketch_jl_ray.state.tdigest import TDigest
 from epichypersketch_jl_ray.state.bloom import BloomFilter
 from epichypersketch_jl_ray.state.minhash import MinHasher, simhash64
+from epichypersketch_jl_ray.state.reservoir import ReservoirSample
+from epichypersketch_jl_ray.state.spacesaving import SpaceSaving
 
 __all__ = [
     "MergeableSketch",
@@ -24,4 +26,6 @@ __all__ = [
     "BloomFilter",
     "MinHasher",
     "simhash64",
+    "SpaceSaving",
+    "ReservoirSample",
 ]

@@ -1,0 +1,76 @@
+"""SpaceSaving heavy-hitter and mergeable reservoir sample kernels."""
+
+import numpy as np
+import pytest
+
+from epichypersketch_jl_ray.functions.hashing import hash_int64
+from epichypersketch_jl_ray.state import ReservoirSample, SpaceSaving
+
+
+class TestSpaceSaving:
+    def _stream(self, rng, n=50_000):
+        # zipf-ish: heavy keys 0..9, long tail
+        heavy = rng.integers(0, 10, size=n // 2)
+        tail = rng.integers(10, 20_000, size=n // 2)
+        return np.concatenate([heavy, tail])
+
+    def test_guaranteed_heavy_hitters(self):
+        rng = np.random.default_rng(0)
+        stream = self._stream(rng)
+        keys = stream.astype(np.uint64)
+        ss = SpaceSaving(capacity=512)
+        for chunk in np.array_split(keys, 20):
+            ss.update_hashed(chunk)
+        true = {int(k): int(c) for k, c in zip(*np.unique(stream, return_counts=True))}
+        hh = ss.heavy_hitters(min_count=1000)
+        found = {k for k, _, _ in hh}
+        # every returned key truly meets the threshold (no false positives)
+        for k, est, err in hh:
+            assert true[k] >= 1000
+            assert est - err <= true[k] <= est
+        # every true heavy key is found (capacity >> 1/phi)
+        for k, c in true.items():
+            if c >= 2500:
+                assert k in found, k
+
+    def test_merge_bounds_hold(self):
+        rng = np.random.default_rng(1)
+        stream = self._stream(rng)
+        keys = stream.astype(np.uint64)
+        parts = [SpaceSaving(capacity=512).update_hashed(c) for c in np.array_split(keys, 8)]
+        m = parts[0]
+        for p in parts[1:]:
+            m.merge(p)
+        assert m.n == len(keys)
+        true = {int(k): int(c) for k, c in zip(*np.unique(stream, return_counts=True))}
+        for k, est, err in m.heavy_hitters(min_count=2000):
+            assert est - err <= true[k] <= est
+
+    def test_capacity_mismatch(self):
+        with pytest.raises(ValueError):
+            SpaceSaving(8).merge(SpaceSaving(16))
+
+
+class TestReservoir:
+    def test_partition_invariant_sample(self):
+        ids = np.arange(100_000)
+        whole = ReservoirSample(k=500, seed=9).update(ids)
+        parts = [ReservoirSample(k=500, seed=9).update(c) for c in np.array_split(ids, 7)]
+        m = parts[3]
+        for i in (0, 5, 1, 6, 2, 4):
+            m.merge(parts[i])
+        assert np.array_equal(m.sample(), whole.sample())
+        assert m.digest() == whole.digest()
+        assert m.n == whole.n
+
+    def test_uniformity(self):
+        # mean of a uniform sample of 0..N-1 should be ~N/2
+        ids = np.arange(200_000)
+        s = ReservoirSample(k=2000, seed=4).update(ids).sample()
+        assert len(s) == 2000
+        assert abs(s.mean() - 100_000) < 5000
+
+    def test_duplicates_dont_bias(self):
+        ids = np.concatenate([np.arange(1000), np.arange(1000)])
+        s = ReservoirSample(k=100, seed=5).update(ids)
+        assert len(np.unique(s.sample())) == 100
