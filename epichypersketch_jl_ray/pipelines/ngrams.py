@@ -16,7 +16,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
-from ray.data.aggregate import Max
 
 from epichypersketch_jl_ray.functions.text import ngram_hashes, token_hashes, tokenize
 from epichypersketch_jl_ray.sources.tables import read_table
@@ -46,8 +45,9 @@ def heavy_ngrams(
     text_col: str = "text",
     table: str = "documents",
     batch_size: int = 4096,
-) -> ray.data.Dataset:
-    """Distinct token n-grams whose CMS estimate >= min_count."""
+):
+    """Distinct token n-grams whose CMS estimate >= min_count (pandas
+    DataFrame — the selected set is driver-small by construction)."""
     ds = read_table(sf_dir, table, columns=[text_col])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -85,7 +85,13 @@ def heavy_ngrams(
         return pa.table({"ngram": joined, "estimate": pa.array(est[sel], pa.int64())})
 
     out = ds.map_batches(select, batch_format="pyarrow", batch_size=batch_size)
-    return out.groupby("ngram").aggregate(Max("estimate", alias_name="estimate"))
+    # cross-batch dedupe on the driver: the selected set is bounded by the
+    # min_count threshold (that's the point of heavy hitters), so a
+    # distributed groupby would pay ~3s of shuffle overhead to dedupe a few
+    # thousand rows. Estimates for the same ngram are identical across
+    # batches (same merged CMS), so first-wins == max.
+    pdf = out.to_pandas()
+    return pdf.groupby("ngram", as_index=False)["estimate"].max()
 
 
 def heavy_ngrams_sql(n: int = 3, min_count: int = 3) -> str:
