@@ -66,3 +66,30 @@ def test_kll_quantile_within_rank_bound(xs, q):
     # returned value's rank interval must be within the KLL bound of q
     eps = 0.25 if len(s) > 128 else 1.0 / max(len(s), 1) + 0.25
     assert lo - eps <= q <= hi + eps
+
+
+@settings(max_examples=20, deadline=None)
+@given(floats)
+def test_tdigest_quantiles_monotone_and_bounded(xs):
+    from epichypersketch_jl_ray.state import TDigest
+
+    vals = np.array(xs, dtype=np.float64)
+    td = TDigest(compression=50).update(vals)
+    qs = [td.quantile(q) for q in (0.1, 0.3, 0.5, 0.7, 0.9)]
+    assert all(a <= b + 1e-9 for a, b in zip(qs, qs[1:]))  # monotone
+    assert vals.min() - 1e-9 <= qs[0] and qs[-1] <= vals.max() + 1e-9
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=100), min_size=5, max_size=400))
+def test_spacesaving_no_false_positives(xs):
+    from epichypersketch_jl_ray.state import SpaceSaving
+
+    keys = np.array(xs, dtype=np.uint64)
+    ss = SpaceSaving(capacity=16)
+    for c in np.array_split(keys, 4):
+        ss.update_hashed(c)
+    true = {int(k): int(c) for k, c in zip(*np.unique(keys, return_counts=True))}
+    for k, est, err in ss.heavy_hitters(min_count=3):
+        assert true[k] >= 3
+        assert est - err <= true[k] <= est
