@@ -62,8 +62,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann.ann_lsh_topk,
         # multimodal (stubbed decode, real plumbing)
         "image_features": multimodal.image_features,
+        "video_frame_features": multimodal.video_frame_features,
         # text analysis
         "doc_stats": textstats.doc_stats,
+        "token_count_bpe": textstats.token_count_bpe,
         "lang_predict": textstats.lang_predict,
         "doc_fingerprints": textstats.doc_fingerprints,
         # relational operators
@@ -101,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": dedup.dedup_embedding_sql(),
         "ann_cosine_topk": ann.ann_cosine_topk_sql(),
         "doc_stats": textstats.doc_stats_sql(),
+        "token_count_bpe": textstats.token_count_bpe_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "top_suppliers": relational.top_suppliers_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),

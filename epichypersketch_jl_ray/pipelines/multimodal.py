@@ -12,7 +12,9 @@ import ray
 from epichypersketch_jl_ray.stages.multimodal import (
     DecodeImage,
     FeaturizeImage,
+    FrameSampleVideo,
     make_fake_image_table,
+    make_fake_video_table,
 )
 
 
@@ -33,6 +35,29 @@ def image_features(sf_dir: str, *, n: int = 512, dim: int = 16) -> pd.DataFrame:
         concurrency=2,
     )
     feats = decoded.map_batches(
+        FeaturizeImage,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )
+    return feats.to_pandas()
+
+
+def video_frame_features(sf_dir: str, *, n: int = 64, stride: int = 8, dim: int = 8) -> pd.DataFrame:
+    """Fake-video corpus → frame sampling (actor pool, stubbed codec) →
+    per-frame feature vectors. One output row per sampled frame."""
+    scale = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 4}.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 1)
+    tbl = make_fake_video_table(n * scale)
+    ds = ray.data.from_arrow(tbl)
+    frames = ds.map_batches(
+        FrameSampleVideo,
+        fn_constructor_kwargs={"stride": stride, "fake": True},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    )
+    feats = frames.map_batches(
         FeaturizeImage,
         fn_constructor_kwargs={"dim": dim},
         batch_format="pyarrow",

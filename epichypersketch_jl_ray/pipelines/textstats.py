@@ -47,6 +47,43 @@ FROM documents
 """
 
 
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+class BpeishTokenCounter:
+    """Actor stage: BPE-ish regex piece counting (compiled once per actor —
+    the pattern-compile-in-__init__ idiom; the per-row findall loop is the
+    documented cost of regex tokenization, amortized by the pool)."""
+
+    def __init__(self) -> None:
+        import re
+
+        self.pat = re.compile(BPE_PATTERN)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        counts = np.fromiter(
+            (len(self.pat.findall(t)) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        return pa.table({"doc_id": batch["doc_id"], "n_pieces": pa.array(counts, pa.int64())})
+
+
+def token_count_bpe(sf_dir: str) -> ray.data.Dataset:
+    """BPE-ish regex token counting per document (letters / digits /
+    single non-space symbol pieces)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        BpeishTokenCounter, batch_format="pyarrow", batch_size=2048, concurrency=2
+    )
+
+
+def token_count_bpe_sql() -> str:
+    return f"""
+SELECT doc_id, CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_pieces
+FROM documents
+"""
+
+
 def lang_predict(sf_dir: str) -> ray.data.Dataset:
     """Stopword-heuristic language ID per document (no SQL oracle — the
     heuristic is not SQL-expressible; rows-only check)."""

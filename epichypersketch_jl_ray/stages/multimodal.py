@@ -78,6 +78,79 @@ class DecodeImage:
         return batch.append_column("pixels", lists)
 
 
+def make_fake_video_table(n: int, *, seed: int = 13, side: int = 4, frames: int = 24) -> pa.Table:
+    """Deterministic fixture: payload = ``frames`` concatenated fake frames."""
+    rng = np.random.default_rng(seed)
+    payloads = [
+        rng.integers(0, 256, size=frames * side * side, dtype=np.uint8).tobytes()
+        for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/fake"] * n, pa.string()),
+            "width": pa.array([side] * n, pa.int32()),
+            "height": pa.array([side] * n, pa.int32()),
+            "n_frames": pa.array([frames] * n, pa.int32()),
+        }
+    )
+
+
+class FrameSampleVideo:
+    """Actor stage: video payload -> every ``stride``-th decoded frame.
+
+    Real seam: a codec (pyav/ffmpeg) loaded once per actor would seek+decode
+    only the sampled frames; ``fake=True`` slices the concatenated fake
+    frames deterministically. Output: one ROW PER SAMPLED FRAME
+    (id, frame_idx, pixels) — the flat layout downstream featurize stages
+    consume, and the shape that keeps block sizes bounded for long videos.
+    """
+
+    def __init__(self, *, stride: int = 8, fake: bool = False) -> None:
+        if not fake:
+            raise NotImplementedError(
+                "video decoding requires a codec library not present in this "
+                "container; pass fake=True for the deterministic test decode"
+            )
+        if stride < 1:
+            raise ValueError("stride must be >= 1")
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        widths = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
+        heights = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_frames = batch["n_frames"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        bufs = payloads.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=np.int32, count=len(payloads) + 1)
+        values = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+        frame_bytes = widths * heights
+        out_ids, out_fidx, out_pixels, out_off = [], [], [], [0]
+        for i in range(len(ids)):
+            for f in range(0, int(n_frames[i]), self.stride):
+                start = offsets[i] + f * frame_bytes[i]
+                frame = values[start : start + frame_bytes[i]]
+                out_ids.append(int(ids[i]))
+                out_fidx.append(f)
+                out_pixels.append(frame.astype(np.float32) / 255.0)
+                out_off.append(out_off[-1] + len(frame))
+        flat = np.concatenate(out_pixels) if out_pixels else np.empty(0, np.float32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.asarray(out_off, dtype=np.int32)), pa.array(flat, pa.float32())
+        )
+        return pa.table(
+            {
+                "id": pa.array(out_ids, pa.int64()),
+                "frame_idx": pa.array(out_fidx, pa.int32()),
+                "pixels": lists,
+            }
+        )
+
+
 class FeaturizeImage:
     """Actor stage: pixels -> pooled feature vector (deterministic stand-in
     for batched model inference; the model would load in __init__)."""
@@ -108,4 +181,6 @@ class FeaturizeImage:
             pa.array(np.arange(0, (len(lengths) + 1) * self.dim, self.dim, dtype=np.int32)),
             pa.array(emb.ravel(), pa.float32()),
         )
-        return pa.table({"id": batch["id"], "embedding": lists})
+        # pass through every identifying column (id, frame_idx, ...)
+        out = batch.drop_columns([c for c in ("pixels", "payload", "mime", "width", "height") if c in batch.column_names])
+        return out.append_column("embedding", lists)

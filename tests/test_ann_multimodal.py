@@ -52,3 +52,22 @@ def test_decode_validates_payload(ray_session):
     bad = tbl.set_column(3, "width", pa.array([99] * 4, pa.int32()))
     with pytest.raises(ValueError):
         DecodeImage(fake=True)(bad)
+
+
+def test_video_frame_sampling(ray_session, sf_dir):
+    from epichypersketch_jl_ray.pipelines.multimodal import video_frame_features
+    from epichypersketch_jl_ray.stages.multimodal import FrameSampleVideo, make_fake_video_table
+
+    out = video_frame_features(sf_dir, n=32, stride=8)
+    # 24 frames, stride 8 -> frames 0, 8, 16 per video
+    per_video = out.groupby("id")["frame_idx"].apply(sorted)
+    assert all(v == [0, 8, 16] for v in per_video)
+    # deterministic
+    out2 = video_frame_features(sf_dir, n=32, stride=8)
+    a = np.array(out.sort_values(["id", "frame_idx"])["embedding"].tolist())
+    b = np.array(out2.sort_values(["id", "frame_idx"])["embedding"].tolist())
+    assert np.array_equal(a, b)
+    with pytest.raises(NotImplementedError):
+        FrameSampleVideo(stride=8)
+    with pytest.raises(ValueError):
+        FrameSampleVideo(stride=0, fake=True)
