@@ -167,3 +167,53 @@ def test_eps_n_bound_on_dense_sketch(api):
     for key, est in grouped.items():
         t = truth.get(tuple(key), 0)
         assert t <= est <= t + bound + 1
+
+
+def test_statistical_recovery_2000_points(api):
+    """2000 sequences of random noise with motifs planted at known rates
+    (reference test_cpu_implementation.jl:6-130 analogue): the pipeline must
+    recover each planted motif at thresholds its true count clears, and
+    report nothing above any noise triple's true count bound."""
+    rng = np.random.default_rng(99)
+    d = {}
+    for i in range(1, 2001):
+        feats = rng.integers(500, 2000, size=rng.integers(3, 8)).tolist()
+        if i % 10 == 0:
+            feats = [11, 22, 33] + feats  # planted in 200 sequences
+        elif i % 17 == 0:
+            feats = [44, 55] + feats  # pair, not a full triple
+        d[i] = [(int(f), 1.0) for f in feats]
+    from epichypersketch_jl_ray.sources.reference_fixtures import brute_force_subset_counts
+
+    truth = brute_force_subset_counts(d, 3)
+    out = api.obtain_enriched_configurations(d, motif_size=3, min_count=150)
+    found = set(map(tuple, out[["m1", "m2", "m3"]].drop_duplicates().to_numpy()))
+    assert (11, 22, 33) in found
+    # everything reported is genuinely frequent (estimates never undercount,
+    # and in the collision-free regime they equal the truth)
+    grouped = out.groupby(["m1", "m2", "m3"])["estimate"].first()
+    for key, est in grouped.items():
+        assert est == truth[tuple(key)]
+        assert truth[tuple(key)] >= 150
+
+
+def test_large_positions_and_features_hash_safety(api):
+    """Hash-index range safety with large feature ids and positions
+    (reference debug_negative_hash.jl analogue): no negative/overflowed
+    indices, exact counting still works."""
+    big_f = 2_000_000_000  # near int32 max
+    big_p = 1_000_000
+    d = {
+        i: [
+            (big_f, 1.0, big_p),
+            (big_f + 7, 1.0, big_p + 100),
+            (big_f + 13, 1.0, big_p + 250),
+        ]
+        for i in range(1, 21)
+    }
+    out = api.obtain_enriched_configurations(d, motif_size=3, min_count=20, filter_len=8)
+    assert len(out) == 20
+    assert (out["estimate"] == 20).all()
+    assert (out["d12"] == 100 - 8).all()
+    assert (out["d23"] == 150 - 8).all()
+    assert (out["start"] == big_p).all()
