@@ -84,13 +84,11 @@ def dedup_minhash_lsh(
     equals the exact-Jaccard oracle.
     """
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    exploded = ds.map_batches(
-        SignatureStage,
-        fn_constructor_kwargs={"num_perms": num_perms, "bands": bands, "shingle_n": SHINGLE_N},
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=2,
-    )
+    # callable INSTANCE -> stateless map_batches tasks (building the seeded
+    # permutations per batch is negligible; a fixed 2-actor pool was the
+    # stage's bottleneck)
+    sig = SignatureStage(num_perms=num_perms, bands=bands, shingle_n=SHINGLE_N)
+    exploded = ds.map_batches(sig, batch_format="pyarrow", batch_size=2048)
     cand = (
         exploded.groupby("band_bucket")
         .map_groups(candidate_pairs_from_band, batch_format="pyarrow")
