@@ -116,3 +116,32 @@ def test_parquet_sink_round_trip(ray_session, tmp_path):
     assert len(files) >= 1
     total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     assert total == 1000
+
+
+def test_resumable_transform_write(ray_session, tmp_path):
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from epichypersketch_jl_ray.sources.sinks import resumable_transform_write
+    from epichypersketch_jl_ray.sources.webpages import webpages_dir_for
+
+    web_dir = webpages_dir_for(3000, n_shards=8)
+    files = sorted(glob.glob(f"{web_dir}/*.parquet"))
+
+    def transform(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"url": tbl["url"], "n_chars": pc.utf8_length(tbl["text"])})
+
+    out = str(tmp_path / "out")
+    m1 = resumable_transform_write(files, transform, out)
+    assert m1["skipped"] == 0 and m1["rows"] == 3000
+    # delete one output -> only that shard reruns
+    os.remove(m1["files"][2] + ".done")
+    m2 = resumable_transform_write(files, transform, out)
+    assert m2["skipped"] == len(files) - 1 and m2["rows"] == 3000
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in m2["files"])
+    assert total == 3000
