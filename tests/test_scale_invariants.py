@@ -52,3 +52,45 @@ def test_hll_register_merge_is_max_not_add():
     est_before = a.estimate()
     a.merge(b)
     assert a.estimate() == est_before
+
+
+def test_tree_merge_levels_equivalent(ray_session):
+    """The scale path (levels>0 lazy merge stages) must produce the same
+    state as the driver-only k-way merge."""
+    import pyarrow as pa
+    import ray.data
+
+    from epichypersketch_jl_ray.stages.udaf import make_partial_fn, tree_merge
+    from epichypersketch_jl_ray.state.hll import HyperLogLog
+    from epichypersketch_jl_ray.functions.hashing import hash_int64
+
+    ds = ray.data.range(50_000, override_num_blocks=40)
+
+    def update(h, batch: pa.Table):
+        h.update_hashed(hash_int64(batch["id"].to_numpy(), seed=3))
+
+    partial = make_partial_fn(lambda: HyperLogLog(p=10), update)
+    digests = set()
+    for levels, fanout in ((0, 8), (1, 8), (2, 4)):
+        states = ds.map_batches(partial, batch_format="pyarrow", batch_size=2048)
+        merged = tree_merge(states, HyperLogLog, fanout=fanout, levels=levels)
+        digests.add(merged.digest())
+    assert len(digests) == 1
+
+
+def test_motif_k2(ray_session):
+    """motif_size=2 (pairs) works end-to-end, ordinary and conv."""
+    from epichypersketch_jl_ray.api import obtain_enriched_configurations
+
+    d = {i: [(5, 1.0), (9, 2.0), (100 + i, 1.0)] for i in range(1, 11)}
+    out = obtain_enriched_configurations(d, motif_size=2, min_count=10)
+    pair = out[(out.m1 == 5) & (out.m2 == 9)]
+    assert len(pair) == 10
+    assert (pair["estimate"] == 10).all()
+    assert np.allclose(pair["contribution"], 3.0)
+
+    dc = {i: [(5, 1.0, 0), (9, 1.0, 12)] for i in range(1, 11)}
+    outc = obtain_enriched_configurations(dc, motif_size=2, min_count=10, filter_len=8)
+    assert len(outc) == 10
+    assert (outc["d12"] == 4).all()
+    assert (outc["end"] == 19).all()
