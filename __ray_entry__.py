@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_events": relational.windowed_events,
         "part_revenue_by_brand": relational.part_revenue_by_brand,
         "clicks_last_purchase": relational.clicks_last_purchase,
+        "parts_never_discounted": relational.parts_never_discounted,
     }
 
 
@@ -111,4 +112,5 @@ def oracle_sql() -> dict[str, str]:
         "windowed_events": relational.windowed_events_sql(),
         "part_revenue_by_brand": relational.part_revenue_by_brand_sql(),
         "clicks_last_purchase": relational.clicks_last_purchase_sql(),
+        "parts_never_discounted": relational.parts_never_discounted_sql(),
     }

@@ -182,6 +182,69 @@ def sessionize(sf_dir: str, *, gap_minutes: int = 30, num_buckets: int = 64) -> 
     )
 
 
+def parts_never_discounted(sf_dir: str, *, min_discount: float = 0.09) -> ray.data.Dataset:
+    """Anti-join via broadcast Bloom + exact verify (SCALE.md semi/anti
+    pattern): parts that never appear in a heavily-discounted lineitem.
+
+    The Bloom filter over the right-side keys is built distributed (UDAF
+    harness) and broadcast; a Bloom MISS is a definite non-member, so those
+    left rows pass the anti-join exactly. Bloom HITS may be false positives,
+    so only they are verified against the exact key set — at 100 TB the
+    exact set covers only the hit subset (here it is broadcast whole, being
+    tiny). Output is exact either way.
+    """
+    from epichypersketch_jl_ray.functions.hashing import hash_int64
+    from epichypersketch_jl_ray.stages.udaf import sketch_dataset
+    from epichypersketch_jl_ray.state.bloom import BloomFilter
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_discount"])
+
+    def discounted(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch["l_discount"], min_discount)).select(
+            ["l_partkey"]
+        )
+
+    keys_ds = li.map_batches(discounted, batch_format="pyarrow")
+
+    def update(b: BloomFilter, batch: pa.Table) -> None:
+        b.add_hashed(hash_int64(batch["l_partkey"].to_numpy(zero_copy_only=False), seed=77))
+
+    bloom = sketch_dataset(
+        keys_ds, lambda: BloomFilter(capacity=1 << 18, p=1e-6, seed=77), update, BloomFilter
+    )
+    # exact keys for verifying bloom hits (distinct, small)
+    exact_keys = np.sort(
+        keys_ds.groupby("l_partkey").count().to_pandas()["l_partkey"].to_numpy()
+    )
+    refs = ray.put((bloom, exact_keys))
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        bf, exact = ray.get(refs)
+        pk = batch["p_partkey"].to_numpy(zero_copy_only=False)
+        hits = bf.contains_hashed(hash_int64(pk, seed=77))
+        keep = ~hits
+        # verify bloom hits exactly (false positives must survive the anti-join)
+        if hits.any():
+            pos = np.searchsorted(exact, pk[hits])
+            pos = np.minimum(pos, len(exact) - 1) if len(exact) else pos
+            really_present = (exact[pos] == pk[hits]) if len(exact) else np.zeros(hits.sum(), bool)
+            keep[np.flatnonzero(hits)[~really_present]] = True
+        return batch.filter(pa.array(keep))
+
+    return part.map_batches(anti, batch_format="pyarrow")
+
+
+def parts_never_discounted_sql(min_discount: float = 0.09) -> str:
+    return f"""
+SELECT p_partkey, p_brand FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_discount >= {min_discount})
+"""
+
+
 def part_revenue_by_brand(sf_dir: str, *, num_partitions: int = 8) -> ray.data.Dataset:
     """Large-large equi-join: lineitem ⋈ part on partkey via Ray Data's
     native hash-partitioned ``Dataset.join`` (measured ~4× faster than the
