@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "motifs_conv": motifs.motifs_conv,
         # webtext CMS heavy hitters + flagship 4-sketch build
         "heavy_ngrams": ngrams.heavy_ngrams,
+        "heavy_ngrams_by_lang": ngrams.heavy_ngrams_by_lang,
         "web_sketch_summary": webpages.web_sketch_summary,
         # sketch suite (north_rule A4-A7)
         "distinct_users_hll": sketches.distinct_users_hll,
@@ -95,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
         "motifs_ordinary": motifs.motifs_ordinary_sql(),
         "motifs_conv": motifs.motifs_conv_sql(),
         "heavy_ngrams": ngrams.heavy_ngrams_sql(),
+        "heavy_ngrams_by_lang": ngrams.heavy_ngrams_by_lang_sql(),
         "distinct_users_exact": sketches.distinct_users_exact_sql(),
         "doc_length_quantiles_kll": sketches.doc_length_quantiles_kll_sql(),
         "user_membership_bloom": sketches.user_membership_bloom_sql(),

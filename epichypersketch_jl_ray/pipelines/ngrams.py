@@ -94,6 +94,88 @@ def heavy_ngrams(
     return pdf.groupby("ngram", as_index=False)["estimate"].max()
 
 
+def heavy_ngrams_by_lang(
+    sf_dir: str,
+    *,
+    n: int = 3,
+    min_count: int = 3,
+    batch_size: int = 4096,
+):
+    """Grouped heavy hitters: (lang, trigram) pairs with CMS estimate >=
+    min_count — the north_star's lang-keyed heavy-hitter query
+    (BASELINE.json), CMS-keyed by hash_combine(lang, ngram) so grouping costs
+    no extra pass and skewed langs are just hot counter cells."""
+    from epichypersketch_jl_ray.functions.hashing import fnv1a64, hash_combine
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def keys_of(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+        lang_h = fnv1a64(batch["lang"])
+        flat, off = token_hashes(batch["text"])
+        ng, ng_off = ngram_hashes(flat, off, n)
+        row_lang = np.repeat(lang_h, np.diff(ng_off))
+        return hash_combine(row_lang, ng), ng_off, batch["lang"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, _, _ = keys_of(batch)
+        cms = _cms_factory(seed=NGRAM_SEED + 1).add_keys(keys)
+        return pa.table({"state": pa.array([cms.to_bytes()], type=pa.large_binary())})
+
+    states = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    merged = tree_merge(states, CountMin)
+    cms_ref = ray.put(merged)
+
+    def select(batch: pa.Table) -> pa.Table:
+        cms: CountMin = ray.get(cms_ref)
+        keys, ng_off, lang = keys_of(batch)
+        toks = tokenize(batch["text"])
+        if len(keys) == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "ngram": pa.array([], pa.string()),
+                    "estimate": pa.array([], pa.int64()),
+                }
+            )
+        uniq, first = np.unique(keys, return_index=True)
+        est = cms.estimate_keys(uniq)
+        sel = est >= min_count
+        keep = first[sel]
+        lengths = np.asarray(toks.value_lengths(), dtype=np.int64)
+        t_off = np.concatenate(([0], np.cumsum(lengths)))
+        out_lengths = np.maximum(lengths - (n - 1), 0)
+        o_off = np.concatenate(([0], np.cumsum(out_lengths)))
+        row_ids = np.searchsorted(o_off, keep, side="right") - 1
+        starts = t_off[row_ids] + (keep - o_off[row_ids])
+        flat_tokens = toks.flatten()
+        parts = [pc.take(flat_tokens, pa.array(starts + j)) for j in range(n)]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = pc.binary_join_element_wise(joined, p, " ")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        return pa.table(
+            {
+                "lang": pc.take(lang, pa.array(row_ids)),
+                "ngram": joined,
+                "estimate": pa.array(est[sel], pa.int64()),
+            }
+        )
+
+    pdf = ds.map_batches(select, batch_format="pyarrow", batch_size=batch_size).to_pandas()
+    return pdf.groupby(["lang", "ngram"], as_index=False)["estimate"].max()
+
+
+def heavy_ngrams_by_lang_sql(n: int = 3, min_count: int = 3) -> str:
+    assert n == 3
+    return f"""
+WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT lang, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS ngram
+      FROM t, LATERAL unnest(range(1, len(toks) - 1)) r(i))
+SELECT lang, ngram, COUNT(*) AS estimate FROM g GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}
+"""
+
+
 def heavy_ngrams_sql(n: int = 3, min_count: int = 3) -> str:
     assert n == 3
     return f"""
