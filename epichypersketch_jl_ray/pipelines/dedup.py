@@ -47,33 +47,6 @@ FROM documents GROUP BY 1
 """
 
 
-def _shingle_sets_for(sf_dir: str, doc_ids: np.ndarray) -> dict[int, np.ndarray]:
-    """Second read fetching shingle sets for just the candidate docs (the
-    broadcast-verify side; at cluster scale this becomes a bucketed join of
-    candidates against the signature stage's output)."""
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    wanted = np.unique(doc_ids)
-
-    def collect(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        mask = np.isin(ids, wanted)
-        if not mask.any():
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "shingles": pa.array([], pa.list_(pa.int64()))}
-            )
-        sub = batch.filter(pa.array(mask))
-        sh, off = word_shingle_hashes(sub["text"], n=SHINGLE_N)
-        lists = pa.ListArray.from_arrays(
-            pa.array(off.astype(np.int32), pa.int32()), pa.array(sh.view(np.int64), pa.int64())
-        )
-        return pa.table({"doc_id": sub["doc_id"], "shingles": lists})
-
-    out = {}
-    for row in ds.map_batches(collect, batch_format="pyarrow").take_all():
-        out[int(row["doc_id"])] = np.sort(np.asarray(row["shingles"], dtype=np.int64).view(np.uint64))
-    return out
-
-
 def dedup_minhash_lsh(
     sf_dir: str, *, threshold: float = 0.5, num_perms: int = 128, bands: int = 64
 ) -> pd.DataFrame:
@@ -82,13 +55,28 @@ def dedup_minhash_lsh(
     bands=64 x rows=2: P(candidate | J) = 1-(1-J^2)^64 — for J>=0.5 the miss
     probability is (3/4)^64 ~ 1e-8, so at fixture scale the verified output
     equals the exact-Jaccard oracle.
+
+    ONE read of the corpus: the shingle-hash table is computed once,
+    materialized (hashes only — tiny relative to the text), and reused by
+    both the banding branch and the candidate verification branch.
     """
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    # callable INSTANCE -> stateless map_batches tasks (building the seeded
-    # permutations per batch is negligible; a fixed 2-actor pool was the
-    # stage's bottleneck)
+
+    def shingle_table(batch: pa.Table) -> pa.Table:
+        sh, off = word_shingle_hashes(batch["text"], n=SHINGLE_N)
+        lists = pa.ListArray.from_arrays(
+            pa.array(off.astype(np.int32), pa.int32()), pa.array(sh.view(np.int64), pa.int64())
+        )
+        return pa.table({"doc_id": batch["doc_id"], "shingles": lists})
+
+    shingles = ds.map_batches(shingle_table, batch_format="pyarrow").materialize()
+
     sig = SignatureStage(num_perms=num_perms, bands=bands, shingle_n=SHINGLE_N)
-    exploded = ds.map_batches(sig, batch_format="pyarrow", batch_size=2048)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        return sig.from_shingle_table(batch)
+
+    exploded = shingles.map_batches(band_rows, batch_format="pyarrow", batch_size=2048)
     cand = (
         exploded.groupby("band_bucket")
         .map_groups(candidate_pairs_from_band, batch_format="pyarrow")
@@ -99,7 +87,17 @@ def dedup_minhash_lsh(
             {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
         )
     pairs = cand.drop_duplicates().to_numpy()
-    sets = _shingle_sets_for(sf_dir, pairs.ravel())
+    wanted = np.unique(pairs.ravel())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        mask = np.isin(batch["doc_id"].to_numpy(zero_copy_only=False), wanted)
+        return batch.filter(pa.array(mask))
+
+    sets = {}
+    for row in shingles.map_batches(pick, batch_format="pyarrow").take_all():
+        sets[int(row["doc_id"])] = np.sort(
+            np.asarray(row["shingles"], dtype=np.int64).view(np.uint64)
+        )
     jac = exact_jaccard(pairs, sets)
     keep = jac >= threshold
     out = pd.DataFrame(

@@ -84,16 +84,29 @@ def motif_pipeline(
     return act.map_batches(selector, batch_format="pyarrow", batch_size=batch_size)
 
 
+# session-level cache of MATERIALIZED activation datasets: the driver and
+# bench call several motif queries in one Ray session; the groupby shuffle
+# that builds the sequences is the dominant fixed cost, so building it once
+# per (sf_dir, conv) amortizes it (a MaterializedDataset pins its blocks in
+# the object store for the session — small relative to the store).
+_ACTIVATION_CACHE: dict = {}
+
+
 def lineitem_activation(sf_dir: str, *, conv: bool) -> ray.data.Dataset:
+    key = (sf_dir, conv)
+    if key in _ACTIVATION_CACHE:
+        return _ACTIVATION_CACHE[key]
     cols = ["l_orderkey", "l_suppkey", "l_quantity"] + (["l_linenumber"] if conv else [])
     li = read_table(sf_dir, "lineitem", columns=cols)
-    return activation_from_table(
+    act = activation_from_table(
         li,
         key_col="l_orderkey",
         feature_col="l_suppkey",
         contribution_col="l_quantity",
         position_col="l_linenumber" if conv else None,
-    )
+    ).materialize()
+    _ACTIVATION_CACHE[key] = act
+    return act
 
 
 def motifs_ordinary(sf_dir: str, *, motif_size: int = 3, min_count: int = 3) -> ray.data.Dataset:

@@ -45,9 +45,22 @@ class SignatureStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sh, off = word_shingle_hashes(batch["text"], n=self.shingle_n)
+        return self._emit(batch, sh, off)
+
+    def from_shingle_table(self, batch: pa.Table) -> pa.Table:
+        """Same banding from a precomputed (doc_id, shingles list) table —
+        lets the pipeline hash shingles once and reuse them for both banding
+        and exact verification."""
+        arr = batch["shingles"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        sh = arr.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+        off = np.concatenate(([0], np.cumsum(np.asarray(arr.value_lengths(), dtype=np.int64))))
+        return self._emit(batch, sh, off)
+
+    def _emit(self, batch: pa.Table, sh: np.ndarray, off: np.ndarray) -> pa.Table:
         sigs = self.mh.signatures(sh, off)
         keys = self.mh.band_keys(sigs, self.bands)  # (n, bands)
-        n = len(batch)
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         # explode: one row per (band, doc); band_bucket is the shuffle key —
         # many bands per bucket so the downstream grouping stays vectorized
