@@ -70,7 +70,7 @@ def _host_of(idx: np.ndarray, seed: int) -> np.ndarray:
     return (_u01(idx, seed, 3) ** 4 * N_HOSTS).astype(np.int64)
 
 
-def _chunk(start: int, stop: int, seed: int) -> pa.Table:
+def _chunk(start: int, stop: int, seed: int, length_mu: float = 3.3) -> pa.Table:
     from epichypersketch_jl_ray.functions.hashing import splitmix64
 
     n = stop - start
@@ -79,7 +79,8 @@ def _chunk(start: int, stop: int, seed: int) -> pa.Table:
     u1 = np.clip(_u01(idx, seed, 1), 1e-12, 1.0)
     u2 = _u01(idx, seed, 2)
     normal = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
-    lengths = np.clip(np.exp(3.3 + 0.6 * normal).astype(np.int64), 1, 300)
+    upper = 300 if length_mu <= 3.3 else 2000  # default clip unchanged (determinism)
+    lengths = np.clip(np.exp(length_mu + 0.6 * normal).astype(np.int64), 1, upper)
     lengths[idx % 97 == 0] = 0  # empty docs
     lengths[idx % 89 == 0] = 1  # single-token docs
     # tokens: per (row, position) counter hash into the vocab
@@ -127,7 +128,13 @@ def held_out_urls(n: int = 1000) -> list[str]:
 
 
 def generate_webpages(
-    out_dir: str, n_rows: int, *, n_shards: int = 8, seed: int = 42, overwrite: bool = False
+    out_dir: str,
+    n_rows: int,
+    *,
+    n_shards: int = 8,
+    seed: int = 42,
+    overwrite: bool = False,
+    length_mu: float = 3.3,
 ) -> list[str]:
     """Write the fixture as n_shards parquet files; returns the file list.
 
@@ -143,13 +150,16 @@ def generate_webpages(
         files.append(path)
         if os.path.exists(path) and not overwrite:
             continue
-        tbl = _chunk(int(bounds[s]), int(bounds[s + 1]), seed)
+        tbl = _chunk(int(bounds[s]), int(bounds[s + 1]), seed, length_mu)
         pq.write_table(tbl, path)
     return files
 
 
-def webpages_dir_for(n_rows: int, *, seed: int = 42, n_shards: int = 8) -> str:
+def webpages_dir_for(
+    n_rows: int, *, seed: int = 42, n_shards: int = 8, length_mu: float = 3.3
+) -> str:
     """Cached fixture location under /tmp (generated on first use)."""
-    out = f"/tmp/graft_webpages/n{n_rows}_s{seed}_f{n_shards}"
-    generate_webpages(out, n_rows, n_shards=n_shards, seed=seed)
+    mu_tag = "" if length_mu == 3.3 else f"_mu{length_mu}"
+    out = f"/tmp/graft_webpages/n{n_rows}_s{seed}_f{n_shards}{mu_tag}"
+    generate_webpages(out, n_rows, n_shards=n_shards, seed=seed, length_mu=length_mu)
     return out
