@@ -84,6 +84,46 @@ def fnv1a64(strings) -> np.ndarray:
     return splitmix64(out)
 
 
+def hash_strings_fast(strings) -> np.ndarray:
+    """Deterministic uint64 hash of short strings, vectorized without masked
+    passes: strings of <= 8 bytes pack into one little-endian uint64 (8
+    unconditional gathers + shifts) mixed with the length through splitmix64.
+    Falls back to fnv1a64 when any string exceeds 8 bytes. Used for TOKEN
+    hashing (tokens are short); NOT interchangeable with fnv1a64 values.
+    """
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if not isinstance(strings, pa.Array):
+        strings = pa.array(strings, type=pa.string())
+    offsets, values = _string_buffers(strings)
+    lengths = offsets[1:] - offsets[:-1]
+    n = len(lengths)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    starts = offsets[:-1]
+    short = lengths <= 8
+    out = np.empty(n, dtype=np.uint64)
+    if short.any():
+        s_start = starts[short]
+        s_len = lengths[short]
+        safe_len = np.maximum(s_len, 1)
+        word = np.zeros(len(s_len), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(8):
+                idx = s_start + np.minimum(j, safe_len - 1)
+                byte = (
+                    values[idx].astype(np.uint64) if len(values) else np.zeros(len(s_len), np.uint64)
+                )
+                word |= (byte * (s_len > j).astype(np.uint64)) << np.uint64(8 * j)
+            out[short] = splitmix64(word + splitmix64(s_len.astype(np.uint64)))
+    if not short.all():
+        # per-STRING fallback (never per-batch: the same string must hash
+        # identically regardless of what else shares its batch)
+        long_idx = np.flatnonzero(~short)
+        out[long_idx] = fnv1a64(strings.take(pa.array(long_idx)))
+    return out
+
+
 def hash_int64(x: np.ndarray, seed: int = 0) -> np.ndarray:
     """Deterministic uint64 hash of an int64/uint64 array."""
     with np.errstate(over="ignore"):

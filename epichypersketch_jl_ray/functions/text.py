@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from epichypersketch_jl_ray.functions.hashing import fnv1a64, hash_combine
+from epichypersketch_jl_ray.functions.hashing import fnv1a64, hash_combine, hash_strings_fast
 
 
 def tokenize(texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
@@ -29,11 +29,12 @@ def tokenize(texts: pa.Array | pa.ChunkedArray) -> pa.ListArray:
 
 
 def token_hashes(texts: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
-    """(flat uint64 token hashes, int64 offsets) per row."""
+    """(flat uint64 token hashes, int64 offsets) per row (fast packed hash
+    for short tokens, fnv fallback for long ones — see hash_strings_fast)."""
     toks = tokenize(texts)
     flat = toks.flatten()
     offsets = np.asarray(toks.offsets, dtype=np.int64)
-    return fnv1a64(flat), offsets
+    return hash_strings_fast(flat), offsets
 
 
 def ngram_hashes(
@@ -161,7 +162,7 @@ def langid_scores(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
     scores = np.zeros((len(offsets) - 1, len(langs)), dtype=np.int64)
     row_ids = np.repeat(np.arange(len(offsets) - 1), np.diff(offsets))
     for li, lang in enumerate(langs):
-        marker = fnv1a64(pa.array(list(_STOPWORDS[lang])))
+        marker = hash_strings_fast(pa.array(list(_STOPWORDS[lang])))
         hit = np.isin(flat, marker)
         if hit.any():
             scores[:, li] = np.bincount(row_ids[hit], minlength=len(offsets) - 1)
