@@ -110,7 +110,10 @@ def hash_strings_fast(strings) -> np.ndarray:
         word = np.zeros(len(s_len), dtype=np.uint64)
         with np.errstate(over="ignore"):
             for j in range(8):
-                idx = s_start + np.minimum(j, safe_len - 1)
+                # clamp: a zero-length string at the buffer's end would index
+                # one past `values`; its contribution is zeroed by the
+                # (s_len > j) mask regardless
+                idx = np.minimum(s_start + np.minimum(j, safe_len - 1), max(len(values) - 1, 0))
                 byte = (
                     values[idx].astype(np.uint64) if len(values) else np.zeros(len(s_len), np.uint64)
                 )
