@@ -159,3 +159,21 @@ def test_splitmix_and_combine_shapes():
     assert splitmix64(x).shape == (10,)
     assert hash_combine(x, x, x).shape == (10,)
     assert len(np.unique(splitmix64(x))) == 10
+
+
+def test_hash_strings_fast_trailing_empty():
+    """Regression: zero-length string at the buffer end must not read past
+    the values buffer, and hashes must be position-independent."""
+    import pyarrow as pa
+
+    from epichypersketch_jl_ray.functions.hashing import hash_strings_fast
+
+    a = hash_strings_fast(pa.array(["abc", "de", ""]))
+    b = hash_strings_fast(pa.array(["", "abc", "de"]))
+    assert a[2] == b[0] and a[0] == b[1] and a[1] == b[2]
+    # all-empty array
+    c = hash_strings_fast(pa.array(["", ""]))
+    assert c[0] == c[1]
+    # mixed long/short stays per-string consistent
+    d = hash_strings_fast(pa.array(["verylongtokenindeed", ""]))
+    assert d[1] == a[2]
