@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal (stubbed decode, real plumbing)
         "image_features": multimodal.image_features,
         "video_frame_features": multimodal.video_frame_features,
+        "audio_window_features": multimodal.audio_window_features,
         # text analysis
         "doc_stats": textstats.doc_stats,
         "token_count_bpe": textstats.token_count_bpe,

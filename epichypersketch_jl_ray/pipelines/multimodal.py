@@ -13,6 +13,8 @@ from epichypersketch_jl_ray.stages.multimodal import (
     DecodeImage,
     FeaturizeImage,
     FrameSampleVideo,
+    WindowAudio,
+    make_fake_audio_table,
     make_fake_image_table,
     make_fake_video_table,
 )
@@ -58,6 +60,29 @@ def video_frame_features(sf_dir: str, *, n: int = 64, stride: int = 8, dim: int 
         concurrency=2,
     )
     feats = frames.map_batches(
+        FeaturizeImage,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )
+    return feats.to_pandas()
+
+
+def audio_window_features(sf_dir: str, *, n: int = 64, window: int = 1024, dim: int = 8) -> pd.DataFrame:
+    """Fake-audio corpus → window chunking (actor pool, stubbed codec) →
+    per-window feature vectors. One output row per analysis window."""
+    scale = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 4}.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 1)
+    tbl = make_fake_audio_table(n * scale)
+    ds = ray.data.from_arrow(tbl)
+    windows = ds.map_batches(
+        WindowAudio,
+        fn_constructor_kwargs={"window": window, "fake": True},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    )
+    feats = windows.map_batches(
         FeaturizeImage,
         fn_constructor_kwargs={"dim": dim},
         batch_format="pyarrow",

@@ -151,6 +151,71 @@ class FrameSampleVideo:
         )
 
 
+def make_fake_audio_table(n: int, *, seed: int = 17, samples: int = 4096) -> pa.Table:
+    """Deterministic fixture: payload = fake PCM bytes (1 byte/sample)."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=samples, dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/fake"] * n, pa.string()),
+            "sample_rate": pa.array([16000] * n, pa.int32()),
+            "n_samples": pa.array([samples] * n, pa.int32()),
+        }
+    )
+
+
+class WindowAudio:
+    """Actor stage: audio payload -> fixed-size analysis windows.
+
+    Real seam: an audio codec/feature extractor (soundfile/torchaudio)
+    loaded once per actor; ``fake=True`` treats the payload as raw 8-bit PCM
+    and emits one row per ``window``-sample hop — the flat layout the
+    featurize stage consumes (same contract as video frame sampling).
+    """
+
+    def __init__(self, *, window: int = 1024, fake: bool = False) -> None:
+        if not fake:
+            raise NotImplementedError(
+                "audio decoding requires an audio library not present in this "
+                "container; pass fake=True for the deterministic test decode"
+            )
+        if window < 1:
+            raise ValueError("window must be >= 1")
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        bufs = payloads.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=np.int32, count=len(payloads) + 1)
+        values = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+        out_ids, out_widx, out_chunks, out_off = [], [], [], [0]
+        for i in range(len(ids)):
+            span = values[offsets[i] : offsets[i + 1]]
+            n_windows = len(span) // self.window
+            for w in range(n_windows):
+                chunk = span[w * self.window : (w + 1) * self.window]
+                out_ids.append(int(ids[i]))
+                out_widx.append(w)
+                out_chunks.append(chunk.astype(np.float32) / 255.0)
+                out_off.append(out_off[-1] + len(chunk))
+        flat = np.concatenate(out_chunks) if out_chunks else np.empty(0, np.float32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.asarray(out_off, dtype=np.int32)), pa.array(flat, pa.float32())
+        )
+        return pa.table(
+            {
+                "id": pa.array(out_ids, pa.int64()),
+                "window_idx": pa.array(out_widx, pa.int32()),
+                "pixels": lists,  # generic "samples" column; featurize consumes it
+            }
+        )
+
+
 class FeaturizeImage:
     """Actor stage: pixels -> pooled feature vector (deterministic stand-in
     for batched model inference; the model would load in __init__)."""

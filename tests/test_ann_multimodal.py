@@ -71,3 +71,16 @@ def test_video_frame_sampling(ray_session, sf_dir):
         FrameSampleVideo(stride=8)
     with pytest.raises(ValueError):
         FrameSampleVideo(stride=0, fake=True)
+
+
+def test_audio_windowing(ray_session, sf_dir):
+    from epichypersketch_jl_ray.pipelines.multimodal import audio_window_features
+    from epichypersketch_jl_ray.stages.multimodal import WindowAudio
+
+    out = audio_window_features(sf_dir, n=16, window=1024)
+    # 4096 samples / 1024 window -> 4 windows per clip
+    per_clip = out.groupby("id")["window_idx"].apply(sorted)
+    assert all(v == [0, 1, 2, 3] for v in per_clip)
+    assert all(len(e) == 8 for e in out["embedding"].head(5))
+    with pytest.raises(NotImplementedError):
+        WindowAudio(window=1024)
