@@ -51,17 +51,27 @@ def motif_pipeline(
     max_active_len: int = 64,
     batch_size: int = 2048,
     concurrency: int = 4,
+    spill_dir: str | None = None,
 ) -> ray.data.Dataset:
     """count (pass 1) → tree merge → broadcast → select+extract (pass 2).
 
-    The activation dataset is materialized once because both passes read it —
-    the streaming analogue of the reference keeping its Records alive across
-    count!/make_selection! (/root/reference/src/count_gpu_extract.jl:37-53);
-    Ray spills blocks to disk if it outgrows the object store.
+    Both passes read the activation dataset. Default: materialize in the
+    object store (Ray spills to disk under pressure) — the streaming analogue
+    of the reference keeping its Records alive across count!/make_selection!
+    (/root/reference/src/count_gpu_extract.jl:37-53). With ``spill_dir`` the
+    activation is written once to partitioned parquet and re-read per pass —
+    the cluster-robust variant: pass 2 survives driver/object-store loss and
+    can be re-run against the spilled files.
     """
     from epichypersketch_jl_ray.stages.motifs import MotifCountState
 
-    act = activation.materialize()
+    if spill_dir is not None:
+        from epichypersketch_jl_ray.sources.sinks import write_partitioned
+
+        write_partitioned(activation, spill_dir)
+        act = ray.data.read_parquet(spill_dir)
+    else:
+        act = activation.materialize()
     kwargs = dict(
         motif_size=motif_size,
         conv=conv,
