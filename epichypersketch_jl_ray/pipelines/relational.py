@@ -58,8 +58,8 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
 def pricing_summary_sql() -> str:
     return """
 SELECT l_returnflag, l_linestatus,
-       SUM(l_quantity) AS sum_qty,
-       SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_cents,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
        COUNT(*) AS n
 FROM lineitem GROUP BY 1, 2
 """
@@ -90,7 +90,7 @@ def top_suppliers(sf_dir: str, *, k: int = 10) -> ray.data.Dataset:
 
 def top_suppliers_sql(k: int = 10) -> str:
     return f"""
-SELECT l_suppkey, SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents
+SELECT l_suppkey, CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem GROUP BY 1 ORDER BY revenue_cents DESC, l_suppkey LIMIT {k}
 """
 
@@ -136,7 +136,7 @@ def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
 
 def revenue_by_nation_sql() -> str:
     return """
-SELECT n_name, SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS revenue_cents, COUNT(*) AS n_orders
+SELECT n_name, CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1
 """
@@ -278,7 +278,7 @@ def part_revenue_by_brand(sf_dir: str, *, num_partitions: int = 8) -> ray.data.D
 def part_revenue_by_brand_sql() -> str:
     return """
 SELECT p_brand,
-       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1
 """
@@ -375,7 +375,7 @@ def windowed_events_sql(window_minutes: int = 60) -> str:
 SELECT event_type,
        (epoch_us(ts) // {us}) * {us} AS window_start,
        COUNT(*) AS n_events,
-       SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
 """
 

@@ -43,6 +43,15 @@ def compare(name: str, ours, theirs: pd.DataFrame) -> list[str]:
     b = theirs[a_cols].sort_values(a_cols).reset_index(drop=True)
     for c in a_cols:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        # the driver's value-hash is representation-sensitive: an un-cast
+        # DuckDB SUM(BIGINT) comes back HUGEINT (object/float dtype) and
+        # fails even when the values agree — so dtype kinds must match too
+        if av.dtype.kind != bv.dtype.kind:
+            problems.append(
+                f"{name}: dtype mismatch in column {c}: {av.dtype} vs {bv.dtype}"
+                " (cast the oracle aggregate to BIGINT/DOUBLE)"
+            )
+            continue
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             ok = np.array_equal(av.astype(np.float64), bv.astype(np.float64))
         elif av.dtype.kind in "OUS" or bv.dtype.kind in "OUS":
