@@ -14,8 +14,9 @@ from epichypersketch_jl_ray.functions.text import word_shingle_hashes
 from epichypersketch_jl_ray.sources.tables import read_table
 from epichypersketch_jl_ray.stages.dedup import (
     SignatureStage,
+    attach_list_column,
     candidate_pairs_from_band,
-    exact_jaccard,
+    jaccard_verify_batch,
     md5_hex,
     simhash_candidates_from_chunk,
     simhash_stage,
@@ -48,18 +49,34 @@ FROM documents GROUP BY 1
 
 
 def dedup_minhash_lsh(
-    sf_dir: str, *, threshold: float = 0.5, num_perms: int = 128, bands: int = 64
-) -> pd.DataFrame:
-    """Near-dup pairs via MinHash-LSH banding + exact Jaccard verification.
+    sf_dir: str,
+    *,
+    threshold: float = 0.5,
+    num_perms: int = 128,
+    bands: int = 64,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Near-dup pairs via MinHash-LSH banding + DISTRIBUTED exact Jaccard
+    verification.
 
     bands=64 x rows=2: P(candidate | J) = 1-(1-J^2)^64 — for J>=0.5 the miss
     probability is (3/4)^64 ~ 1e-8, so at fixture scale the verified output
     equals the exact-Jaccard oracle.
 
-    ONE read of the corpus: the shingle-hash table is computed once,
-    materialized (hashes only — tiny relative to the text), and reused by
-    both the banding branch and the candidate verification branch.
+    Scale shape: ONE read of the corpus computes the shingle-hash table
+    (hashes only — tiny relative to the text), materialized in the object
+    store and reused by both the banding branch and verification. Candidate
+    pairs are deduplicated with a distributed groupby (not a driver
+    drop_duplicates), then each pair is co-located with both docs' shingle
+    lists via two bucketed attach passes on doc_id
+    (stages.dedup.attach_list_column — Ray's native join can't carry list
+    payloads), and exact Jaccard is computed vectorized per batch
+    (stages.dedup.jaccard_verify_batch). No driver-side take_all of shingles
+    and no per-pair Python loop — at 100 TB the candidate-pair set streams
+    through the same shuffle machinery as any other table.
     """
+    import pyarrow.compute as pc
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def shingle_table(batch: pa.Table) -> pa.Table:
@@ -80,30 +97,23 @@ def dedup_minhash_lsh(
     cand = (
         exploded.groupby("band_bucket")
         .map_groups(candidate_pairs_from_band, batch_format="pyarrow")
-        .to_pandas()
+        # a pair can match in many bands: dedupe with a distributed groupby
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands"))
+        .drop_columns(["n_bands"])
     )
-    if len(cand) == 0:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}).astype(
-            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
-        )
-    pairs = cand.drop_duplicates().to_numpy()
-    wanted = np.unique(pairs.ravel())
+    with_a = attach_list_column(
+        cand, "doc_a", shingles, "doc_id", "shingles", "shingles_a", num_buckets=num_partitions
+    )
+    with_ab = attach_list_column(
+        with_a, "doc_b", shingles, "doc_id", "shingles", "shingles_b", num_buckets=num_partitions
+    )
 
-    def pick(batch: pa.Table) -> pa.Table:
-        mask = np.isin(batch["doc_id"].to_numpy(zero_copy_only=False), wanted)
-        return batch.filter(pa.array(mask))
+    def verify(batch: pa.Table) -> pa.Table:
+        out = jaccard_verify_batch(batch)
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-    sets = {}
-    for row in shingles.map_batches(pick, batch_format="pyarrow").take_all():
-        sets[int(row["doc_id"])] = np.sort(
-            np.asarray(row["shingles"], dtype=np.int64).view(np.uint64)
-        )
-    jac = exact_jaccard(pairs, sets)
-    keep = jac >= threshold
-    out = pd.DataFrame(
-        {"doc_a": pairs[keep, 0], "doc_b": pairs[keep, 1], "jaccard": jac[keep]}
-    ).sort_values(["doc_a", "doc_b"])
-    return out.reset_index(drop=True)
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 def dedup_minhash_lsh_sql(threshold: float = 0.5) -> str:
@@ -121,47 +131,81 @@ SELECT da AS doc_a, db AS doc_b, jac AS jaccard FROM j WHERE jac >= {threshold}
 """
 
 
-def dedup_embedding(sf_dir: str, *, threshold: float = 0.45) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs over the embeddings table.
+def dedup_embedding(sf_dir: str, *, threshold: float = 0.45) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs over the embeddings table — EXACT
+    all-pairs via block-pair decomposition.
 
-    Brute-force blocked float64 matmul (one block vs the broadcast full
-    matrix per batch) — exact, so the DuckDB list_cosine_similarity oracle
-    hash-matches. At cluster scale the same stage runs after LSH bucketing
-    (random hyperplane signs) to prune candidate blocks.
+    The corpus is materialized once as normalized blocks in the object
+    store; the driver holds only block ObjectRefs, never the vectors. A
+    Dataset of (i, j) block-index pairs (i <= j) fans out one task per block
+    pair; each task fetches exactly its two blocks (zero-copy plasma read
+    locally, one network fetch per remote block at cluster scale) and runs
+    one float64 matmul. Exact, so the DuckDB list_cosine_similarity oracle
+    hash-matches, with no whole-dataset take_all and no full-matrix
+    broadcast. Exact all-pairs is inherently O(N²/blocksize²) tasks — the
+    sub-quadratic scale path is the approximate LSH-bucketed variant
+    (pipelines/ann.py LSHBuckets), which prunes to matching-signature
+    buckets and runs this same kernel within buckets.
     """
     import ray as _ray
 
     from epichypersketch_jl_ray.stages.ann import _embedding_matrix
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    # broadcast the full (normalized) matrix once
-    full = ds.materialize()
-    rows = full.take_all()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    mat_n = mat / np.where(norms == 0, 1, norms)
-    ref = _ray.put((ids, mat_n))
 
-    def block_pairs(batch: pa.Table) -> pa.Table:
-        bid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    def normalize(batch: pa.Table) -> pa.Table:
         e = _embedding_matrix(batch, "embedding")
         n = np.linalg.norm(e, axis=1, keepdims=True)
         e = e / np.where(n == 0, 1, n)
-        aids, amat = _ray.get(ref)
-        sims = e @ amat.T  # (nb, N)
-        ii, jj = np.nonzero(sims >= threshold)
-        keep = bid[ii] < aids[jj]  # each unordered pair once
+        dim = e.shape[1]
         return pa.table(
             {
-                "vec_a": pa.array(bid[ii][keep], pa.int64()),
-                "vec_b": pa.array(aids[jj][keep], pa.int64()),
-                "cosine": pa.array(np.round(sims[ii, jj][keep], 12), pa.float64()),
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(e.ravel(), pa.float64()), dim
+                ),
             }
         )
 
-    out = full.map_batches(block_pairs, batch_format="pyarrow", batch_size=1024).to_pandas()
-    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    blocks = ds.map_batches(normalize, batch_format="pyarrow").materialize().to_arrow_refs()
+    nb = len(blocks)
+    pair_idx = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
+
+    def block_pair(batch: pa.Table) -> pa.Table:
+        out = []
+        for i, j in zip(
+            batch["i"].to_numpy(zero_copy_only=False), batch["j"].to_numpy(zero_copy_only=False)
+        ):
+            ta = _ray.get(blocks[i])
+            tb = ta if j == i else _ray.get(blocks[j])
+            ida = ta["vec_id"].to_numpy(zero_copy_only=False)
+            idb = tb["vec_id"].to_numpy(zero_copy_only=False)
+            ea = _embedding_matrix(ta, "embedding")
+            eb = _embedding_matrix(tb, "embedding")
+            sims = ea @ eb.T
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = ida[ii] != idb[jj]
+            ii, jj = ii[keep], jj[keep]
+            lo = np.minimum(ida[ii], idb[jj])
+            hi = np.maximum(ida[ii], idb[jj])
+            # i == j sees each unordered pair twice (both triangles): keep one
+            if j == i:
+                first = ida[ii] < idb[jj]
+                lo, hi, ii, jj = lo[first], hi[first], ii[first], jj[first]
+            out.append(
+                pa.table(
+                    {
+                        "vec_a": pa.array(lo, pa.int64()),
+                        "vec_b": pa.array(hi, pa.int64()),
+                        "cosine": pa.array(np.round(sims[ii, jj], 12), pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    return ray.data.from_items(pair_idx).map_batches(
+        block_pair, batch_format="pyarrow", batch_size=1
+    )
 
 
 def dedup_embedding_sql(threshold: float = 0.45) -> str:

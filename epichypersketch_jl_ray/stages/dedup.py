@@ -109,7 +109,8 @@ def exact_jaccard(
     pairs: np.ndarray, shingle_sets: dict[int, np.ndarray]
 ) -> np.ndarray:
     """Exact Jaccard for candidate pairs given doc_id -> sorted distinct
-    shingle-hash arrays."""
+    shingle-hash arrays (test/fixture helper; the pipeline path is the
+    distributed ``jaccard_verify_batch``)."""
     out = np.empty(len(pairs), dtype=np.float64)
     for i, (a, b) in enumerate(pairs):
         sa, sb = shingle_sets[int(a)], shingle_sets[int(b)]
@@ -117,6 +118,134 @@ def exact_jaccard(
         union = sa.size + sb.size - inter
         out[i] = inter / union if union else 0.0
     return out
+
+
+def _list_flat_lengths(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(flat values, per-row lengths) from a list<int64> column — via
+    flatten()/value_lengths(), which honour a sliced array's offset (a raw
+    buffer read would not)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+    lengths = np.asarray(arr.value_lengths(), dtype=np.int64)
+    return flat, lengths
+
+
+def jaccard_verify_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized exact Jaccard for a batch of candidate pairs carrying both
+    sides' distinct shingle lists (columns doc_a, doc_b, shingles_a,
+    shingles_b — produced by joining the candidate pairs back against the
+    shingle table, so verification is distributed instead of a driver loop).
+
+    Per-pair intersection counts come from one lexsort over (pair_idx, hash)
+    of both lists concatenated: values within a row are distinct per side,
+    so a value appearing twice for the same pair index is exactly one
+    intersection element.
+    """
+    n = len(batch)
+    fa, la = _list_flat_lengths(batch["shingles_a"])
+    fb, lb = _list_flat_lengths(batch["shingles_b"])
+    idx = np.concatenate(
+        [np.repeat(np.arange(n, dtype=np.int64), la), np.repeat(np.arange(n, dtype=np.int64), lb)]
+    )
+    val = np.concatenate([fa, fb])
+    order = np.lexsort((val, idx))
+    idx, val = idx[order], val[order]
+    dup = np.zeros(len(idx), dtype=bool)
+    dup[1:] = (idx[1:] == idx[:-1]) & (val[1:] == val[:-1])
+    inter = np.bincount(idx[dup], minlength=n).astype(np.int64)
+    union = la + lb - inter
+    jac = np.divide(inter, union, out=np.zeros(n, dtype=np.float64), where=union > 0)
+    return pa.table(
+        {
+            "doc_a": batch["doc_a"].cast(pa.int64()),
+            "doc_b": batch["doc_b"].cast(pa.int64()),
+            "jaccard": pa.array(jac, pa.float64()),
+        }
+    )
+
+
+def attach_list_column(
+    pairs: "ray.data.Dataset",
+    key_col: str,
+    lists: "ray.data.Dataset",
+    list_key: str,
+    list_col: str,
+    out_col: str,
+    *,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Distributed equi-join that carries a list<int64> payload: attach
+    ``lists[list_col]`` to every pair row whose ``key_col`` matches
+    ``list_key``.
+
+    Ray's native hash join delegates to pyarrow acero, which rejects list
+    payload columns ("Data type list<...> is not supported in join non-key
+    field"), so this uses the portable bucketed shape instead: both sides are
+    tagged with ``hash(key) % num_buckets``, unioned under one padded schema,
+    shuffled once by bucket, and matched per group with a vectorized
+    searchsorted + arrow take. Partitioning assumption: a single key's
+    shingle row plus the pair rows referencing it fit in one group — buckets
+    hold many keys, so ``num_buckets`` scales freely with the corpus.
+    """
+    from epichypersketch_jl_ray.functions.hashing import hash_int64
+
+    pair_schema = pa.schema(
+        [pa.field(f.name, f.type) for f in _dataset_schema(pairs)]
+    )
+    list_type = next(f.type for f in _dataset_schema(lists) if f.name == list_col)
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        b = (hash_int64(batch[key_col].to_numpy(zero_copy_only=False), seed=5) % np.uint64(num_buckets)).astype(np.int64)
+        cols = {c: batch[c] for c in pair_schema.names}
+        cols["__join_key"] = batch[key_col].cast(pa.int64())
+        cols["__bucket"] = pa.array(b, pa.int64())
+        cols["__is_pair"] = pa.array(np.ones(len(batch), bool))
+        cols[out_col] = pa.nulls(len(batch), list_type)
+        return pa.table(cols)
+
+    def tag_lists(batch: pa.Table) -> pa.Table:
+        b = (hash_int64(batch[list_key].to_numpy(zero_copy_only=False), seed=5) % np.uint64(num_buckets)).astype(np.int64)
+        cols = {c: pa.nulls(len(batch), pair_schema.field(c).type) for c in pair_schema.names}
+        cols["__join_key"] = batch[list_key].cast(pa.int64())
+        cols["__bucket"] = pa.array(b, pa.int64())
+        cols["__is_pair"] = pa.array(np.zeros(len(batch), bool))
+        cols[out_col] = batch[list_col]
+        return pa.table(cols)
+
+    unioned = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        lists.map_batches(tag_lists, batch_format="pyarrow")
+    )
+
+    def attach(group: pa.Table) -> pa.Table:
+        is_pair = group["__is_pair"].to_numpy(zero_copy_only=False)
+        keys = group["__join_key"].to_numpy(zero_copy_only=False)
+        payload = group[out_col]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        side_idx = np.flatnonzero(~is_pair)
+        side_keys = keys[side_idx]
+        order = np.argsort(side_keys, kind="stable")
+        side_keys = side_keys[order]
+        side_idx = side_idx[order]
+        pair_pos = np.flatnonzero(is_pair)
+        want = keys[pair_pos]
+        loc = np.searchsorted(side_keys, want)
+        loc = np.minimum(loc, max(len(side_keys) - 1, 0))
+        found = (side_keys[loc] == want) if len(side_keys) else np.zeros(len(want), bool)
+        pair_pos = pair_pos[found]
+        attached = payload.take(pa.array(side_idx[loc[found]], pa.int64()))
+        sub = group.take(pa.array(pair_pos, pa.int64()))
+        cols = {c: sub[c] for c in pair_schema.names}
+        cols[out_col] = attached
+        return pa.table(cols)
+
+    return unioned.groupby("__bucket").map_groups(attach, batch_format="pyarrow")
+
+
+def _dataset_schema(ds) -> list:
+    sch = ds.schema()
+    return [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
 
 
 def simhash_stage(batch: pa.Table) -> pa.Table:

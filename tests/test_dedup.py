@@ -33,7 +33,7 @@ def test_minhash_lsh_matches_exact_jaccard(ray_session, sf_dir):
 
     from epichypersketch_jl_ray.pipelines.dedup import dedup_minhash_lsh, dedup_minhash_lsh_sql
 
-    out = dedup_minhash_lsh(sf_dir)
+    out = dedup_minhash_lsh(sf_dir).to_pandas()
     con = duckdb.connect()
     con.sql(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
@@ -42,3 +42,51 @@ def test_minhash_lsh_matches_exact_jaccard(ray_session, sf_dir):
     got = set(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)))
     want = set(zip(truth["doc_a"].astype(int), truth["doc_b"].astype(int)))
     assert got == want
+
+
+def test_minhash_lsh_distributed_verification_at_10x_candidates(ray_session, tmp_path):
+    """The distributed verification path (bucketed attach + vectorized
+    Jaccard) at ~10x the sf-fixture candidate-pair count: 40 near-dup
+    families x 8 docs each -> >1000 candidate pairs, all verified exactly."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from epichypersketch_jl_ray.pipelines.dedup import dedup_minhash_lsh, dedup_minhash_lsh_sql
+
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(500)]
+    docs, ids = [], []
+    doc_id = 0
+    for fam in range(40):
+        base = list(rng.choice(vocab, size=30))
+        for member in range(8):
+            words = list(base)
+            # light mutation keeps Jaccard mostly >= 0.5
+            for _ in range(int(rng.integers(0, 4))):
+                words[int(rng.integers(0, len(words)))] = str(rng.choice(vocab))
+            docs.append(" ".join(words))
+            ids.append(doc_id)
+            doc_id += 1
+    for _ in range(100):  # noise docs
+        docs.append(" ".join(rng.choice(vocab, size=25)))
+        ids.append(doc_id)
+        doc_id += 1
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(docs, pa.string())}),
+        sf / "documents.parquet",
+    )
+    out = dedup_minhash_lsh(str(sf)).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    truth = con.sql(dedup_minhash_lsh_sql()).df()
+    assert len(truth) > 250  # the fixture really is ~10x the sf candidate count
+    got = set(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)))
+    want = set(zip(truth["doc_a"].astype(int), truth["doc_b"].astype(int)))
+    assert got == want
+    jac = dict(zip(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)), out["jaccard"]))
+    tru = dict(zip(zip(truth["doc_a"].astype(int), truth["doc_b"].astype(int)), truth["jaccard"]))
+    assert all(abs(jac[k] - tru[k]) < 1e-12 for k in want)
