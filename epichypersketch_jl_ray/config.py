@@ -37,7 +37,10 @@ class SketchConfig:
     epsilon: float = DEFAULT_CMS_EPSILON
     min_count: int = DEFAULT_MIN_COUNT
     seed: int = DEFAULT_SEED
-    batch_size: int = DEFAULT_BATCH_SIZE
+    # int, or ":auto" — resolved per pipeline from the enumeration working
+    # set (reference batch_size=:auto flow, /root/reference/src/record.jl:58-62
+    # -> /root/reference/src/memory.jl:97-148)
+    batch_size: int | str = DEFAULT_BATCH_SIZE
     max_active_len: int = DEFAULT_MAX_ACTIVE_LEN
     # Ray sizing
     concurrency: int | None = None  # actor-pool size for stateful stages
@@ -50,5 +53,8 @@ class SketchConfig:
             raise ValueError(f"epsilon must be in (0,1), got {self.epsilon}")
         if self.min_count < 1:
             raise ValueError(f"min_count must be >= 1, got {self.min_count}")
-        if self.batch_size < 1:
+        if isinstance(self.batch_size, str):
+            if self.batch_size != ":auto":
+                raise ValueError(f'batch_size must be an int or ":auto", got {self.batch_size!r}')
+        elif self.batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {self.batch_size}")

@@ -127,6 +127,58 @@ def hash_strings_fast(strings) -> np.ndarray:
     return out
 
 
+def _fnv1a64_basis(strings: pa.Array, offset_basis: np.uint64, prime: np.uint64) -> np.ndarray:
+    """FNV-1a byte loop with a caller-chosen basis/prime (second independent
+    pass for the 128-bit content key fallback)."""
+    offsets, values = _string_buffers(strings)
+    n = len(strings)
+    lengths = offsets[1:] - offsets[:-1]
+    out = np.full(n, offset_basis, dtype=np.uint64)
+    if n == 0 or lengths.max(initial=0) == 0:
+        return splitmix64(out)
+    starts = offsets[:-1]
+    with np.errstate(over="ignore"):
+        for j in range(int(lengths.max())):
+            active = lengths > j
+            if not active.any():
+                break
+            idx = starts[active] + j
+            out[active] = (out[active] ^ values[idx].astype(np.uint64)) * prime
+    return splitmix64(out)
+
+
+def content_hash128(strings) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent vectorized uint64 hashes per string — the 128-bit
+    content key for exact dedup. 64 bits collide at birthday scale (~2^32
+    rows, well inside a 10^12-row corpus); two independent 64-bit passes
+    push collisions past 2^64. Uses polars' C-vectorized hash (one pass per
+    seed, no Python per row) when available, else a double FNV-1a pass.
+
+    Keys are for WITHIN-RUN grouping; they are not a stable external format
+    (the polars hash may change across polars versions — persist md5/sha
+    via md5_hex where a durable content address is required).
+    """
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if not isinstance(strings, pa.Array):
+        strings = pa.array(strings, type=pa.string())
+    try:
+        import polars as pl
+
+        s = pl.from_arrow(strings)
+        return (
+            s.hash(seed=0).to_numpy().astype(np.uint64),
+            s.hash(seed=0x9E3779B9).to_numpy().astype(np.uint64),
+        )
+    except ImportError:
+        return (
+            fnv1a64(strings),
+            _fnv1a64_basis(
+                strings, np.uint64(0x6C62272E07BB0142), np.uint64(0x100000001B3)
+            ),
+        )
+
+
 def hash_int64(x: np.ndarray, seed: int = 0) -> np.ndarray:
     """Deterministic uint64 hash of an int64/uint64 array."""
     with np.errstate(over="ignore"):

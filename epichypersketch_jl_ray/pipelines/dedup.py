@@ -10,6 +10,7 @@ import pyarrow as pa
 import ray
 from ray.data.aggregate import Count, Min
 
+from epichypersketch_jl_ray.functions.hashing import content_hash128
 from epichypersketch_jl_ray.functions.text import word_shingle_hashes
 from epichypersketch_jl_ray.sources.tables import read_table
 from epichypersketch_jl_ray.stages.dedup import (
@@ -27,24 +28,38 @@ SHINGLE_N = 3
 
 
 def dedup_exact(sf_dir: str) -> ray.data.Dataset:
-    """Exact dedup: md5(text) groups, keep min doc_id (hash-partition +
-    per-group first — the standard exact-dedup shuffle)."""
+    """Exact dedup: group on a vectorized 128-bit content hash, keep min
+    doc_id (hash-partition + per-group first — the standard exact-dedup
+    shuffle). The key is content_hash128 (two independent uint64 passes, no
+    per-row Python in the keying scan of the whole corpus); the oracle
+    groups by text itself, so the compare is on (keep_id, dup_count) — the
+    hash columns are engine-internal and dropped from the output. md5_hex
+    remains available where a durable/SQL-parity content address is needed
+    (off the hot path)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def key(batch: pa.Table) -> pa.Table:
-        return pa.table({"text_hash": md5_hex(batch["text"]), "doc_id": batch["doc_id"]})
+        h1, h2 = content_hash128(batch["text"])
+        return pa.table(
+            {
+                "h1": pa.array(h1.view(np.int64), pa.int64()),
+                "h2": pa.array(h2.view(np.int64), pa.int64()),
+                "doc_id": batch["doc_id"],
+            }
+        )
 
     return (
         ds.map_batches(key, batch_format="pyarrow")
-        .groupby("text_hash")
+        .groupby(["h1", "h2"])
         .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="dup_count"))
+        .drop_columns(["h1", "h2"])
     )
 
 
 def dedup_exact_sql() -> str:
     return """
-SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
-FROM documents GROUP BY 1
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY text
 """
 
 

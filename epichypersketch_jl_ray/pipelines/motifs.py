@@ -49,11 +49,18 @@ def motif_pipeline(
     epsilon: float = ORACLE_EPSILON,
     seed: int = MOTIF_SEED,
     max_active_len: int = 64,
-    batch_size: int = 2048,
+    batch_size: int | str = 2048,
     concurrency: int = 4,
     spill_dir: str | None = None,
 ) -> ray.data.Dataset:
     """count (pass 1) → tree merge → broadcast → select+extract (pass 2).
+
+    ``batch_size=":auto"`` sizes the batch from the enumeration working set
+    — C(max_active_len, motif_size) per-row cost against the reference's
+    4 GB × 0.8 budget and [10, 10000] clamps
+    (memory.calculate_optimal_batch_size, mirroring
+    /root/reference/src/record.jl:58-62 → /root/reference/src/memory.jl:97-148)
+    — so long sequences automatically get small batches.
 
     Both passes read the activation dataset. Default: materialize in the
     object store (Ray spills to disk under pressure) — the streaming analogue
@@ -64,6 +71,13 @@ def motif_pipeline(
     can be re-run against the spilled files.
     """
     from epichypersketch_jl_ray.stages.motifs import MotifCountState
+
+    if batch_size == ":auto":
+        from epichypersketch_jl_ray.memory import calculate_optimal_batch_size
+
+        batch_size = calculate_optimal_batch_size(
+            max_active_len, motif_size, conv=conv, delta=delta, epsilon=epsilon
+        )
 
     if spill_dir is not None:
         from epichypersketch_jl_ray.sources.sinks import write_partitioned

@@ -17,7 +17,12 @@ import pyarrow.compute as pc
 
 import ray
 
-from epichypersketch_jl_ray.functions.text import ngram_hashes, token_hashes, tokenize
+from epichypersketch_jl_ray.functions.text import (
+    hash_strings_fast,
+    ngram_hashes,
+    token_hashes,
+    tokenize,
+)
 from epichypersketch_jl_ray.sources.tables import read_table
 from epichypersketch_jl_ray.stages.udaf import tree_merge
 from epichypersketch_jl_ray.state.countmin import CountMin
@@ -46,8 +51,10 @@ def heavy_ngrams(
     table: str = "documents",
     batch_size: int = 4096,
 ):
-    """Distinct token n-grams whose CMS estimate >= min_count (pandas
-    DataFrame — the selected set is driver-small by construction)."""
+    """Distinct token n-grams whose CMS estimate >= min_count (Dataset —
+    the cross-batch dedupe is a distributed groupby over the already
+    thresholded pass-2 output, so the driver never materializes the
+    selection even when min_count is small relative to the corpus)."""
     ds = read_table(sf_dir, table, columns=[text_col])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -61,8 +68,9 @@ def heavy_ngrams(
 
     def select(batch: pa.Table) -> pa.Table:
         cms: CountMin = ray.get(cms_ref)
-        toks = tokenize(batch[text_col])
-        flat_h, off = token_hashes(batch[text_col])
+        toks = tokenize(batch[text_col])  # tokenized ONCE; hashes derive from it
+        flat_h = hash_strings_fast(toks.flatten())
+        off = np.asarray(toks.offsets, dtype=np.int64)
         ng, _ = ngram_hashes(flat_h, off, n)
         if len(ng) == 0:
             return pa.table({"ngram": pa.array([], pa.string()), "estimate": pa.array([], pa.int64())})
@@ -85,13 +93,13 @@ def heavy_ngrams(
         return pa.table({"ngram": joined, "estimate": pa.array(est[sel], pa.int64())})
 
     out = ds.map_batches(select, batch_format="pyarrow", batch_size=batch_size)
-    # cross-batch dedupe on the driver: the selected set is bounded by the
-    # min_count threshold (that's the point of heavy hitters), so a
-    # distributed groupby would pay ~3s of shuffle overhead to dedupe a few
-    # thousand rows. Estimates for the same ngram are identical across
-    # batches (same merged CMS), so first-wins == max.
-    pdf = out.to_pandas()
-    return pdf.groupby("ngram", as_index=False)["estimate"].max()
+    # cross-batch dedupe stays distributed: a groupby over the already
+    # thresholded selection (estimates for the same ngram are identical
+    # across batches — same merged CMS — so max == first-wins). The shuffle
+    # input is only the selected rows, not the corpus.
+    from ray.data.aggregate import Max
+
+    return out.groupby("ngram").aggregate(Max("estimate", alias_name="estimate"))
 
 
 def heavy_ngrams_by_lang(
@@ -127,8 +135,13 @@ def heavy_ngrams_by_lang(
 
     def select(batch: pa.Table) -> pa.Table:
         cms: CountMin = ray.get(cms_ref)
-        keys, ng_off, lang = keys_of(batch)
-        toks = tokenize(batch["text"])
+        toks = tokenize(batch["text"])  # tokenized ONCE; keys derive from it
+        lang_h = fnv1a64(batch["lang"])
+        flat_h = hash_strings_fast(toks.flatten())
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        ng, ng_off = ngram_hashes(flat_h, off, n)
+        keys = hash_combine(np.repeat(lang_h, np.diff(ng_off)), ng)
+        lang = batch["lang"]
         if len(keys) == 0:
             return pa.table(
                 {
@@ -162,8 +175,13 @@ def heavy_ngrams_by_lang(
             }
         )
 
-    pdf = ds.map_batches(select, batch_format="pyarrow", batch_size=batch_size).to_pandas()
-    return pdf.groupby(["lang", "ngram"], as_index=False)["estimate"].max()
+    from ray.data.aggregate import Max
+
+    return (
+        ds.map_batches(select, batch_format="pyarrow", batch_size=batch_size)
+        .groupby(["lang", "ngram"])
+        .aggregate(Max("estimate", alias_name="estimate"))
+    )
 
 
 def heavy_ngrams_by_lang_sql(n: int = 3, min_count: int = 3) -> str:

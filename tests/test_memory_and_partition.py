@@ -145,3 +145,48 @@ def test_resumable_transform_write(ray_session, tmp_path):
     assert m2["skipped"] == len(files) - 1 and m2["rows"] == 3000
     total = sum(pq.ParquetFile(f).metadata.num_rows for f in m2["files"])
     assert total == 3000
+
+
+def test_auto_batch_size_wired_into_motif_pipeline(ray_session):
+    """batch_size=":auto" resolves through memory.calculate_optimal_batch_size
+    (reference :auto flow, record.jl:58-62 / memory.jl:172-228): long
+    sequences pick a smaller batch than the fixed default, and the result is
+    identical to the fixed-batch run (batch size is a physical knob only)."""
+    import numpy as np
+
+    from epichypersketch_jl_ray.api import obtain_enriched_configurations
+    from epichypersketch_jl_ray.config import SketchConfig
+    from epichypersketch_jl_ray.memory import MAX_BATCH, calculate_optimal_batch_size
+
+    # the working-set formula really shrinks the batch for long sequences
+    auto = calculate_optimal_batch_size(64, 3)
+    assert auto < 4096  # smaller than the pipelines' fixed default
+    assert calculate_optimal_batch_size(120, 3) < auto < MAX_BATCH
+
+    rng = np.random.default_rng(11)
+    activation = {}
+    for i in range(60):
+        n = int(rng.integers(3, 40))
+        activation[i] = [
+            (int(rng.integers(1, 25)), float(rng.integers(1, 5))) for _ in range(n)
+        ]
+    fixed = obtain_enriched_configurations(
+        activation, motif_size=3, min_count=3, config=SketchConfig(batch_size=4096)
+    )
+    auto_df = obtain_enriched_configurations(
+        activation, motif_size=3, min_count=3, config=SketchConfig(batch_size=":auto")
+    )
+    cols = list(fixed.columns)
+    f = fixed.sort_values(cols).reset_index(drop=True)
+    a = auto_df.sort_values(cols).reset_index(drop=True)
+    assert len(f) > 0 and f.equals(a)
+
+
+def test_auto_batch_size_config_validation():
+    import pytest
+
+    from epichypersketch_jl_ray.config import SketchConfig
+
+    assert SketchConfig(batch_size=":auto").batch_size == ":auto"
+    with pytest.raises(ValueError):
+        SketchConfig(batch_size=":autoo")
