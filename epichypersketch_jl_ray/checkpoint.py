@@ -51,7 +51,9 @@ def _partition_task(
         rows += len(tbl)
         state = part if state is None else state.merge(part)
     if state is None:
-        raise ValueError(f"empty partition {path}")
+        # a legitimately empty input shard contributes an empty partial
+        # (rows=0 recorded in the manifest) instead of aborting the build
+        state = make_partial(pf.schema_arrow.empty_table())
     tmp = blob_path + f".tmp.{os.getpid()}"
     with open(tmp, "wb") as fh:
         fh.write(state.to_bytes())

@@ -44,6 +44,10 @@ def extract_text(html: pa.Array | pa.ChunkedArray) -> pa.Array:
     """
     if isinstance(html, pa.ChunkedArray):
         html = html.combine_chunks()
+    if len(html) == 0:
+        # pc.all over an empty array is null, which would read as a template
+        # mismatch; zero rows extract to zero texts
+        return pa.array([], pa.string())
     s = html.cast(pa.string())
     ok_prefix = pc.starts_with(s, _PREFIX)
     ok_suffix = pc.ends_with(s, _SUFFIX)

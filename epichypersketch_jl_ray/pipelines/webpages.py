@@ -38,7 +38,7 @@ def web_batch_features(batch: pa.Table, *, verify_text: bool = True):
         stored = batch["text"]
         if isinstance(stored, pa.ChunkedArray):
             stored = stored.combine_chunks()
-        if not pc.all(pc.equal(text, stored)).as_py():
+        if len(text) and not pc.all(pc.equal(text, stored)).as_py():
             raise ValueError("extracted text differs from stored text (input_hint invariant)")
     url = batch["url"]
     lang = batch["lang"]

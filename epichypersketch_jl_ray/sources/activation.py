@@ -52,6 +52,15 @@ def _build_sequences(
     if position_col is not None:
         pos = pos[order]
     # run-length boundaries per key
+    if len(keys) > np.iinfo(np.int32).max:
+        # list<struct> offsets are int32: a bucket group beyond 2^31 feature
+        # rows would overflow silently. Buckets hold many keys, so the fix
+        # is more buckets, not bigger offsets.
+        raise ValueError(
+            f"bucket group holds {len(keys)} feature rows (> int32 offsets); "
+            "increase activation_from_table(num_buckets=...) so each bucket "
+            "stays under 2^31 rows"
+        )
     boundaries = np.flatnonzero(np.diff(keys)) + 1
     offsets = np.concatenate(([0], boundaries, [len(keys)])).astype(np.int32)
     uniq_keys = keys[offsets[:-1]]

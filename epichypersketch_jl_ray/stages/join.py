@@ -74,13 +74,18 @@ def bucketed_hash_join(
     Column-name collisions other than the keys are the caller's problem
     (prune to needed columns first — which also minimizes shuffle bytes).
     """
+    # each side's original columns, captured up front: selecting by name
+    # undoes the union null-padding without dropna(axis=1), which would also
+    # drop a legitimate column that happens to be all-null within one bucket
+    l_cols = list(left.schema().names)
+    r_cols = list(right.schema().names)
     lt = _tag_and_bucket(left, left_on, 0, bucket_count, seed)
     rt = _tag_and_bucket(right, right_on, 1, bucket_count, seed)
     both = _union_padded(lt, rt)
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["_side"] == 0].dropna(axis=1, how="all").drop(columns=["_side", "_bucket"])
-        r = df[df["_side"] == 1].dropna(axis=1, how="all").drop(columns=["_side", "_bucket"])
+        l = df.loc[df["_side"] == 0, l_cols]
+        r = df.loc[df["_side"] == 1, r_cols]
         if len(l) == 0 or len(r) == 0:
             return pd.DataFrame()
         out = l.merge(r, left_on=left_on, right_on=right_on, how="inner")
@@ -102,13 +107,15 @@ def bucketed_asof_join(
     """Backward-inclusive as-of join (for each left row, the latest right row
     with the same ``by`` key and right.on <= left.on). Inner semantics: left
     rows with no match are dropped (no nulls in the output)."""
+    l_cols = list(left.schema().names)
+    r_cols = list(right.schema().names)
     lt = _tag_and_bucket(left, by, 0, bucket_count, seed)
     rt = _tag_and_bucket(right, by, 1, bucket_count, seed)
     both = _union_padded(lt, rt)
 
     def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["_side"] == 0].dropna(axis=1, how="all").drop(columns=["_side", "_bucket"])
-        r = df[df["_side"] == 1].dropna(axis=1, how="all").drop(columns=["_side", "_bucket"])
+        l = df.loc[df["_side"] == 0, l_cols]
+        r = df.loc[df["_side"] == 1, r_cols]
         if len(l) == 0 or len(r) == 0:
             return pd.DataFrame()
         l = l.sort_values(on, kind="stable")

@@ -19,6 +19,23 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+def _binary_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets int64, values uint8) of a binary array, honouring the
+    array's slice offset — Ray Data slices blocks into batches zero-copy, so
+    a batch's array can view the middle of a larger buffer; reading
+    buffers()[1] from position 0 would silently return the WRONG rows'
+    payload bytes (with uniform payload sizes the length check still
+    passes). Same discipline as hashing._string_buffers."""
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32, count=len(arr) + 1 + arr.offset)[
+        arr.offset :
+    ].astype(np.int64)
+    values = (
+        np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    )
+    return offsets, values
+
+
 IMAGE_SCHEMA = pa.schema(
     [
         ("id", pa.int64()),
@@ -67,14 +84,16 @@ class DecodeImage:
             payloads = payloads.combine_chunks()
         widths = batch["width"].to_numpy(zero_copy_only=False)
         heights = batch["height"].to_numpy(zero_copy_only=False)
-        bufs = payloads.buffers()
-        offsets = np.frombuffer(bufs[1], dtype=np.int32, count=len(payloads) + 1)
-        values = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+        offsets, values = _binary_buffers(payloads)
         lens = np.diff(offsets)
         if not (lens == widths * heights).all():
             raise ValueError("payload length does not match width*height")
-        pixels = values.astype(np.float32) / 255.0
-        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(pixels, pa.float32()))
+        span = values[offsets[0] : offsets[-1]]
+        pixels = span.astype(np.float32) / 255.0
+        lists = pa.ListArray.from_arrays(
+            pa.array((offsets - offsets[0]).astype(np.int32), pa.int32()),
+            pa.array(pixels, pa.float32()),
+        )
         return batch.append_column("pixels", lists)
 
 
@@ -125,9 +144,7 @@ class FrameSampleVideo:
         heights = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
         n_frames = batch["n_frames"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = batch["id"].to_numpy(zero_copy_only=False)
-        bufs = payloads.buffers()
-        offsets = np.frombuffer(bufs[1], dtype=np.int32, count=len(payloads) + 1)
-        values = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+        offsets, values = _binary_buffers(payloads)
         frame_bytes = widths * heights
         out_ids, out_fidx, out_pixels, out_off = [], [], [], [0]
         for i in range(len(ids)):
@@ -190,9 +207,7 @@ class WindowAudio:
         if isinstance(payloads, pa.ChunkedArray):
             payloads = payloads.combine_chunks()
         ids = batch["id"].to_numpy(zero_copy_only=False)
-        bufs = payloads.buffers()
-        offsets = np.frombuffer(bufs[1], dtype=np.int32, count=len(payloads) + 1)
-        values = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+        offsets, values = _binary_buffers(payloads)
         out_ids, out_widx, out_chunks, out_off = [], [], [], [0]
         for i in range(len(ids)):
             span = values[offsets[i] : offsets[i + 1]]

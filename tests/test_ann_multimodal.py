@@ -84,3 +84,59 @@ def test_audio_windowing(ray_session, sf_dir):
     assert all(len(e) == 8 for e in out["embedding"].head(5))
     with pytest.raises(NotImplementedError):
         WindowAudio(window=1024)
+
+
+def test_multimodal_stages_honour_sliced_batches():
+    """A zero-copy sliced batch has a non-zero array offset; the decode
+    stages must read the right rows' payload bytes (uniform payload sizes
+    would otherwise pass the length check while reading the wrong rows)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from epichypersketch_jl_ray.stages.multimodal import (
+        DecodeImage,
+        FrameSampleVideo,
+        WindowAudio,
+        make_fake_audio_table,
+        make_fake_image_table,
+        make_fake_video_table,
+    )
+
+    img = make_fake_image_table(10)
+    full = DecodeImage(fake=True)(img)
+    part = DecodeImage(fake=True)(img.slice(4, 3))
+    for i in range(3):
+        assert np.array_equal(
+            np.asarray(part["pixels"][i].as_py()), np.asarray(full["pixels"][4 + i].as_py())
+        )
+
+    vid = make_fake_video_table(6)
+    vfull = FrameSampleVideo(stride=8, fake=True)(vid).to_pandas()
+    vpart = FrameSampleVideo(stride=8, fake=True)(vid.slice(2, 2)).to_pandas()
+    for _, row in vpart.iterrows():
+        ref = vfull[(vfull["id"] == row["id"]) & (vfull["frame_idx"] == row["frame_idx"])]
+        assert np.array_equal(np.asarray(row["pixels"]), np.asarray(ref.iloc[0]["pixels"]))
+
+    aud = make_fake_audio_table(6)
+    afull = WindowAudio(window=1024, fake=True)(aud).to_pandas()
+    apart = WindowAudio(window=1024, fake=True)(aud.slice(3, 2)).to_pandas()
+    for _, row in apart.iterrows():
+        ref = afull[(afull["id"] == row["id"]) & (afull["window_idx"] == row["window_idx"])]
+        assert np.array_equal(np.asarray(row["pixels"]), np.asarray(ref.iloc[0]["pixels"]))
+
+
+def test_binary_buffers_slice_safe():
+    """_binary_buffers on a plain sliced Array (offset != 0) must return the
+    sliced rows' offsets, not the parent buffer's start."""
+    import numpy as np
+    import pyarrow as pa
+
+    from epichypersketch_jl_ray.stages.multimodal import _binary_buffers, make_fake_image_table
+
+    arr = make_fake_image_table(10)["payload"].combine_chunks()
+    sl = arr.slice(4, 3)
+    assert sl.offset == 4
+    offsets, values = _binary_buffers(sl)
+    assert len(offsets) == 4
+    for i in range(3):
+        assert bytes(values[offsets[i] : offsets[i + 1]]) == arr[4 + i].as_py()

@@ -59,3 +59,44 @@ def test_format_duration():
     with timed("x", sink):
         pass
     assert "x" in sink
+
+
+def test_empty_shard_contributes_empty_partial(ray_session, tmp_path):
+    """An input shard with zero rows must not abort the checkpointed build:
+    it contributes an empty partial and rows=0 in the manifest, and the
+    merged state equals the build without the empty shard."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from epichypersketch_jl_ray.checkpoint import build_checkpointed, read_manifest
+    from epichypersketch_jl_ray.pipelines.webpages import make_state, web_batch_features
+    from epichypersketch_jl_ray.sources.webpages import webpages_dir_for
+    from epichypersketch_jl_ray.state.websketch import WebSketchState
+
+    web_dir = webpages_dir_for(1500, n_shards=4)
+    src_files = sorted(glob.glob(f"{web_dir}/*.parquet"))
+    work = tmp_path / "shards"
+    work.mkdir()
+    files = []
+    for f in src_files:
+        dst = work / f.split("/")[-1]
+        shutil.copy(f, dst)
+        files.append(str(dst))
+    # one legitimately empty shard, same schema
+    schema = pq.ParquetFile(files[0]).schema_arrow
+    empty = str(work / "zz-empty.parquet")
+    pq.write_table(schema.empty_table(), empty)
+
+    def make_partial(tbl):
+        keys, url_h, lengths, _ = web_batch_features(tbl)
+        return make_state().update(ngram_keys=keys, url_hashes=url_h, text_lengths=lengths)
+
+    base, _ = build_checkpointed(files, make_partial, WebSketchState, str(tmp_path / "ck1"))
+    with_empty, m = build_checkpointed(
+        files + [empty], make_partial, WebSketchState, str(tmp_path / "ck2")
+    )
+    assert base.cms.digest() == with_empty.cms.digest()
+    assert base.hll.digest() == with_empty.hll.digest()
+    assert read_manifest(str(tmp_path / "ck2"))[empty]["rows"] == 0
+    assert m["rows"] == sum(pq.ParquetFile(f).metadata.num_rows for f in files)

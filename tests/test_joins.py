@@ -60,3 +60,32 @@ def test_bucketed_asof_join_matches_pandas(ray_session):
     a = out[cols].sort_values(cols).reset_index(drop=True).astype("int64")
     b = want[cols].sort_values(cols).reset_index(drop=True).astype("int64")
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_hash_join_keeps_all_null_columns_within_bucket(ray_session):
+    """A nullable payload column that is entirely null inside one bucket must
+    survive the join with nulls (the old dropna(axis=1) silently dropped it,
+    producing inconsistent per-group schemas)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    from epichypersketch_jl_ray.stages.join import bucketed_hash_join
+
+    keys = np.arange(200, dtype=np.int64)
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys, pa.int64()), "lv": pa.array(keys * 2, pa.int64())})
+    )
+    # note: only key 0's rows carry a non-null payload -> in every bucket but
+    # key 0's, "note" is all-null
+    note = pa.array(["hit" if k == 0 else None for k in keys], pa.string())
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array(keys, pa.int64()), "note": note})
+    )
+    out = bucketed_hash_join(left, right, left_on="k", right_on="rk", bucket_count=16).to_pandas()
+    assert len(out) == 200
+    assert "note" in out.columns
+    assert out.loc[out["k"] == 0, "note"].iloc[0] == "hit"
+    assert out["note"].isna().sum() == 199
