@@ -83,7 +83,9 @@ def run_headline() -> dict:
 
     def make_partial(tbl):
         keys, url_h, lengths, _ = web_batch_features(tbl)
-        return make_state().update(ngram_keys=keys, url_hashes=url_h, text_lengths=lengths)
+        return make_state(n_docs_hint=WEB_ROWS).update(
+            ngram_keys=keys, url_hashes=url_h, text_lengths=lengths
+        )
 
     ck_dir = tempfile.mkdtemp(prefix="graft_bench_ck_")
     files = sorted(glob.glob(f"{web_dir}/*.parquet"))

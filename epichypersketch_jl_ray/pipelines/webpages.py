@@ -56,8 +56,31 @@ def web_batch_features(batch: pa.Table, *, verify_text: bool = True):
     return keys, url_h, lengths, ng
 
 
-def make_state(**kwargs) -> WebSketchState:
+def bloom_capacity_for(n_docs: int) -> int:
+    """Bloom capacity from a corpus-size hint: distinct urls <= total docs,
+    so sizing capacity to the doc count keeps the fill ratio at or below
+    the ~0.5 design point (a Bloom at its rated capacity has fill 0.5 by
+    construction; the round-1 soak showed the fixed default overfilling to
+    0.78 at 10M docs). Floor keeps tiny corpora from degenerate geometry."""
+    return max(1 << 16, int(n_docs))
+
+
+def corpus_rows(input_dir: str) -> int:
+    """Total row count of a parquet directory from file FOOTERS only (no
+    column data read) — the cheap pre-pass that sizes the Bloom filter."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows for f in _glob.glob(f"{input_dir}/*.parquet")
+    )
+
+
+def make_state(*, n_docs_hint: int | None = None, **kwargs) -> WebSketchState:
     defaults = dict(seed=WEB_SEED, delta=1e-4, epsilon=5e-5, hll_p=14, kll_k=256)
+    if n_docs_hint is not None and "bloom_capacity" not in kwargs:
+        defaults["bloom_capacity"] = bloom_capacity_for(n_docs_hint)
     defaults.update(kwargs)
     return WebSketchState(**defaults)
 
@@ -92,7 +115,12 @@ def build_web_sketches(
     cross-batch state to amortize) and no mid-pipeline materialization.
     ``batch_size=None`` uses Ray's native blocks (one partial per block —
     fewest states); an explicit batch_size bounds per-task memory instead.
+
+    The Bloom filter is sized from the corpus row count (parquet footers
+    only) unless the caller passes an explicit ``bloom_capacity``.
     """
+    if "bloom_capacity" not in state_kwargs and "n_docs_hint" not in state_kwargs:
+        state_kwargs["n_docs_hint"] = corpus_rows(input_dir)
     ds = ray.data.read_parquet(input_dir, columns=["url", "html", "text", "lang"])
     builder = WebSketchBuilder(**state_kwargs)
     states = ds.map_batches(builder, batch_format="pyarrow", batch_size=batch_size)

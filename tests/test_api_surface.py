@@ -56,3 +56,22 @@ def test_motif_output_to_partitioned_parquet(ray_session, tmp_path, sf_dir):
     assert files
     total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     assert total == motifs_conv(sf_dir).count()
+
+
+def test_simple_example_runs():
+    """The runnable example (mirror of the reference's
+    examples/simple_example.jl) executes end-to-end in its own process."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "simple_example.py")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "motif occurrences" in proc.stdout
+    assert "Done!" in proc.stdout

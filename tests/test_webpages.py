@@ -161,3 +161,39 @@ def test_checkpoint_resume_identical(web_dir, tmp_path):
     again, m2 = build_checkpointed(files, make_partial, WebSketchState, ck_half)
     assert m2["resumed_partitions"] == len(files)
     assert again.cms.digest() == full.cms.digest()
+
+
+def test_bloom_capacity_sized_to_corpus(ray_session):
+    """The Bloom capacity derives from the corpus row count (round-1 soak
+    lesson: the fixed default overfilled to 0.78 at 10M docs). Rule:
+    capacity >= docs (distinct urls <= docs), floored at 2^16; at its rated
+    capacity a Bloom's fill stays at/below ~0.55."""
+    import numpy as np
+
+    from epichypersketch_jl_ray.pipelines.webpages import (
+        bloom_capacity_for,
+        build_web_sketches,
+        corpus_rows,
+        make_state,
+    )
+    from epichypersketch_jl_ray.sources.webpages import webpages_dir_for
+
+    assert bloom_capacity_for(10_000_000) >= 10_000_000
+    assert bloom_capacity_for(100) == 1 << 16
+    st = make_state(n_docs_hint=3_000_000)
+    assert st.bloom.capacity >= 3_000_000
+    # explicit bloom_capacity wins over the hint
+    st2 = make_state(n_docs_hint=3_000_000, bloom_capacity=1 << 20)
+    assert st2.bloom.capacity == 1 << 20
+
+    web_dir = webpages_dir_for(3000, n_shards=4)
+    assert corpus_rows(web_dir) == 3000
+    state = build_web_sketches(web_dir)
+    assert state.bloom.capacity >= 3000
+    assert state.bloom.fill_ratio() < 0.55
+
+    # at rated capacity, fill stays at the ~0.5 design point
+    probe = make_state(n_docs_hint=100_000)
+    rng = np.random.default_rng(3)
+    probe.bloom.add_hashed(rng.integers(0, 2**63, size=probe.bloom.capacity, dtype=np.uint64))
+    assert probe.bloom.fill_ratio() <= 0.55
