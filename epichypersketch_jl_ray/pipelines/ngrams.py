@@ -90,16 +90,18 @@ def heavy_ngrams(
         joined = parts[0]
         for p in parts[1:]:
             joined = pc.binary_join_element_wise(joined, p, " ")
-        return pa.table({"ngram": joined, "estimate": pa.array(est[sel], pa.int64())})
+        return pa.table(
+            {
+                "h": pa.array(uniq[sel].view(np.int64), pa.int64()),
+                "ngram": joined,
+                "estimate": pa.array(est[sel], pa.int64()),
+            }
+        )
 
-    out = ds.map_batches(select, batch_format="pyarrow", batch_size=batch_size)
-    # cross-batch dedupe stays distributed: a groupby over the already
-    # thresholded selection (estimates for the same ngram are identical
-    # across batches — same merged CMS — so max == first-wins). The shuffle
-    # input is only the selected rows, not the corpus.
-    from ray.data.aggregate import Max
-
-    return out.groupby("ngram").aggregate(Max("estimate", alias_name="estimate"))
+    # pass 2 selects, it doesn't enumerate — a larger batch just means fewer
+    # duplicate (ngram, estimate) rows entering the dedupe shuffle
+    out = ds.map_batches(select, batch_format="pyarrow", batch_size=4 * batch_size)
+    return _dedupe_selected(out, ["ngram"])
 
 
 def heavy_ngrams_by_lang(
@@ -169,18 +171,45 @@ def heavy_ngrams_by_lang(
             lang = lang.combine_chunks()
         return pa.table(
             {
+                "h": pa.array(uniq[sel].view(np.int64), pa.int64()),
                 "lang": pc.take(lang, pa.array(row_ids)),
                 "ngram": joined,
                 "estimate": pa.array(est[sel], pa.int64()),
             }
         )
 
-    from ray.data.aggregate import Max
+    out = ds.map_batches(select, batch_format="pyarrow", batch_size=4 * batch_size)
+    return _dedupe_selected(out, ["lang", "ngram"])
 
+
+def _dedupe_selected(
+    out, payload_cols: list[str], *, dedupe_partitions: int = 8
+):
+    """Distributed cross-batch dedupe of the thresholded pass-2 selection.
+
+    Rows with the same int64 key ``h`` are exact duplicates (same merged CMS
+    → same estimate; same hash → same strings), so: pre-combine locally per
+    block (the combiner-before-groupby pattern — np.unique per block), then
+    one small groupby keyed on the int64 hash (never the strings) carries
+    the payload via Min and Max. ``dedupe_partitions`` spreads the sort of
+    the selected set; the selected set is the thresholded output, orders of
+    magnitude below the corpus, so a fixed small partition count holds —
+    raise it along with min_count if the selection itself is corpus-scale.
+    """
+    from ray.data.aggregate import Max, Min
+
+    def local_dedupe(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        _, first = np.unique(h, return_index=True)
+        return batch.take(pa.array(np.sort(first), pa.int64()))
+
+    aggs = [Min(c, alias_name=c) for c in payload_cols]
     return (
-        ds.map_batches(select, batch_format="pyarrow", batch_size=batch_size)
-        .groupby(["lang", "ngram"])
-        .aggregate(Max("estimate", alias_name="estimate"))
+        out.repartition(dedupe_partitions)
+        .map_batches(local_dedupe, batch_format="pyarrow", batch_size=None)
+        .groupby("h")
+        .aggregate(*aggs, Max("estimate", alias_name="estimate"))
+        .drop_columns(["h"])
     )
 
 
