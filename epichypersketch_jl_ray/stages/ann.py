@@ -73,13 +73,19 @@ class LSHBuckets:
 
 
 def final_topk(candidates, k: int = 10) -> "np.ndarray":
-    """Driver-side merge of per-batch candidates: per query, top-k by
-    (sim desc, neighbor_id asc). Input: pandas DataFrame."""
-    rows = []
-    for qid, g in candidates.groupby("query_id"):
-        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(g.iterrows(), start=1):
-            rows.append((int(qid), int(r["neighbor_id"]), rank))
+    """Driver-side merge of per-batch candidates (small: queries × k per
+    batch): per query, top-k by (sim desc, neighbor_id asc), vectorized."""
     import pandas as pd
 
-    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
+    out = (
+        candidates.sort_values(
+            ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+        )
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rank"]].astype(
+        {"query_id": "int64", "neighbor_id": "int64", "rank": "int64"}
+    )

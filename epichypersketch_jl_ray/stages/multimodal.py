@@ -146,23 +146,40 @@ class FrameSampleVideo:
         ids = batch["id"].to_numpy(zero_copy_only=False)
         offsets, values = _binary_buffers(payloads)
         frame_bytes = widths * heights
-        out_ids, out_fidx, out_pixels, out_off = [], [], [], [0]
-        for i in range(len(ids)):
-            for f in range(0, int(n_frames[i]), self.stride):
-                start = offsets[i] + f * frame_bytes[i]
-                frame = values[start : start + frame_bytes[i]]
-                out_ids.append(int(ids[i]))
-                out_fidx.append(f)
-                out_pixels.append(frame.astype(np.float32) / 255.0)
-                out_off.append(out_off[-1] + len(frame))
-        flat = np.concatenate(out_pixels) if out_pixels else np.empty(0, np.float32)
+        # vectorized frame sampling: one output row per sampled frame, all
+        # gathers as a single fancy-index (a real codec replaces exactly
+        # this block with per-frame seek+decode)
+        n_sampled = (n_frames + self.stride - 1) // self.stride
+        total_rows = int(n_sampled.sum())
+        if total_rows == 0:
+            return pa.table(
+                {
+                    "id": pa.array([], pa.int64()),
+                    "frame_idx": pa.array([], pa.int32()),
+                    "pixels": pa.ListArray.from_arrays(
+                        pa.array([0], pa.int32()), pa.array([], pa.float32())
+                    ).slice(0, 0),
+                }
+            )
+        row_ids = np.repeat(np.arange(len(ids), dtype=np.int64), n_sampled)
+        within = np.arange(total_rows) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_sampled)[:-1])), n_sampled
+        )
+        fidx = within * self.stride
+        frame_len = frame_bytes[row_ids]
+        starts = offsets[row_ids] + fidx * frame_len
+        out_off = np.concatenate(([0], np.cumsum(frame_len)))
+        byte_idx = np.repeat(starts, frame_len) + (
+            np.arange(int(out_off[-1])) - np.repeat(out_off[:-1], frame_len)
+        )
+        flat = values[byte_idx].astype(np.float32) / 255.0
         lists = pa.ListArray.from_arrays(
-            pa.array(np.asarray(out_off, dtype=np.int32)), pa.array(flat, pa.float32())
+            pa.array(out_off.astype(np.int32)), pa.array(flat, pa.float32())
         )
         return pa.table(
             {
-                "id": pa.array(out_ids, pa.int64()),
-                "frame_idx": pa.array(out_fidx, pa.int32()),
+                "id": pa.array(ids[row_ids], pa.int64()),
+                "frame_idx": pa.array(fidx.astype(np.int32), pa.int32()),
                 "pixels": lists,
             }
         )
@@ -208,24 +225,38 @@ class WindowAudio:
             payloads = payloads.combine_chunks()
         ids = batch["id"].to_numpy(zero_copy_only=False)
         offsets, values = _binary_buffers(payloads)
-        out_ids, out_widx, out_chunks, out_off = [], [], [], [0]
-        for i in range(len(ids)):
-            span = values[offsets[i] : offsets[i + 1]]
-            n_windows = len(span) // self.window
-            for w in range(n_windows):
-                chunk = span[w * self.window : (w + 1) * self.window]
-                out_ids.append(int(ids[i]))
-                out_widx.append(w)
-                out_chunks.append(chunk.astype(np.float32) / 255.0)
-                out_off.append(out_off[-1] + len(chunk))
-        flat = np.concatenate(out_chunks) if out_chunks else np.empty(0, np.float32)
+        # vectorized windowing: fixed window size means the whole gather is
+        # one (n_out, window) fancy-index (a real codec/extractor replaces
+        # exactly this block)
+        span_len = np.diff(offsets)
+        n_windows = span_len // self.window
+        total = int(n_windows.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "id": pa.array([], pa.int64()),
+                    "window_idx": pa.array([], pa.int32()),
+                    "pixels": pa.ListArray.from_arrays(
+                        pa.array([0], pa.int32()), pa.array([], pa.float32())
+                    ).slice(0, 0),
+                }
+            )
+        row_ids = np.repeat(np.arange(len(ids), dtype=np.int64), n_windows)
+        widx = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_windows)[:-1])), n_windows
+        )
+        starts = offsets[row_ids] + widx * self.window
+        flat = (
+            values[starts[:, None] + np.arange(self.window)[None, :]].astype(np.float32) / 255.0
+        ).ravel()
         lists = pa.ListArray.from_arrays(
-            pa.array(np.asarray(out_off, dtype=np.int32)), pa.array(flat, pa.float32())
+            pa.array(np.arange(0, (total + 1) * self.window, self.window, dtype=np.int32)),
+            pa.array(flat, pa.float32()),
         )
         return pa.table(
             {
-                "id": pa.array(out_ids, pa.int64()),
-                "window_idx": pa.array(out_widx, pa.int32()),
+                "id": pa.array(ids[row_ids], pa.int64()),
+                "window_idx": pa.array(widx.astype(np.int32), pa.int32()),
                 "pixels": lists,  # generic "samples" column; featurize consumes it
             }
         )
