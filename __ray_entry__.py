@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding": dedup.dedup_embedding,
+        "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
         # similarity search
         "ann_cosine_topk": ann.ann_cosine_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,

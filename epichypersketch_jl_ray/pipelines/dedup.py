@@ -232,6 +232,81 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 """
 
 
+def dedup_embedding_lsh(
+    sf_dir: str,
+    *,
+    threshold: float = 0.45,
+    bits: int = 4,
+    probe_hamming: int = 1,
+    table: str = "embeddings",
+) -> ray.data.Dataset:
+    """Approximate embedding near-dup pairs — the sub-quadratic scale path.
+
+    Each vector lands in its hyperplane sign-signature bucket plus every
+    hamming-``probe_hamming`` neighbour bucket (seeded planes: every task
+    derives identical buckets without coordination); candidate pairs form
+    only WITHIN a bucket (groupby + per-group exact pairwise cosine), and a
+    pair found in several probe buckets is deduplicated by a distributed
+    groupby. Work is O(sum over buckets of bucket_size²) instead of O(N²) —
+    recall < 1 by construction (asserted against the exact block-pair
+    pipeline in tests); every emitted pair's cosine is exact, so precision
+    is 1.
+    """
+    from epichypersketch_jl_ray.stages.ann import LSHBuckets, _embedding_matrix
+
+    ds = read_table(sf_dir, table, columns=["vec_id", "embedding"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = _embedding_matrix(batch, "embedding")
+        n_ = np.linalg.norm(e, axis=1, keepdims=True)
+        e = e / np.where(n_ == 0, 1, n_)
+        lsh = LSHBuckets(e.shape[1], bits=bits)
+        b = lsh.bucket_of(e)
+        reps = 1 + (bits if probe_hamming else 0)
+        buckets = np.empty((len(ids), reps), dtype=np.int64)
+        buckets[:, 0] = b
+        if probe_hamming:
+            for j in range(bits):
+                buckets[:, 1 + j] = b ^ (1 << j)
+        dim = e.shape[1]
+        rep_e = np.repeat(e, reps, axis=0)
+        return pa.table(
+            {
+                "bucket": pa.array(buckets.ravel(), pa.int64()),
+                "vec_id": pa.array(np.repeat(ids, reps), pa.int64()),
+                "emb": pa.FixedSizeListArray.from_arrays(
+                    pa.array(rep_e.ravel(), pa.float64()), dim
+                ),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        e = _embedding_matrix(group, "emb")
+        sims = e @ e.T
+        ii, jj = np.nonzero(sims >= threshold)
+        keep = ids[ii] < ids[jj]
+        ii, jj = ii[keep], jj[keep]
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ii], pa.int64()),
+                "vec_b": pa.array(ids[jj], pa.int64()),
+                "cosine": pa.array(np.round(sims[ii, jj], 12), pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(Max("cosine", alias_name="cosine"))
+    )
+
+
 def dedup_simhash(sf_dir: str, *, max_hamming: int = 3) -> pd.DataFrame:
     """Near-dup pairs via SimHash 4x16-bit pigeonhole banding — exact for
     hamming <= 3*16/..: any pair within hamming 3 shares a chunk. Rows-only

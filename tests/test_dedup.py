@@ -90,3 +90,19 @@ def test_minhash_lsh_distributed_verification_at_10x_candidates(ray_session, tmp
     jac = dict(zip(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)), out["jaccard"]))
     tru = dict(zip(zip(truth["doc_a"].astype(int), truth["doc_b"].astype(int)), truth["jaccard"]))
     assert all(abs(jac[k] - tru[k]) < 1e-12 for k in want)
+
+
+def test_embedding_lsh_recall_vs_exact(ray_session, sf_dir):
+    """The LSH-bucketed approximate variant: precision 1 (every emitted
+    cosine is exact and >= threshold) and high recall on the fixture's
+    qualifying pairs vs the exact block-pair pipeline."""
+    from epichypersketch_jl_ray.pipelines.dedup import dedup_embedding, dedup_embedding_lsh
+
+    exact = dedup_embedding(sf_dir).to_pandas()
+    approx = dedup_embedding_lsh(sf_dir).to_pandas()
+    want = set(zip(exact["vec_a"].astype(int), exact["vec_b"].astype(int)))
+    got = set(zip(approx["vec_a"].astype(int), approx["vec_b"].astype(int)))
+    assert got <= want  # precision 1: no pair below threshold can appear
+    if want:
+        recall = len(got & want) / len(want)
+        assert recall >= 0.5, f"recall {recall:.2f} over {len(want)} pairs"
