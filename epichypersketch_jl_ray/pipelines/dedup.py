@@ -112,7 +112,10 @@ def dedup_minhash_lsh(
     cand = (
         exploded.groupby("band_bucket")
         .map_groups(candidate_pairs_from_band, batch_format="pyarrow")
-        # a pair can match in many bands: dedupe with a distributed groupby
+        # a pair can match in up to `bands` buckets: dedupe with a dedicated
+        # distributed groupby BEFORE the attach shuffles, so the (possibly
+        # ~bands×) duplicate volume never enters them. (Fusing the dedupe
+        # into attach via dedupe_on measured slower for exactly that reason.)
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
         .drop_columns(["n_bands"])

@@ -174,6 +174,7 @@ def attach_list_column(
     out_col: str,
     *,
     num_buckets: int = 64,
+    dedupe_on: list[str] | None = None,
 ) -> "ray.data.Dataset":
     """Distributed equi-join that carries a list<int64> payload: attach
     ``lists[list_col]`` to every pair row whose ``key_col`` matches
@@ -187,6 +188,12 @@ def attach_list_column(
     searchsorted + arrow take. Partitioning assumption: a single key's
     shingle row plus the pair rows referencing it fit in one group — buckets
     hold many keys, so ``num_buckets`` scales freely with the corpus.
+
+    ``dedupe_on``: drop duplicate pair rows (same values in these columns)
+    inside each group — valid because rows agreeing on ``key_col`` co-locate
+    by construction, so all duplicates of a pair land in one group. This
+    fuses the pair-dedupe into the attach shuffle instead of paying a
+    dedicated groupby stage.
     """
     from epichypersketch_jl_ray.functions.hashing import hash_int64
 
@@ -229,6 +236,17 @@ def attach_list_column(
         side_keys = side_keys[order]
         side_idx = side_idx[order]
         pair_pos = np.flatnonzero(is_pair)
+        if dedupe_on and len(pair_pos):
+            cols = [
+                group[c].to_numpy(zero_copy_only=False)[pair_pos] for c in dedupe_on
+            ]
+            dorder = np.lexsort(cols[::-1])
+            dup = np.ones(len(dorder), dtype=bool)
+            dup[0] = False
+            for c in cols:
+                cs = c[dorder]
+                dup[1:] &= cs[1:] == cs[:-1]
+            pair_pos = pair_pos[dorder[~dup]]
         want = keys[pair_pos]
         loc = np.searchsorted(side_keys, want)
         loc = np.minimum(loc, max(len(side_keys) - 1, 0))
