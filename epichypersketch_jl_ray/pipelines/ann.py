@@ -93,6 +93,90 @@ def ann_lsh_topk(sf_dir: str, *, k: int = TOP_K, bits: int = 6) -> pd.DataFrame:
     return final_topk(cands, k=k)
 
 
+def ann_ivf_topk(
+    sf_dir: str,
+    *,
+    k: int = TOP_K,
+    n_lists: int = 16,
+    nprobe: int = 6,
+    train_sample: int = 2048,
+    kmeans_iters: int = 8,
+    seed: int = 61,
+) -> pd.DataFrame:
+    """IVF (inverted-file) approximate top-k — the second scale path next to
+    LSH bucketing.
+
+    Train: k-means coarse centroids on a driver-side SAMPLE (``limit`` of the
+    corpus — bounded, seeded, a few k-means iterations in numpy). Probe: the
+    ``nprobe`` centroids nearest each query are broadcast with the centroid
+    matrix; each batch assigns its vectors to their nearest centroid
+    (one matmul) and only vectors in a probed list enter the exact ranking
+    matmul. Work per batch ~ (assign matmul) + (exact matmul over the probed
+    fraction ≈ nprobe/n_lists of rows). Recall < 1 (asserted vs brute force
+    in tests; ~0.74 at the defaults on the near-uniform synthetic fixture —
+    clustered real embeddings concentrate much better); ranking of
+    surviving candidates is exact.
+    """
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample_tbl = pa.Table.from_pylist(ds.limit(train_sample).take_all())
+    x = _embedding_matrix(sample_tbl, "embedding")
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = xn[rng.choice(len(xn), size=min(n_lists, len(xn)), replace=False)]
+    for _ in range(kmeans_iters):  # spherical k-means on the sample
+        assign = np.argmax(xn @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+
+    probe_rows = ds.filter(expr=f"vec_id < {N_QUERIES}").take_all()
+    probe_tbl = pa.Table.from_pylist(probe_rows)
+    q = _embedding_matrix(probe_tbl, "embedding")
+    q_ids = probe_tbl["vec_id"].to_numpy().astype(np.int64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    q_probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probed_lists = np.unique(q_probes)
+    bcast = ray.put((q_ids, qn, cent, q_probes, probed_lists))
+
+    def ivf_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = _embedding_matrix(batch, "embedding")
+        en = e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+        qids, qmat, centroids, probes, lists = ray.get(bcast)
+        assign = np.argmax(en @ centroids.T, axis=1)
+        mask = np.isin(assign, lists)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if not mask.any():
+            return empty
+        en, ids, assign = en[mask], ids[mask], assign[mask]
+        sims = qmat @ en.T  # (nq, m)
+        # a candidate counts for query q only if its list is among q's probes
+        allowed = (assign[None, :, None] == probes[:, None, :]).any(axis=2)  # (nq, m)
+        sims = np.where(allowed, sims, -np.inf)
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        got = np.take_along_axis(sims, part, axis=1)
+        qi, ci = np.nonzero(np.isfinite(got))
+        return pa.table(
+            {
+                "query_id": pa.array(qids[qi], pa.int64()),
+                "neighbor_id": pa.array(ids[part[qi, ci]], pa.int64()),
+                "sim": pa.array(got[qi, ci], pa.float64()),
+            }
+        )
+
+    cands = ds.map_batches(ivf_batch, batch_format="pyarrow", batch_size=4096).to_pandas()
+    return final_topk(cands, k=k)
+
+
 def ann_cosine_topk_sql(k: int = TOP_K) -> str:
     return f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),

@@ -140,3 +140,19 @@ def test_binary_buffers_slice_safe():
     assert len(offsets) == 4
     for i in range(3):
         assert bytes(values[offsets[i] : offsets[i + 1]]) == arr[4 + i].as_py()
+
+
+def test_ann_ivf_recall_vs_bruteforce(ray_session, sf_dir):
+    """IVF probing: exact ranking of probed candidates, recall vs the exact
+    brute-force top-k."""
+    from epichypersketch_jl_ray.pipelines.ann import ann_cosine_topk, ann_ivf_topk
+
+    exact = ann_cosine_topk(sf_dir)
+    ivf = ann_ivf_topk(sf_dir)
+    want = set(zip(exact["query_id"], exact["neighbor_id"]))
+    got = set(zip(ivf["query_id"], ivf["neighbor_id"]))
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, f"recall {recall:.2f}"
+    # each query's own vector lives in its best-probed list -> rank 1 found
+    self_hits = ivf[(ivf["query_id"] == ivf["neighbor_id"]) & (ivf["rank"] == 1)]
+    assert len(self_hits) == ivf["query_id"].nunique()
