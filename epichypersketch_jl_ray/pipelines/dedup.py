@@ -119,12 +119,47 @@ def dedup_minhash_lsh(
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
         .drop_columns(["n_bands"])
+        .materialize()
     )
+
+    # semi-join prune: only docs appearing in a candidate pair need their
+    # shingle row shuffled through the attach passes. A distributed Bloom
+    # over candidate doc ids is broadcast and filters the shingle side —
+    # false positives just ship a few harmless extra rows. Near-dups are
+    # rare relative to the corpus, so this keeps the attach shuffles
+    # candidate-scale instead of corpus-scale.
+    from epichypersketch_jl_ray.functions.hashing import hash_int64
+    from epichypersketch_jl_ray.stages.udaf import sketch_dataset
+    from epichypersketch_jl_ray.state.bloom import BloomFilter
+
+    n_pairs = cand.count()
+    cap = max(1 << 14, 2 * n_pairs)
+
+    def add_pair_docs(b: BloomFilter, batch: pa.Table) -> None:
+        b.add_hashed(hash_int64(batch["doc_a"].to_numpy(zero_copy_only=False), seed=55))
+        b.add_hashed(hash_int64(batch["doc_b"].to_numpy(zero_copy_only=False), seed=55))
+
+    bloom = sketch_dataset(
+        cand, lambda: BloomFilter(capacity=cap, p=1e-4, seed=55), add_pair_docs, BloomFilter
+    )
+    bloom_ref = ray.put(bloom)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        bf: BloomFilter = ray.get(bloom_ref)
+        hit = bf.contains_hashed(
+            hash_int64(batch["doc_id"].to_numpy(zero_copy_only=False), seed=55)
+        )
+        return batch.filter(pa.array(hit))
+
+    cand_shingles = shingles.map_batches(prune, batch_format="pyarrow").materialize()
+
     with_a = attach_list_column(
-        cand, "doc_a", shingles, "doc_id", "shingles", "shingles_a", num_buckets=num_partitions
+        cand, "doc_a", cand_shingles, "doc_id", "shingles", "shingles_a",
+        num_buckets=num_partitions,
     )
     with_ab = attach_list_column(
-        with_a, "doc_b", shingles, "doc_id", "shingles", "shingles_b", num_buckets=num_partitions
+        with_a, "doc_b", cand_shingles, "doc_id", "shingles", "shingles_b",
+        num_buckets=num_partitions,
     )
 
     def verify(batch: pa.Table) -> pa.Table:
