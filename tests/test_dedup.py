@@ -106,3 +106,82 @@ def test_embedding_lsh_recall_vs_exact(ray_session, sf_dir):
     if want:
         recall = len(got & want) / len(want)
         assert recall >= 0.5, f"recall {recall:.2f} over {len(want)} pairs"
+
+
+def test_jaccard_verify_batch_property():
+    """jaccard_verify_batch (vectorized lexsort intersection) equals the
+    per-pair set computation on random distinct-per-side lists."""
+    import numpy as np
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from epichypersketch_jl_ray.stages.dedup import jaccard_verify_batch
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.integers(0, 2**31 - 1), st.integers(1, 20))
+    def check(seed, n_pairs):
+        rng = np.random.default_rng(seed)
+        la, lb, fa, fb = [], [], [], []
+        for _ in range(n_pairs):
+            a = np.unique(rng.integers(0, 50, size=rng.integers(0, 30)).astype(np.uint64))
+            b = np.unique(rng.integers(0, 50, size=rng.integers(0, 30)).astype(np.uint64))
+            fa.append(a)
+            fb.append(b)
+            la.append(len(a))
+            lb.append(len(b))
+        def mk(flats, lens):
+            off = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+            vals = (np.concatenate(flats) if sum(lens) else np.empty(0, np.uint64)).view(np.int64)
+            return pa.ListArray.from_arrays(pa.array(off, pa.int32()), pa.array(vals, pa.int64()))
+        batch = pa.table(
+            {
+                "doc_a": pa.array(np.arange(n_pairs), pa.int64()),
+                "doc_b": pa.array(np.arange(n_pairs) + 1000, pa.int64()),
+                "shingles_a": mk(fa, la),
+                "shingles_b": mk(fb, lb),
+            }
+        )
+        out = jaccard_verify_batch(batch)
+        for i in range(n_pairs):
+            sa, sb = set(fa[i].tolist()), set(fb[i].tolist())
+            u = len(sa | sb)
+            want = (len(sa & sb) / u) if u else 0.0
+            assert abs(out["jaccard"][i].as_py() - want) < 1e-12
+
+    check()
+
+
+def test_attach_list_column_property(ray_session):
+    """attach_list_column == an inner join attaching the list payload
+    (random pairs, some referencing missing keys, which drop)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from epichypersketch_jl_ray.stages.dedup import attach_list_column
+
+    rng = np.random.default_rng(123)
+    doc_ids = np.arange(50, dtype=np.int64)
+    lists = {int(d): rng.integers(0, 99, size=rng.integers(1, 8)).tolist() for d in doc_ids}
+    pairs_a = rng.integers(0, 60, size=200).astype(np.int64)  # some keys (50-59) missing
+    pairs_b = rng.integers(0, 60, size=200).astype(np.int64)
+    pairs = ray.data.from_arrow(
+        pa.table({"doc_a": pa.array(pairs_a), "doc_b": pa.array(pairs_b)})
+    )
+    shingles = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "shingles": pa.array([lists[int(d)] for d in doc_ids], pa.list_(pa.int64())),
+            }
+        )
+    )
+    out = attach_list_column(
+        pairs, "doc_a", shingles, "doc_id", "shingles", "sh_a", num_buckets=7
+    ).to_pandas()
+    present = pairs_a < 50
+    assert len(out) == present.sum()
+    for _, row in out.sample(n=min(30, len(out)), random_state=0).iterrows():
+        assert list(row["sh_a"]) == lists[int(row["doc_a"])]
