@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": relational.revenue_by_nation,
         "sessionize": relational.sessionize,
         "windowed_events": relational.windowed_events,
+        "hopping_events": relational.hopping_events,
         "part_revenue_by_brand": relational.part_revenue_by_brand,
         "clicks_last_purchase": relational.clicks_last_purchase,
         "parts_never_discounted": relational.parts_never_discounted,
@@ -115,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": relational.revenue_by_nation_sql(),
         "sessionize": relational.sessionize_sql(),
         "windowed_events": relational.windowed_events_sql(),
+        "hopping_events": relational.hopping_events_sql(),
         "part_revenue_by_brand": relational.part_revenue_by_brand_sql(),
         "clicks_last_purchase": relational.clicks_last_purchase_sql(),
         "parts_never_discounted": relational.parts_never_discounted_sql(),

@@ -380,6 +380,60 @@ FROM events GROUP BY 1, 2
 """
 
 
+def hopping_events(
+    sf_dir: str, *, window_minutes: int = 60, hop_minutes: int = 15
+) -> ray.data.Dataset:
+    """Hopping (sliding) window aggregate: each event contributes to every
+    window of length ``window`` whose start is a multiple of ``hop`` and
+    covers its timestamp — window/hop rows per event, emitted vectorized
+    (np.repeat over the hop count), then the engine groupby with its
+    per-block combiner. The overlap factor (window/hop) is the explicit
+    fan-out cost of sliding windows; tumbling (`windowed_events`) is the
+    factor-1 special case."""
+    assert window_minutes % hop_minutes == 0
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    hop_us = np.int64(hop_minutes * 60 * 1_000_000)
+    k = window_minutes // hop_minutes
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = _cents(batch["value"].to_numpy(zero_copy_only=False))
+        base = (ts // hop_us) * hop_us  # newest window start covering ts
+        offs = (np.arange(k, dtype=np.int64) * hop_us)[None, :]
+        starts = (base[:, None] - offs).ravel()
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        idx = pa.array(np.repeat(np.arange(len(ts), dtype=np.int64), k))
+        return pa.table(
+            {
+                "event_type": et.take(idx),
+                "window_start": pa.array(starts, pa.int64()),
+                "value_cents": pa.array(np.repeat(cents, k), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents"))
+    )
+
+
+def hopping_events_sql(window_minutes: int = 60, hop_minutes: int = 15) -> str:
+    hop_us = hop_minutes * 60 * 1_000_000
+    k = window_minutes // hop_minutes
+    return f"""
+WITH e AS (SELECT event_type, epoch_us(ts) AS t,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+w AS (SELECT event_type, ((t // {hop_us}) - i) * {hop_us} AS window_start, cents
+      FROM e, LATERAL unnest(range(0, {k})) r(i))
+SELECT event_type, window_start, COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM w GROUP BY 1, 2
+"""
+
+
 def sessionize_sql(gap_minutes: int = 30) -> str:
     return f"""
 WITH o AS (
