@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": sketches.distinct_users_hll,
         "distinct_users_exact": sketches.distinct_users_exact,
         "doc_length_quantiles_kll": sketches.doc_length_quantiles_kll,
+        "doc_length_quantiles_by_lang": sketches.doc_length_quantiles_by_lang,
         "doc_length_quantiles_tdigest": sketches.doc_length_quantiles_tdigest,
         "user_membership_bloom": sketches.user_membership_bloom,
         "top_ngrams_spacesaving": sketches.top_ngrams_spacesaving,
@@ -103,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_ngrams_by_lang": ngrams.heavy_ngrams_by_lang_sql(),
         "distinct_users_exact": sketches.distinct_users_exact_sql(),
         "doc_length_quantiles_kll": sketches.doc_length_quantiles_kll_sql(),
+        "doc_length_quantiles_by_lang": sketches.doc_length_quantiles_by_lang_sql(),
         "user_membership_bloom": sketches.user_membership_bloom_sql(),
         "top_ngrams_spacesaving": sketches.top_ngrams_spacesaving_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),

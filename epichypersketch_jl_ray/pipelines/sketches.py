@@ -79,6 +79,46 @@ def doc_length_quantiles_kll_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _kll_4096() -> KLL:
+    return KLL(k=4096, seed=SEED)
+
+
+def doc_length_quantiles_by_lang(sf_dir: str, *, k: int = 4096) -> pd.DataFrame:
+    """GROUPED quantiles via one KLL per lang (state/grouped.GroupedSketch):
+    per-block partial dicts merge key-wise through the UDAF harness, so the
+    corpus is never shuffled — only (n_langs x sketch) states travel. Exact
+    in KLL's no-compaction regime (k >= per-lang n at the gate scale), so
+    the quantile_disc-by-lang oracle hash-matches; bounded-cardinality keys
+    only (per-key state)."""
+    from epichypersketch_jl_ray.state.grouped import GroupedSketch
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def update(g: GroupedSketch, batch: pa.Table) -> None:
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        vals = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(langs, kind="stable")
+        langs, vals = langs[order], vals[order]
+        bounds = np.flatnonzero(np.concatenate(([True], langs[1:] != langs[:-1])))
+        for start, stop in zip(bounds, np.append(bounds[1:], len(langs))):
+            g.get(str(langs[start])).update(vals[start:stop])
+
+    grouped = sketch_dataset(ds, lambda: GroupedSketch(_kll_4096), update, GroupedSketch)
+    rows = [
+        (lang, q, grouped.parts[lang].quantile(q)) for lang in grouped.keys() for q in QS
+    ]
+    return pd.DataFrame(rows, columns=["lang", "q", "n_chars_q"])
+
+
+def doc_length_quantiles_by_lang_sql() -> str:
+    parts = [
+        f"SELECT lang, {q} AS q, CAST(quantile_disc(n_chars, {q}) AS DOUBLE) AS n_chars_q "
+        "FROM documents GROUP BY lang"
+        for q in QS
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def doc_length_quantiles_tdigest(sf_dir: str, *, compression: float = 200.0) -> pd.DataFrame:
     """n_chars quantiles via merging t-digest (interpolated — no exact SQL
     oracle; rank-error bound asserted in pytest)."""

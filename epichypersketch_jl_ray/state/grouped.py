@@ -1,0 +1,59 @@
+"""GroupedSketch: one mergeable sketch per group key, under one merge.
+
+Grouped sketching WITHOUT shuffling the corpus: each block builds a partial
+dict {key -> sketch}, partials merge key-wise through the same UDAF harness
+(stages/udaf.py) as a single sketch, and only sketch states travel — the
+grouped analogue of the reference's shared-CMS accumulation
+(/root/reference/src/partition.jl:148,204-214) extended over a key column.
+
+Use when the GROUP CARDINALITY is bounded (lang, event_type, shard class):
+state is O(groups x sketch size). For corpus-cardinality keys use the
+engine groupby instead — a per-key sketch there would just be a worse
+shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Hashable
+
+from epichypersketch_jl_ray.state.base import MergeableSketch
+
+
+class GroupedSketch(MergeableSketch):
+    """dict key -> sketch with key-wise associative merge.
+
+    ``factory`` must be picklable (module-level function or
+    functools.partial) and deterministic (seeded) so every worker builds
+    identical per-key sketch geometry without coordination.
+    """
+
+    __slots__ = ("factory", "parts")
+
+    def __init__(self, factory: Callable[[], MergeableSketch]) -> None:
+        self.factory = factory
+        self.parts: dict[Hashable, MergeableSketch] = {}
+
+    def get(self, key: Hashable) -> MergeableSketch:
+        sk = self.parts.get(key)
+        if sk is None:
+            sk = self.parts[key] = self.factory()
+        return sk
+
+    def merge(self, other: "GroupedSketch") -> "GroupedSketch":
+        for k, sk in other.parts.items():
+            mine = self.parts.get(k)
+            if mine is None:
+                self.parts[k] = sk
+            else:
+                mine.merge(sk)
+        return self
+
+    def keys(self) -> list:
+        return sorted(self.parts)
+
+    def _state_arrays(self) -> tuple:
+        out = []
+        for k in sorted(self.parts, key=repr):
+            for name, arr in self.parts[k]._state_arrays():
+                out.append((f"{k!r}:{name}", arr))
+        return tuple(out)

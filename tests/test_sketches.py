@@ -136,3 +136,38 @@ class TestBloom:
     def test_geometry_mismatch(self):
         with pytest.raises(ValueError):
             BloomFilter(100, seed=1).merge(BloomFilter(200, seed=1))
+
+
+def test_grouped_sketch_merge_order_invariant():
+    """GroupedSketch: key-wise merge is associative/commutative for
+    digest-stable member sketches (CMS here); missing-key merge adopts."""
+    import random
+
+    import numpy as np
+
+    from epichypersketch_jl_ray.state.countmin import CountMin
+    from epichypersketch_jl_ray.state.grouped import GroupedSketch
+
+    def factory():
+        return CountMin(1, delta=1e-2, epsilon=1e-3, seed=5)
+
+    rng = np.random.default_rng(0)
+    keys = ["en", "de", "fr", "ja"]
+    updates = [
+        (keys[int(rng.integers(0, 4))], rng.integers(0, 1000, size=50).astype(np.uint64))
+        for _ in range(40)
+    ]
+    digests = set()
+    for order_seed in range(5):
+        parts = []
+        for chunk_start in range(0, 40, 8):
+            g = GroupedSketch(factory)
+            for key, vals in updates[chunk_start : chunk_start + 8]:
+                g.get(key).add_keys(vals)
+            parts.append(g)
+        random.Random(order_seed).shuffle(parts)
+        merged = parts[0]
+        merged.merge_many(parts[1:])
+        digests.add(merged.digest())
+        assert sorted(merged.keys()) == sorted(set(k for k, _ in updates))
+    assert len(digests) == 1  # identical state for every merge order
