@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketch suite (north_rule A4-A7)
         "distinct_users_hll": sketches.distinct_users_hll,
         "distinct_users_exact": sketches.distinct_users_exact,
+        "distinct_users_by_type": sketches.distinct_users_by_type,
+        "distinct_users_by_type_exact": sketches.distinct_users_by_type_exact,
         "doc_length_quantiles_kll": sketches.doc_length_quantiles_kll,
         "doc_length_quantiles_by_lang": sketches.doc_length_quantiles_by_lang,
         "doc_length_quantiles_tdigest": sketches.doc_length_quantiles_tdigest,
@@ -103,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_ngrams": ngrams.heavy_ngrams_sql(),
         "heavy_ngrams_by_lang": ngrams.heavy_ngrams_by_lang_sql(),
         "distinct_users_exact": sketches.distinct_users_exact_sql(),
+        "distinct_users_by_type_exact": sketches.distinct_users_by_type_exact_sql(),
         "doc_length_quantiles_kll": sketches.doc_length_quantiles_kll_sql(),
         "doc_length_quantiles_by_lang": sketches.doc_length_quantiles_by_lang_sql(),
         "user_membership_bloom": sketches.user_membership_bloom_sql(),

@@ -51,6 +51,55 @@ def distinct_users_exact_sql() -> str:
     return "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users FROM events"
 
 
+def _hll_14() -> HyperLogLog:
+    return HyperLogLog(p=14, seed=SEED)
+
+
+def distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped approximate distinct: one HLL per event_type
+    (state/grouped.GroupedSketch) — no corpus shuffle, only
+    (n_types x 2^p registers) of state. Rows-only (approximate); accuracy
+    vs the exact grouped count asserted in pytest."""
+    from epichypersketch_jl_ray.state.grouped import GroupedSketch
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def update(g, batch: pa.Table) -> None:
+        types = batch["event_type"].to_numpy(zero_copy_only=False)
+        users = hash_int64(batch["user_id"].to_numpy(zero_copy_only=False), seed=SEED)
+        order = np.argsort(types, kind="stable")
+        types, users = types[order], users[order]
+        bounds = np.flatnonzero(np.concatenate(([True], types[1:] != types[:-1])))
+        for start, stop in zip(bounds, np.append(bounds[1:], len(types))):
+            g.get(str(types[start])).update_hashed(users[start:stop])
+
+    grouped = sketch_dataset(ds, lambda: GroupedSketch(_hll_14), update, GroupedSketch)
+    rows = [(t, float(grouped.parts[t].estimate())) for t in grouped.keys()]
+    return pd.DataFrame(rows, columns=["event_type", "distinct_users_est"])
+
+
+def distinct_users_by_type_exact(sf_dir: str) -> ray.data.Dataset:
+    """Exact grouped distinct count — two-level groupby (distinct pairs,
+    then count per type); the shuffle-paying baseline for the grouped HLL."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return (
+        ds.groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="distinct_users"))
+    )
+
+
+def distinct_users_by_type_exact_sql() -> str:
+    return """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events GROUP BY event_type
+"""
+
+
 # --- quantiles -------------------------------------------------------------
 
 

@@ -171,3 +171,24 @@ def test_grouped_sketch_merge_order_invariant():
         digests.add(merged.digest())
         assert sorted(merged.keys()) == sorted(set(k for k, _ in updates))
     assert len(digests) == 1  # identical state for every merge order
+
+
+def test_grouped_hll_accuracy(ray_session, sf_dir):
+    """Per-type HLL estimates within the published rse bound of the exact
+    grouped distinct counts."""
+    import duckdb
+
+    from epichypersketch_jl_ray.pipelines.sketches import (
+        distinct_users_by_type,
+        distinct_users_by_type_exact_sql,
+    )
+
+    approx = distinct_users_by_type(sf_dir)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')")
+    exact = con.sql(distinct_users_by_type_exact_sql()).df().set_index("event_type")["distinct_users"]
+    assert set(approx["event_type"]) == set(exact.index)
+    for _, row in approx.iterrows():
+        true = exact[row["event_type"]]
+        # 5 sigma of rse ~= 1.04/sqrt(2^14)
+        assert abs(row["distinct_users_est"] - true) / true < 5 * 1.04 / (2**7)
