@@ -185,3 +185,37 @@ def test_attach_list_column_property(ray_session):
     assert len(out) == present.sum()
     for _, row in out.sample(n=min(30, len(out)), random_state=0).iterrows():
         assert list(row["sh_a"]) == lists[int(row["doc_a"])]
+
+
+def test_attach_list_column_dedupe_on(ray_session):
+    """dedupe_on drops duplicate pair rows inside each group (all duplicates
+    of a pair co-locate via the key-side bucket)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+
+    from epichypersketch_jl_ray.stages.dedup import attach_list_column
+
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "doc_b": pa.array([5, 5, 6, 7, 7], pa.int64()),
+            }
+        )
+    )
+    shingles = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "shingles": pa.array([[10, 11], [20]], pa.list_(pa.int64())),
+            }
+        )
+    )
+    out = attach_list_column(
+        pairs, "doc_a", shingles, "doc_id", "shingles", "sh", num_buckets=4,
+        dedupe_on=["doc_a", "doc_b"],
+    ).to_pandas()
+    got = sorted(zip(out["doc_a"], out["doc_b"]))
+    assert got == [(1, 5), (1, 6), (2, 7)]
