@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_events": relational.hopping_events,
         "part_revenue_by_brand": relational.part_revenue_by_brand,
         "clicks_last_purchase": relational.clicks_last_purchase,
+        "clicks_after_purchase": relational.clicks_after_purchase,
         "parts_never_discounted": relational.parts_never_discounted,
     }
 
@@ -124,5 +125,6 @@ def oracle_sql() -> dict[str, str]:
         "hopping_events": relational.hopping_events_sql(),
         "part_revenue_by_brand": relational.part_revenue_by_brand_sql(),
         "clicks_last_purchase": relational.clicks_last_purchase_sql(),
+        "clicks_after_purchase": relational.clicks_after_purchase_sql(),
         "parts_never_discounted": relational.parts_never_discounted_sql(),
     }

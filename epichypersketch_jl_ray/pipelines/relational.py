@@ -380,6 +380,61 @@ FROM events GROUP BY 1, 2
 """
 
 
+def clicks_after_purchase(sf_dir: str, *, window_minutes: int = 60) -> ray.data.Dataset:
+    """Range join demo (count form): for each purchase, how many clicks the
+    same user makes within the following window — stages/join.
+    bucketed_range_count_join (bucket co-location + composite-key
+    searchsorted counting; no pair materialization)."""
+    import pyarrow.compute as pc
+
+    from epichypersketch_jl_ray.stages.join import bucketed_range_count_join
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    win_us = int(window_minutes) * 60 * 1_000_000
+
+    def split(kind: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            sub = batch.filter(pc.equal(batch["event_type"], kind))
+            return pa.table(
+                {
+                    "user_id": sub["user_id"].cast(pa.int64()),
+                    "ts": pa.array(
+                        sub["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False), pa.int64()
+                    ),
+                }
+            )
+
+        return fn
+
+    purchases = ev.map_batches(split("purchase"), batch_format="pyarrow")
+    clicks = ev.map_batches(split("click"), batch_format="pyarrow")
+    joined = bucketed_range_count_join(
+        purchases, clicks, by="user_id", on="ts", window=win_us, out_count="n_clicks"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "purchase_ts": batch["ts"].cast(pa.int64()),
+                "n_clicks": batch["n_clicks"].cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def clicks_after_purchase_sql(window_minutes: int = 60) -> str:
+    w = window_minutes * 60 * 1_000_000
+    return f"""
+WITH p AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.t AS purchase_ts, CAST(COUNT(c.t) AS BIGINT) AS n_clicks
+FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.t > p.t AND c.t <= p.t + {w}
+GROUP BY 1, 2
+"""
+
+
 def hopping_events(
     sf_dir: str, *, window_minutes: int = 60, hop_minutes: int = 15
 ) -> ray.data.Dataset:
