@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": textstats.token_count_bpe,
         "lang_predict": textstats.lang_predict,
         "doc_fingerprints": textstats.doc_fingerprints,
+        "export_by_lang": textstats.export_by_lang,
         # relational operators
         "pricing_summary": relational.pricing_summary,
         "top_suppliers": relational.top_suppliers,
@@ -117,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": ann.ann_cosine_topk_sql(),
         "doc_stats": textstats.doc_stats_sql(),
         "token_count_bpe": textstats.token_count_bpe_sql(),
+        "export_by_lang": textstats.export_by_lang_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "top_suppliers": relational.top_suppliers_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),

@@ -123,3 +123,42 @@ def doc_fingerprints(sf_dir: str, *, k: int = 8, window: int = 4) -> ray.data.Da
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def export_by_lang(sf_dir: str, *, out_dir: str | None = None) -> ray.data.Dataset:
+    """Write-path query: documents written as lang-partitioned parquet (one
+    directory per lang — the resumable partitioned-output layout), then the
+    verification read comes FROM THE WRITTEN FILES, so the sink round-trip
+    itself is oracle-checked (per-lang row counts + char sums)."""
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="graft_export_by_lang_")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    ds.write_parquet(out_dir, partition_cols=["lang"])
+    back = ray.data.read_parquet(out_dir)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        # partition column comes back as dictionary/string depending on
+        # reader; normalize for the aggregate
+        return pa.table(
+            {
+                "lang": batch["lang"].cast(pa.string()),
+                "n_chars": batch["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        back.map_batches(norm, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+    )
+
+
+def export_by_lang_sql() -> str:
+    return """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+"""
