@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clicks_last_purchase": relational.clicks_last_purchase,
         "clicks_after_purchase": relational.clicks_after_purchase,
         "parts_never_discounted": relational.parts_never_discounted,
+        "users_intersection": relational.users_intersection,
     }
 
 
@@ -129,4 +130,5 @@ def oracle_sql() -> dict[str, str]:
         "clicks_last_purchase": relational.clicks_last_purchase_sql(),
         "clicks_after_purchase": relational.clicks_after_purchase_sql(),
         "parts_never_discounted": relational.parts_never_discounted_sql(),
+        "users_intersection": relational.users_intersection_sql(),
     }

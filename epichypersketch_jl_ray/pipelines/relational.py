@@ -380,6 +380,45 @@ FROM events GROUP BY 1, 2
 """
 
 
+def users_intersection(sf_dir: str) -> ray.data.Dataset:
+    """Set op (INTERSECT): users who both click AND purchase — one groupby
+    over per-row membership flags (the distributed set-intersection shape;
+    UNION/EXCEPT are the same aggregate with different final filters)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "is_click": pc.equal(batch["event_type"], "click").cast(pa.int64()),
+                "is_purchase": pc.equal(batch["event_type"], "purchase").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("is_click", alias_name="c"), Max("is_purchase", alias_name="p"))
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        both = pc.and_(pc.equal(batch["c"], 1), pc.equal(batch["p"], 1))
+        return batch.filter(both).select(["user_id"])
+
+    return agg.map_batches(keep, batch_format="pyarrow")
+
+
+def users_intersection_sql() -> str:
+    return """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
 def clicks_after_purchase(sf_dir: str, *, window_minutes: int = 60) -> ray.data.Dataset:
     """Range join demo (count form): for each purchase, how many clicks the
     same user makes within the following window — stages/join.
