@@ -27,6 +27,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from epichypersketch_jl_ray.pipelines import (
         ann,
+        curate,
         dedup,
         motifs,
         multimodal,
@@ -62,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
+        "curate_corpus": curate.curate_corpus,
         # similarity search
         "ann_cosine_topk": ann.ann_cosine_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
@@ -94,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from epichypersketch_jl_ray.pipelines import (
         ann,
+        curate,
         dedup,
         motifs,
         ngrams,
@@ -116,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.dedup_exact_sql(),
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh_sql(),
         "dedup_embedding": dedup.dedup_embedding_sql(),
+        "curate_corpus": curate.curate_corpus_sql(),
         "ann_cosine_topk": ann.ann_cosine_topk_sql(),
         "doc_stats": textstats.doc_stats_sql(),
         "token_count_bpe": textstats.token_count_bpe_sql(),

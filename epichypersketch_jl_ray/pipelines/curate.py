@@ -1,0 +1,119 @@
+"""End-to-end corpus curation: the composite pipeline a training-data user
+actually runs — quality filter → exact dedup → near-dup removal — expressed
+as one chained Ray Data flow, each stage the scale-shaped operator proven
+individually elsewhere (pipelines/dedup.py), and the WHOLE chain checked
+against a single DuckDB oracle.
+
+Stage shapes (all distributed, no driver materialization of corpus-scale
+data):
+1. quality filter — vectorized predicate pushpast the read (only doc_id,
+   text, n_chars columns leave storage).
+2. exact dedup — groupby on the 128-bit content hash, keep min doc_id.
+3. near-dup removal — MinHash-LSH banding + distributed exact-Jaccard
+   verification (minhash_pairs) among the exact-dedup keepers; for each
+   verified pair (a < b) the higher doc_id drops. Pair-wise (not
+   transitive-closure) removal, matching the oracle's NOT IN semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Count, Max, Min
+
+from epichypersketch_jl_ray.functions.hashing import content_hash128
+from epichypersketch_jl_ray.pipelines.dedup import SHINGLE_N, minhash_pairs
+from epichypersketch_jl_ray.sources.tables import read_table
+
+
+def curate_corpus(
+    sf_dir: str,
+    *,
+    min_chars: int = 120,
+    threshold: float = 0.5,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Surviving doc_ids after quality filter + exact dedup + near-dup drop."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def quality(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["n_chars"], min_chars)
+        return batch.filter(keep).select(["doc_id", "text"])
+
+    filtered = docs.map_batches(quality, batch_format="pyarrow").materialize()
+
+    def key(batch: pa.Table) -> pa.Table:
+        h1, h2 = content_hash128(batch["text"])
+        return pa.table(
+            {
+                "h1": pa.array(h1.view(np.int64), pa.int64()),
+                "h2": pa.array(h2.view(np.int64), pa.int64()),
+                "doc_id": batch["doc_id"],
+            }
+        )
+
+    keepers = (
+        filtered.map_batches(key, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .drop_columns(["h1", "h2"])
+    )
+    # keeper docs regain their text via the native hash join (string payload
+    # is join-safe; only list payloads need the bucketed attach)
+    keeper_docs = filtered.join(
+        keepers, join_type="inner", num_partitions=num_partitions, on=("doc_id",)
+    ).materialize()
+
+    pairs = minhash_pairs(
+        keeper_docs, threshold=threshold, num_partitions=num_partitions
+    )
+
+    # drop the higher doc_id of every verified pair: union keepers (flag 0)
+    # with pair doc_b's (flag 1), one groupby, keep max-flag 0 — the
+    # distributed anti-join shape without a second join machinery
+    def drops(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_b"].cast(pa.int64()),
+                "dropped": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+            }
+        )
+
+    def keeps(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "dropped": pa.array(np.zeros(len(batch), np.int64), pa.int64()),
+            }
+        )
+
+    flagged = keepers.map_batches(keeps, batch_format="pyarrow").union(
+        pairs.map_batches(drops, batch_format="pyarrow")
+    )
+    agg = flagged.groupby("doc_id").aggregate(Max("dropped", alias_name="dropped"))
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["dropped"], 0)).select(["doc_id"])
+
+    return agg.map_batches(survivors, batch_format="pyarrow")
+
+
+def curate_corpus_sql(min_chars: int = 120, threshold: float = 0.5) -> str:
+    assert SHINGLE_N == 3
+    return f"""
+WITH f AS (SELECT doc_id, text FROM documents WHERE n_chars >= {min_chars}),
+k AS (SELECT MIN(doc_id) AS doc_id, text FROM f GROUP BY text),
+t AS (SELECT doc_id, string_split(text,' ') toks FROM k),
+s AS (SELECT DISTINCT doc_id, toks[i]||' '||toks[i+1]||' '||toks[i+2] sh
+      FROM t, LATERAL unnest(range(1, len(toks)-1)) r(i)),
+sz AS (SELECT doc_id, count(*) n FROM s GROUP BY 1),
+inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i
+          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+j AS (SELECT da, db, i::DOUBLE / (x.n + y.n - i) jac FROM inter
+      JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db),
+drops AS (SELECT DISTINCT db FROM j WHERE jac >= {threshold})
+SELECT doc_id FROM k WHERE doc_id NOT IN (SELECT db FROM drops)
+"""

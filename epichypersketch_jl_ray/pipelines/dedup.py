@@ -71,8 +71,26 @@ def dedup_minhash_lsh(
     bands: int = 64,
     num_partitions: int = 8,
 ) -> ray.data.Dataset:
+    """Near-dup pairs over the documents table (see minhash_pairs)."""
+    return minhash_pairs(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=threshold,
+        num_perms=num_perms,
+        bands=bands,
+        num_partitions=num_partitions,
+    )
+
+
+def minhash_pairs(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.5,
+    num_perms: int = 128,
+    bands: int = 64,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
     """Near-dup pairs via MinHash-LSH banding + DISTRIBUTED exact Jaccard
-    verification.
+    verification, over any (doc_id, text) Dataset.
 
     bands=64 x rows=2: P(candidate | J) = 1-(1-J^2)^64 — for J>=0.5 the miss
     probability is (3/4)^64 ~ 1e-8, so at fixture scale the verified output
@@ -82,8 +100,9 @@ def dedup_minhash_lsh(
     (hashes only — tiny relative to the text), materialized in the object
     store and reused by both the banding branch and verification. Candidate
     pairs are deduplicated with a distributed groupby (not a driver
-    drop_duplicates), then each pair is co-located with both docs' shingle
-    lists via two bucketed attach passes on doc_id
+    drop_duplicates), the shingle side is semi-join pruned by a broadcast
+    Bloom over candidate doc ids, then each pair is co-located with both
+    docs' shingle lists via two bucketed attach passes on doc_id
     (stages.dedup.attach_list_column — Ray's native join can't carry list
     payloads), and exact Jaccard is computed vectorized per batch
     (stages.dedup.jaccard_verify_batch). No driver-side take_all of shingles
@@ -91,8 +110,6 @@ def dedup_minhash_lsh(
     through the same shuffle machinery as any other table.
     """
     import pyarrow.compute as pc
-
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def shingle_table(batch: pa.Table) -> pa.Table:
         sh, off = word_shingle_hashes(batch["text"], n=SHINGLE_N)
