@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles_kll": sketches.doc_length_quantiles_kll,
         "doc_length_quantiles_by_lang": sketches.doc_length_quantiles_by_lang,
         "doc_length_quantiles_tdigest": sketches.doc_length_quantiles_tdigest,
+        "doc_length_quantiles_dd": sketches.doc_length_quantiles_dd,
         "user_membership_bloom": sketches.user_membership_bloom,
         "top_ngrams_spacesaving": sketches.top_ngrams_spacesaving,
         "doc_sample": sketches.doc_sample,

@@ -296,3 +296,18 @@ WITH mx AS (SELECT CAST(MAX(user_id) + 1 AS BIGINT) AS m FROM events),
 p AS (SELECT unnest(range(0, 2 * m)) AS probe_id FROM mx)
 SELECT probe_id, probe_id IN (SELECT user_id FROM events) AS present FROM p
 """
+
+
+def doc_length_quantiles_dd(sf_dir: str, *, alpha: float = 0.01) -> pd.DataFrame:
+    """n_chars quantiles via DDSketch — RELATIVE-error bound (each answer
+    within alpha of the true value at its rank), complementing KLL's
+    rank-error bound. Rows-only (approximate); bound asserted in pytest."""
+    from epichypersketch_jl_ray.state.ddsketch import DDSketch
+
+    ds = read_table(sf_dir, "documents", columns=["n_chars"])
+
+    def update(s: DDSketch, batch: pa.Table) -> None:
+        s.update(batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64))
+
+    dd = sketch_dataset(ds, lambda: DDSketch(alpha=alpha), update, DDSketch)
+    return pd.DataFrame({"q": list(QS), "n_chars_q": [dd.quantile(q) for q in QS]})

@@ -192,3 +192,50 @@ def test_grouped_hll_accuracy(ray_session, sf_dir):
         true = exact[row["event_type"]]
         # 5 sigma of rse ~= 1.04/sqrt(2^14)
         assert abs(row["distinct_users_est"] - true) / true < 5 * 1.04 / (2**7)
+
+
+def test_ddsketch_relative_error_and_merge():
+    """DDSketch: every quantile within the alpha relative-error bound of
+    the exact order statistic; merge == single-sketch build (bucket-wise
+    exact); zero/negative handling."""
+    import numpy as np
+    import pytest
+
+    from epichypersketch_jl_ray.state.ddsketch import DDSketch
+
+    rng = np.random.default_rng(9)
+    vals = np.concatenate(
+        [rng.lognormal(5, 2, size=20_000), np.zeros(50)]  # heavy-tailed + zeros
+    )
+    alpha = 0.01
+    whole = DDSketch(alpha).update(vals)
+    parts = [DDSketch(alpha).update(c) for c in np.array_split(vals, 7)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.digest() == whole.digest()  # merge is exact
+    s = np.sort(vals)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99, 0.999):
+        true = s[int(q * (len(s) - 1))]
+        got = whole.quantile(q)
+        if true == 0:
+            assert got == 0
+        else:
+            assert abs(got - true) / true <= alpha + 1e-9, (q, got, true)
+    with pytest.raises(ValueError):
+        DDSketch(alpha).update(np.array([-1.0]))
+    with pytest.raises(ValueError):
+        DDSketch(0.01).merge(DDSketch(0.02))
+
+
+def test_ddsketch_pipeline(ray_session, sf_dir):
+    import duckdb
+
+    from epichypersketch_jl_ray.pipelines.sketches import QS, doc_length_quantiles_dd
+
+    out = doc_length_quantiles_dd(sf_dir)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
+    for q, got in zip(out["q"], out["n_chars_q"]):
+        true = con.sql(f"SELECT quantile_disc(n_chars, {q}) FROM documents").fetchone()[0]
+        assert abs(got - true) / true <= 0.011
