@@ -37,7 +37,7 @@ def __getattr__(name):
         from epichypersketch_jl_ray import api
 
         return getattr(api, name)
-    if name in ("CountMin", "HyperLogLog", "KLL", "TDigest", "BloomFilter", "MinHasher"):
+    if name in ("CountMin", "HyperLogLog", "KLL", "TDigest", "BloomFilter", "MinHasher", "SpaceSaving", "ReservoirSample", "DDSketch", "GroupedSketch"):
         from epichypersketch_jl_ray import state
 
         return getattr(state, name)
@@ -61,6 +61,10 @@ __all__ = [
     "TDigest",
     "BloomFilter",
     "MinHasher",
+    "SpaceSaving",
+    "ReservoirSample",
+    "DDSketch",
+    "GroupedSketch",
     "build_checkpointed",
     "__version__",
 ]

@@ -16,6 +16,8 @@ from epichypersketch_jl_ray.state.bloom import BloomFilter
 from epichypersketch_jl_ray.state.minhash import MinHasher, simhash64
 from epichypersketch_jl_ray.state.reservoir import ReservoirSample
 from epichypersketch_jl_ray.state.spacesaving import SpaceSaving
+from epichypersketch_jl_ray.state.ddsketch import DDSketch
+from epichypersketch_jl_ray.state.grouped import GroupedSketch
 
 __all__ = [
     "MergeableSketch",
@@ -28,4 +30,6 @@ __all__ = [
     "simhash64",
     "SpaceSaving",
     "ReservoirSample",
+    "DDSketch",
+    "GroupedSketch",
 ]
