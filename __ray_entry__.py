@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_membership_bloom": sketches.user_membership_bloom,
         "top_ngrams_spacesaving": sketches.top_ngrams_spacesaving,
         "doc_sample": sketches.doc_sample,
+        "doc_sample_by_lang": sketches.doc_sample_by_lang,
         # dedup suite
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,

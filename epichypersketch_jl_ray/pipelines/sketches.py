@@ -311,3 +311,34 @@ def doc_length_quantiles_dd(sf_dir: str, *, alpha: float = 0.01) -> pd.DataFrame
 
     dd = sketch_dataset(ds, lambda: DDSketch(alpha=alpha), update, DDSketch)
     return pd.DataFrame({"q": list(QS), "n_chars_q": [dd.quantile(q) for q in QS]})
+
+
+def _reservoir_20() -> "ReservoirSample":
+    from epichypersketch_jl_ray.state.reservoir import ReservoirSample
+
+    return ReservoirSample(k=20, seed=SEED)
+
+
+def doc_sample_by_lang(sf_dir: str, *, k: int = 20) -> pd.DataFrame:
+    """Stratified uniform sample: one mergeable priority reservoir PER LANG
+    (GroupedSketch over ReservoirSample) — k docs from every lang regardless
+    of lang skew, no corpus shuffle, deterministic across partitionings.
+    Rows-only check (sample membership asserted in pytest)."""
+    from epichypersketch_jl_ray.state.grouped import GroupedSketch
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "doc_id"])
+
+    def update(g: GroupedSketch, batch: pa.Table) -> None:
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(langs, kind="stable")
+        langs, ids = langs[order], ids[order]
+        bounds = np.flatnonzero(np.concatenate(([True], langs[1:] != langs[:-1])))
+        for start, stop in zip(bounds, np.append(bounds[1:], len(langs))):
+            g.get(str(langs[start])).update(ids[start:stop])
+
+    grouped = sketch_dataset(ds, lambda: GroupedSketch(_reservoir_20), update, GroupedSketch)
+    rows = [
+        (lang, int(d)) for lang in grouped.keys() for d in np.sort(grouped.parts[lang].sample())
+    ]
+    return pd.DataFrame(rows, columns=["lang", "doc_id"])

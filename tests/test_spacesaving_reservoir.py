@@ -74,3 +74,25 @@ class TestReservoir:
         ids = np.concatenate([np.arange(1000), np.arange(1000)])
         s = ReservoirSample(k=100, seed=5).update(ids)
         assert len(np.unique(s.sample())) == 100
+
+
+def test_stratified_sample_by_lang(ray_session, sf_dir):
+    """Every lang contributes min(k, n_lang) docs; every sampled doc really
+    has that lang; the sample is partitioning-invariant (deterministic)."""
+    import duckdb
+
+    from epichypersketch_jl_ray.pipelines.sketches import doc_sample_by_lang
+
+    out = doc_sample_by_lang(sf_dir)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
+    truth = con.sql("SELECT doc_id, lang FROM documents").df().set_index("doc_id")["lang"]
+    counts = con.sql("SELECT lang, count(*) n FROM documents GROUP BY 1").df().set_index("lang")["n"]
+    per_lang = out.groupby("lang").size()
+    for lang, n in per_lang.items():
+        assert n == min(20, counts[lang])
+    for _, row in out.iterrows():
+        assert truth[row["doc_id"]] == row["lang"]
+    # deterministic across runs
+    again = doc_sample_by_lang(sf_dir)
+    assert out.equals(again)
