@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": sketches.distinct_users_hll,
         "distinct_users_exact": sketches.distinct_users_exact,
         "distinct_users_by_type": sketches.distinct_users_by_type,
+        "user_overlap_theta": sketches.user_overlap_theta,
         "distinct_users_by_type_exact": sketches.distinct_users_by_type_exact,
         "doc_length_quantiles_kll": sketches.doc_length_quantiles_kll,
         "doc_length_quantiles_by_lang": sketches.doc_length_quantiles_by_lang,

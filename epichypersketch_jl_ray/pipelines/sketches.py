@@ -342,3 +342,41 @@ def doc_sample_by_lang(sf_dir: str, *, k: int = 20) -> pd.DataFrame:
         (lang, int(d)) for lang in grouped.keys() for d in np.sort(grouped.parts[lang].sample())
     ]
     return pd.DataFrame(rows, columns=["lang", "doc_id"])
+
+
+def _theta_4096() -> "ThetaSketch":
+    from epichypersketch_jl_ray.state.theta import ThetaSketch
+
+    return ThetaSketch(k=4096)
+
+
+def user_overlap_theta(sf_dir: str) -> pd.DataFrame:
+    """Distinct-set ALGEBRA via theta sketches: |click users|, |purchase
+    users|, their intersection and union — one scan building one theta
+    sketch per event_type (GroupedSketch), set expressions evaluated on the
+    merged states. HLL cannot answer the intersection; rse ~ 1/sqrt(k-1).
+    Rows-only (approximate; bounds asserted in pytest vs exact SQL)."""
+    from epichypersketch_jl_ray.state.grouped import GroupedSketch
+    from epichypersketch_jl_ray.state.theta import ThetaSketch
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def update(g: GroupedSketch, batch: pa.Table) -> None:
+        types = batch["event_type"].to_numpy(zero_copy_only=False)
+        users = hash_int64(batch["user_id"].to_numpy(zero_copy_only=False), seed=SEED)
+        order = np.argsort(types, kind="stable")
+        types, users = types[order], users[order]
+        bounds = np.flatnonzero(np.concatenate(([True], types[1:] != types[:-1])))
+        for start, stop in zip(bounds, np.append(bounds[1:], len(types))):
+            g.get(str(types[start])).update_hashed(users[start:stop])
+
+    grouped = sketch_dataset(ds, lambda: GroupedSketch(_theta_4096), update, GroupedSketch)
+    clicks = grouped.parts.get("click", _theta_4096())
+    purchases = grouped.parts.get("purchase", _theta_4096())
+    rows = [
+        ("click_users", clicks.estimate()),
+        ("purchase_users", purchases.estimate()),
+        ("click_and_purchase", ThetaSketch.intersection_estimate(clicks, purchases)),
+        ("click_or_purchase", ThetaSketch.union_estimate(clicks, purchases)),
+    ]
+    return pd.DataFrame(rows, columns=["set_expr", "estimate"])

@@ -239,3 +239,55 @@ def test_ddsketch_pipeline(ray_session, sf_dir):
     for q, got in zip(out["q"], out["n_chars_q"]):
         true = con.sql(f"SELECT quantile_disc(n_chars, {q}) FROM documents").fetchone()[0]
         assert abs(got - true) / true <= 0.011
+
+
+def test_theta_sketch_bounds_and_merge():
+    import numpy as np
+
+    from epichypersketch_jl_ray.functions.hashing import hash_int64
+    from epichypersketch_jl_ray.state.theta import ThetaSketch
+
+    rng = np.random.default_rng(4)
+    a_ids = rng.choice(200_000, size=50_000, replace=False)
+    b_ids = np.concatenate([a_ids[:20_000], 200_000 + np.arange(30_000)])  # |A∩B|=20k
+    ha, hb = hash_int64(a_ids, seed=1), hash_int64(b_ids, seed=1)
+    # merge == single build
+    whole = ThetaSketch(4096).update_hashed(ha)
+    parts = [ThetaSketch(4096).update_hashed(c) for c in np.array_split(ha, 5)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.digest() == whole.digest()
+    # cardinality / set-expression bounds: 5 sigma of rse ~ 1/sqrt(k-1)
+    tol = 5 / np.sqrt(4095)
+    tb = ThetaSketch(4096).update_hashed(hb)
+    assert abs(whole.estimate() - 50_000) / 50_000 < tol
+    assert abs(tb.estimate() - 50_000) / 50_000 < tol
+    inter = ThetaSketch.intersection_estimate(whole, tb)
+    assert abs(inter - 20_000) / 20_000 < 3 * tol  # intersection rse is larger
+    union = ThetaSketch.union_estimate(whole, tb)
+    assert abs(union - 80_000) / 80_000 < tol
+
+
+def test_user_overlap_theta_pipeline(ray_session, sf_dir):
+    import duckdb
+
+    from epichypersketch_jl_ray.pipelines.sketches import user_overlap_theta
+
+    out = user_overlap_theta(sf_dir).set_index("set_expr")["estimate"]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')")
+    exact = {
+        "click_users": "SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type='click'",
+        "purchase_users": "SELECT COUNT(DISTINCT user_id) FROM events WHERE event_type='purchase'",
+        "click_and_purchase": """SELECT COUNT(*) FROM (
+            SELECT user_id FROM events WHERE event_type='click'
+            INTERSECT SELECT user_id FROM events WHERE event_type='purchase')""",
+        "click_or_purchase": """SELECT COUNT(*) FROM (
+            SELECT user_id FROM events WHERE event_type='click'
+            UNION SELECT user_id FROM events WHERE event_type='purchase')""",
+    }
+    for expr, sql in exact.items():
+        true = con.sql(sql).fetchone()[0]
+        # sf fixtures are below theta capacity -> estimates are EXACT
+        assert out[expr] == true, (expr, out[expr], true)
