@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": ann.ann_cosine_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
+        "embedding_principal_components": ann.embedding_principal_components,
         # multimodal (stubbed decode, real plumbing)
         "image_features": multimodal.image_features,
         "video_frame_features": multimodal.video_frame_features,

@@ -189,3 +189,39 @@ r AS (SELECT qid, vec_id,
 SELECT qid AS query_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank
 FROM r WHERE rn <= {k}
 """
+
+
+def embedding_principal_components(sf_dir: str, *, k: int = 8, ell: int = 64) -> pd.DataFrame:
+    """Approximate PCA of the embedding column in ONE pass via the mergeable
+    Frequent Directions matrix sketch (state/frequentdirections.py): per-block
+    l x d partials -> UDAF tree merge -> top-k singular directions. No N x d
+    materialization anywhere; state is O(l·d) per partial. Rows-only
+    (approximate; the covariance spectral bound and subspace quality are
+    asserted in pytest)."""
+    from epichypersketch_jl_ray.stages.udaf import sketch_dataset
+    from epichypersketch_jl_ray.state.frequentdirections import FrequentDirections
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sch = ds.schema()
+    etype = sch.types[sch.names.index("embedding")]
+    dim = (
+        etype.list_size
+        if pa.types.is_fixed_size_list(etype)
+        else len(ds.limit(1).take_all()[0]["embedding"])
+    )
+
+    def update(fd: FrequentDirections, batch: pa.Table) -> None:
+        fd.update(_embedding_matrix(batch, "embedding"))
+
+    fd = sketch_dataset(
+        ds, lambda: FrequentDirections(dim, ell=ell), update, FrequentDirections
+    )
+    s, _vt = fd.top_directions(k)
+    total = fd.frob_sq
+    return pd.DataFrame(
+        {
+            "component": np.arange(len(s), dtype=np.int64),
+            "singular_value": s,
+            "energy_share": (s**2) / total,
+        }
+    )

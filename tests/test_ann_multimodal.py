@@ -156,3 +156,47 @@ def test_ann_ivf_recall_vs_bruteforce(ray_session, sf_dir):
     # each query's own vector lives in its best-probed list -> rank 1 found
     self_hits = ivf[(ivf["query_id"] == ivf["neighbor_id"]) & (ivf["rank"] == 1)]
     assert len(self_hits) == ivf["query_id"].nunique()
+
+
+def test_frequent_directions_bound_and_merge():
+    """FD covariance guarantee 0 <= x'(A'A-B'B)x <= ||A||_F^2/ell, merge
+    composes the bound, and the sketched top subspace captures almost all
+    the energy of a planted low-rank + noise matrix."""
+    import numpy as np
+
+    from epichypersketch_jl_ray.state.frequentdirections import FrequentDirections
+
+    rng = np.random.default_rng(2)
+    d, n, ell = 32, 5000, 24
+    basis = np.linalg.qr(rng.standard_normal((d, 4)))[0].T  # 4 planted directions
+    A = rng.standard_normal((n, 4)) @ (basis * np.array([10, 8, 6, 4])[:, None])
+    A += 0.1 * rng.standard_normal((n, d))
+
+    whole = FrequentDirections(d, ell=ell).update(A)
+    parts = [FrequentDirections(d, ell=ell).update(c) for c in np.array_split(A, 7)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+
+    ata = A.T @ A
+    for fd in (whole, merged):
+        diff = ata - fd.cov_estimate()
+        eig = np.linalg.eigvalsh(diff)
+        assert eig.min() > -1e-6  # one-sided: B'B never overestimates
+        assert eig.max() <= fd.error_bound() + 1e-6
+        # planted 4-dim subspace recovered: projecting A on the sketch's top-4
+        # directions keeps ~all of the energy the exact top-4 keeps
+        _, vt = fd.top_directions(4)
+        exact_energy = (np.linalg.svd(A, compute_uv=False)[:4] ** 2).sum()
+        got_energy = ((A @ vt.T) ** 2).sum()
+        assert got_energy >= 0.98 * exact_energy
+
+
+def test_embedding_pca_pipeline(ray_session, sf_dir):
+    from epichypersketch_jl_ray.pipelines.ann import embedding_principal_components
+
+    out = embedding_principal_components(sf_dir, k=4)
+    assert len(out) == 4
+    assert (out["singular_value"].to_numpy() > 0).all()
+    assert (np.diff(out["singular_value"].to_numpy()) <= 1e-9).all()  # sorted desc
+    assert 0 < out["energy_share"].sum() <= 1.0 + 1e-9
