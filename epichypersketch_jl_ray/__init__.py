@@ -37,7 +37,7 @@ def __getattr__(name):
         from epichypersketch_jl_ray import api
 
         return getattr(api, name)
-    if name in ("CountMin", "HyperLogLog", "KLL", "TDigest", "BloomFilter", "MinHasher", "SpaceSaving", "ReservoirSample", "DDSketch", "GroupedSketch"):
+    if name in ("CountMin", "HyperLogLog", "KLL", "TDigest", "BloomFilter", "MinHasher", "SpaceSaving", "ReservoirSample", "DDSketch", "GroupedSketch", "ThetaSketch", "FrequentDirections"):
         from epichypersketch_jl_ray import state
 
         return getattr(state, name)
@@ -65,6 +65,8 @@ __all__ = [
     "ReservoirSample",
     "DDSketch",
     "GroupedSketch",
+    "ThetaSketch",
+    "FrequentDirections",
     "build_checkpointed",
     "__version__",
 ]

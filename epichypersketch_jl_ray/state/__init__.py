@@ -18,6 +18,8 @@ from epichypersketch_jl_ray.state.reservoir import ReservoirSample
 from epichypersketch_jl_ray.state.spacesaving import SpaceSaving
 from epichypersketch_jl_ray.state.ddsketch import DDSketch
 from epichypersketch_jl_ray.state.grouped import GroupedSketch
+from epichypersketch_jl_ray.state.theta import ThetaSketch
+from epichypersketch_jl_ray.state.frequentdirections import FrequentDirections
 
 __all__ = [
     "MergeableSketch",
@@ -32,4 +34,6 @@ __all__ = [
     "ReservoirSample",
     "DDSketch",
     "GroupedSketch",
+    "ThetaSketch",
+    "FrequentDirections",
 ]
