@@ -24,8 +24,8 @@ import pyarrow.compute as pc
 import ray
 from ray.data.aggregate import Count, Max, Min
 
-from epichypersketch_jl_ray.functions.hashing import content_hash128
 from epichypersketch_jl_ray.pipelines.dedup import SHINGLE_N, minhash_pairs
+from epichypersketch_jl_ray.stages.dedup import content_key_table
 from epichypersketch_jl_ray.sources.tables import read_table
 
 
@@ -45,18 +45,8 @@ def curate_corpus(
 
     filtered = docs.map_batches(quality, batch_format="pyarrow").materialize()
 
-    def key(batch: pa.Table) -> pa.Table:
-        h1, h2 = content_hash128(batch["text"])
-        return pa.table(
-            {
-                "h1": pa.array(h1.view(np.int64), pa.int64()),
-                "h2": pa.array(h2.view(np.int64), pa.int64()),
-                "doc_id": batch["doc_id"],
-            }
-        )
-
     keepers = (
-        filtered.map_batches(key, batch_format="pyarrow")
+        filtered.map_batches(content_key_table, batch_format="pyarrow")
         .groupby(["h1", "h2"])
         .aggregate(Min("doc_id", alias_name="doc_id"))
         .drop_columns(["h1", "h2"])

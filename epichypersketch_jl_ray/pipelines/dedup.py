@@ -10,13 +10,13 @@ import pyarrow as pa
 import ray
 from ray.data.aggregate import Count, Min
 
-from epichypersketch_jl_ray.functions.hashing import content_hash128
 from epichypersketch_jl_ray.functions.text import word_shingle_hashes
 from epichypersketch_jl_ray.sources.tables import read_table
 from epichypersketch_jl_ray.stages.dedup import (
     SignatureStage,
     attach_list_column,
     candidate_pairs_from_band,
+    content_key_table,
     jaccard_verify_batch,
     md5_hex,
     simhash_candidates_from_chunk,
@@ -38,18 +38,8 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     (off the hot path)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def key(batch: pa.Table) -> pa.Table:
-        h1, h2 = content_hash128(batch["text"])
-        return pa.table(
-            {
-                "h1": pa.array(h1.view(np.int64), pa.int64()),
-                "h2": pa.array(h2.view(np.int64), pa.int64()),
-                "doc_id": batch["doc_id"],
-            }
-        )
-
     return (
-        ds.map_batches(key, batch_format="pyarrow")
+        ds.map_batches(content_key_table, batch_format="pyarrow")
         .groupby(["h1", "h2"])
         .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="dup_count"))
         .drop_columns(["h1", "h2"])
@@ -150,6 +140,19 @@ def minhash_pairs(
     from epichypersketch_jl_ray.state.bloom import BloomFilter
 
     n_pairs = cand.count()
+    if n_pairs == 0:
+        # nothing shared a band bucket: empty pair set, typed like the
+        # verified output (the downstream sketch/attach stages would
+        # otherwise choke on a zero-partial merge)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
     cap = max(1 << 14, 2 * n_pairs)
 
     def add_pair_docs(b: BloomFilter, batch: pa.Table) -> None:

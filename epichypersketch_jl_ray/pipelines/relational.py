@@ -466,7 +466,7 @@ def clicks_after_purchase(sf_dir: str, *, window_minutes: int = 60) -> ray.data.
 def clicks_after_purchase_sql(window_minutes: int = 60) -> str:
     w = window_minutes * 60 * 1_000_000
     return f"""
-WITH p AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),
+WITH p AS (SELECT DISTINCT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),
 c AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click')
 SELECT p.user_id, p.t AS purchase_ts, CAST(COUNT(c.t) AS BIGINT) AS n_clicks
 FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.t > p.t AND c.t <= p.t + {w}

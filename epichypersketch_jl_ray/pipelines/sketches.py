@@ -62,16 +62,14 @@ def distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
     vs the exact grouped count asserted in pytest."""
     from epichypersketch_jl_ray.state.grouped import GroupedSketch
 
+    from epichypersketch_jl_ray.state.grouped import grouped_update
+
     ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
 
     def update(g, batch: pa.Table) -> None:
         types = batch["event_type"].to_numpy(zero_copy_only=False)
         users = hash_int64(batch["user_id"].to_numpy(zero_copy_only=False), seed=SEED)
-        order = np.argsort(types, kind="stable")
-        types, users = types[order], users[order]
-        bounds = np.flatnonzero(np.concatenate(([True], types[1:] != types[:-1])))
-        for start, stop in zip(bounds, np.append(bounds[1:], len(types))):
-            g.get(str(types[start])).update_hashed(users[start:stop])
+        grouped_update(g, types, users, lambda sk, v: sk.update_hashed(v))
 
     grouped = sketch_dataset(ds, lambda: GroupedSketch(_hll_14), update, GroupedSketch)
     rows = [(t, float(grouped.parts[t].estimate())) for t in grouped.keys()]
@@ -128,10 +126,6 @@ def doc_length_quantiles_kll_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
-def _kll_4096() -> KLL:
-    return KLL(k=4096, seed=SEED)
-
-
 def doc_length_quantiles_by_lang(sf_dir: str, *, k: int = 4096) -> pd.DataFrame:
     """GROUPED quantiles via one KLL per lang (state/grouped.GroupedSketch):
     per-block partial dicts merge key-wise through the UDAF harness, so the
@@ -139,20 +133,19 @@ def doc_length_quantiles_by_lang(sf_dir: str, *, k: int = 4096) -> pd.DataFrame:
     in KLL's no-compaction regime (k >= per-lang n at the gate scale), so
     the quantile_disc-by-lang oracle hash-matches; bounded-cardinality keys
     only (per-key state)."""
-    from epichypersketch_jl_ray.state.grouped import GroupedSketch
+    from functools import partial
 
+    from epichypersketch_jl_ray.state.grouped import GroupedSketch, grouped_update
+
+    factory = partial(KLL, k=k, seed=SEED)
     ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
 
     def update(g: GroupedSketch, batch: pa.Table) -> None:
         langs = batch["lang"].to_numpy(zero_copy_only=False)
         vals = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
-        order = np.argsort(langs, kind="stable")
-        langs, vals = langs[order], vals[order]
-        bounds = np.flatnonzero(np.concatenate(([True], langs[1:] != langs[:-1])))
-        for start, stop in zip(bounds, np.append(bounds[1:], len(langs))):
-            g.get(str(langs[start])).update(vals[start:stop])
+        grouped_update(g, langs, vals, lambda sk, v: sk.update(v))
 
-    grouped = sketch_dataset(ds, lambda: GroupedSketch(_kll_4096), update, GroupedSketch)
+    grouped = sketch_dataset(ds, lambda: GroupedSketch(factory), update, GroupedSketch)
     rows = [
         (lang, q, grouped.parts[lang].quantile(q)) for lang in grouped.keys() for q in QS
     ]
@@ -313,31 +306,25 @@ def doc_length_quantiles_dd(sf_dir: str, *, alpha: float = 0.01) -> pd.DataFrame
     return pd.DataFrame({"q": list(QS), "n_chars_q": [dd.quantile(q) for q in QS]})
 
 
-def _reservoir_20() -> "ReservoirSample":
-    from epichypersketch_jl_ray.state.reservoir import ReservoirSample
-
-    return ReservoirSample(k=20, seed=SEED)
-
-
 def doc_sample_by_lang(sf_dir: str, *, k: int = 20) -> pd.DataFrame:
     """Stratified uniform sample: one mergeable priority reservoir PER LANG
     (GroupedSketch over ReservoirSample) — k docs from every lang regardless
     of lang skew, no corpus shuffle, deterministic across partitionings.
     Rows-only check (sample membership asserted in pytest)."""
-    from epichypersketch_jl_ray.state.grouped import GroupedSketch
+    from functools import partial
 
+    from epichypersketch_jl_ray.state.grouped import GroupedSketch, grouped_update
+    from epichypersketch_jl_ray.state.reservoir import ReservoirSample
+
+    factory = partial(ReservoirSample, k=k, seed=SEED)
     ds = read_table(sf_dir, "documents", columns=["lang", "doc_id"])
 
     def update(g: GroupedSketch, batch: pa.Table) -> None:
         langs = batch["lang"].to_numpy(zero_copy_only=False)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.argsort(langs, kind="stable")
-        langs, ids = langs[order], ids[order]
-        bounds = np.flatnonzero(np.concatenate(([True], langs[1:] != langs[:-1])))
-        for start, stop in zip(bounds, np.append(bounds[1:], len(langs))):
-            g.get(str(langs[start])).update(ids[start:stop])
+        grouped_update(g, langs, ids, lambda sk, v: sk.update(v))
 
-    grouped = sketch_dataset(ds, lambda: GroupedSketch(_reservoir_20), update, GroupedSketch)
+    grouped = sketch_dataset(ds, lambda: GroupedSketch(factory), update, GroupedSketch)
     rows = [
         (lang, int(d)) for lang in grouped.keys() for d in np.sort(grouped.parts[lang].sample())
     ]
@@ -356,7 +343,7 @@ def user_overlap_theta(sf_dir: str) -> pd.DataFrame:
     sketch per event_type (GroupedSketch), set expressions evaluated on the
     merged states. HLL cannot answer the intersection; rse ~ 1/sqrt(k-1).
     Rows-only (approximate; bounds asserted in pytest vs exact SQL)."""
-    from epichypersketch_jl_ray.state.grouped import GroupedSketch
+    from epichypersketch_jl_ray.state.grouped import GroupedSketch, grouped_update
     from epichypersketch_jl_ray.state.theta import ThetaSketch
 
     ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
@@ -364,11 +351,7 @@ def user_overlap_theta(sf_dir: str) -> pd.DataFrame:
     def update(g: GroupedSketch, batch: pa.Table) -> None:
         types = batch["event_type"].to_numpy(zero_copy_only=False)
         users = hash_int64(batch["user_id"].to_numpy(zero_copy_only=False), seed=SEED)
-        order = np.argsort(types, kind="stable")
-        types, users = types[order], users[order]
-        bounds = np.flatnonzero(np.concatenate(([True], types[1:] != types[:-1])))
-        for start, stop in zip(bounds, np.append(bounds[1:], len(types))):
-            g.get(str(types[start])).update_hashed(users[start:stop])
+        grouped_update(g, types, users, lambda sk, v: sk.update_hashed(v))
 
     grouped = sketch_dataset(ds, lambda: GroupedSketch(_theta_4096), update, GroupedSketch)
     clicks = grouped.parts.get("click", _theta_4096())

@@ -72,9 +72,11 @@ def corpus_rows(input_dir: str) -> int:
 
     import pyarrow.parquet as pq
 
-    return sum(
-        pq.ParquetFile(f).metadata.num_rows for f in _glob.glob(f"{input_dir}/*.parquet")
-    )
+    # recursive: nested/partitioned layouts (e.g. lang=xx/ subdirs) must
+    # count too, matching what ray.data.read_parquet will actually read —
+    # a 0 count here would silently fall back to the capacity floor
+    files = _glob.glob(f"{input_dir}/**/*.parquet", recursive=True)
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 def make_state(*, n_docs_hint: int | None = None, **kwargs) -> WebSketchState:

@@ -114,7 +114,8 @@ def bucketed_range_count_join(
     no pair materialization — the count form keeps range joins bounded even
     when a window covers many matches; an emit-pairs form would explode by
     the match factor). Duplicate left (key, on) rows collapse to one output
-    row (matching SQL GROUP BY semantics).
+    row counted ONCE — i.e. SELECT DISTINCT left-side semantics, which the
+    SQL oracle mirrors with a DISTINCT on its left CTE.
     """
     l_cols = [by, on]
     r_cols = [by, on]

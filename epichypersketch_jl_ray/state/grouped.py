@@ -16,7 +16,29 @@ from __future__ import annotations
 
 from typing import Callable, Hashable
 
+import numpy as np
+
 from epichypersketch_jl_ray.state.base import MergeableSketch
+
+
+def grouped_update(
+    g: "GroupedSketch",
+    keys: np.ndarray,
+    values: np.ndarray,
+    apply: Callable[[MergeableSketch, np.ndarray], None],
+) -> None:
+    """Dispatch one vectorized ``apply(sketch, values_slice)`` per distinct
+    key in a batch: sort by key, run-length bounds, slice — the shared
+    per-batch update shape for every GroupedSketch pipeline. Zero-row
+    batches are a no-op (the run-length trick would otherwise index into an
+    empty array)."""
+    if len(keys) == 0:
+        return
+    order = np.argsort(keys, kind="stable")
+    keys_s, vals = keys[order], values[order]
+    bounds = np.flatnonzero(np.concatenate(([True], keys_s[1:] != keys_s[:-1])))
+    for start, stop in zip(bounds, np.append(bounds[1:], len(keys_s))):
+        apply(g.get(str(keys_s[start])), vals[start:stop])
 
 
 class GroupedSketch(MergeableSketch):

@@ -80,7 +80,7 @@ def main() -> None:
             for _ in range(int(rng.integers(5, 11)))
         ]
     for i in range(31, 61):  # long sequences
-        variable[i + 30] = [
+        variable[i] = [
             (int(rng.integers(1, 16)), float(rng.random()))
             for _ in range(int(rng.integers(30, 51)))
         ]

@@ -219,3 +219,29 @@ def test_attach_list_column_dedupe_on(ray_session):
     ).to_pandas()
     got = sorted(zip(out["doc_a"], out["doc_b"]))
     assert got == [(1, 5), (1, 6), (2, 7)]
+
+
+def test_minhash_pairs_empty_candidates(ray_session):
+    """A corpus with no shared band buckets returns an empty typed pair set
+    instead of crashing on a zero-partial merge."""
+    import pyarrow as pa
+
+    import ray
+
+    from epichypersketch_jl_ray.pipelines.dedup import minhash_pairs
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    ["alpha beta gamma delta epsilon", "one two three four five"], pa.string()
+                ),
+            }
+        )
+    )
+    out = minhash_pairs(ds)
+    assert out.count() == 0
+    # schema survives at the Dataset level (to_pandas on a zero-row Ray
+    # dataset drops columns — a Ray quirk, not a pipeline property)
+    assert out.schema().names == ["doc_a", "doc_b", "jaccard"]
