@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles_dd": sketches.doc_length_quantiles_dd,
         "user_membership_bloom": sketches.user_membership_bloom,
         "top_ngrams_spacesaving": sketches.top_ngrams_spacesaving,
+        "top_suppliers_spacesaving": sketches.top_suppliers_spacesaving,
         "doc_sample": sketches.doc_sample,
         "doc_sample_by_lang": sketches.doc_sample_by_lang,
         # dedup suite
@@ -120,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_quantiles_by_lang": sketches.doc_length_quantiles_by_lang_sql(),
         "user_membership_bloom": sketches.user_membership_bloom_sql(),
         "top_ngrams_spacesaving": sketches.top_ngrams_spacesaving_sql(),
+        "top_suppliers_spacesaving": sketches.top_suppliers_spacesaving_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh_sql(),
         "dedup_embedding": dedup.dedup_embedding_sql(),

@@ -60,9 +60,7 @@ def distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
     (state/grouped.GroupedSketch) — no corpus shuffle, only
     (n_types x 2^p registers) of state. Rows-only (approximate); accuracy
     vs the exact grouped count asserted in pytest."""
-    from epichypersketch_jl_ray.state.grouped import GroupedSketch
-
-    from epichypersketch_jl_ray.state.grouped import grouped_update
+    from epichypersketch_jl_ray.state.grouped import GroupedSketch, grouped_update
 
     ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
 
@@ -363,3 +361,38 @@ def user_overlap_theta(sf_dir: str) -> pd.DataFrame:
         ("click_or_purchase", ThetaSketch.union_estimate(clicks, purchases)),
     ]
     return pd.DataFrame(rows, columns=["set_expr", "estimate"])
+
+
+def top_suppliers_spacesaving(sf_dir: str, *, k: int = 10, capacity: int = 32768) -> pd.DataFrame:
+    """WEIGHTED heavy hitters: top suppliers by discounted revenue via
+    weighted SpaceSaving — one scan, NO groupby shuffle (the sketch state is
+    the aggregation), vs. top_suppliers' groupby+sort. Keys are the raw
+    supplier ids (collision-free), weights integer cents. Exact below
+    capacity (capacity >= distinct suppliers at gate scale), so the same
+    oracle as top_suppliers hash-matches; past capacity it degrades to the
+    guaranteed est-err bound."""
+    from epichypersketch_jl_ray.state.spacesaving import SpaceSaving
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def update(s: SpaceSaving, batch: pa.Table) -> None:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        keys = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        s.update_hashed(keys, weights=cents)
+
+    ss = sketch_dataset(ds, lambda: SpaceSaving(capacity=capacity), update, SpaceSaving)
+    order = np.lexsort((ss.keys.astype(np.int64), -ss.counts))[:k]
+    return pd.DataFrame(
+        {
+            "l_suppkey": ss.keys[order].astype(np.int64),
+            "revenue_cents": ss.counts[order],
+        }
+    )
+
+
+def top_suppliers_spacesaving_sql(k: int = 10) -> str:
+    from epichypersketch_jl_ray.pipelines.relational import top_suppliers_sql
+
+    return top_suppliers_sql(k)
