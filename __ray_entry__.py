@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # core reference semantics (CMS motif enumeration, SURVEY.md §2.3)
         "motifs_ordinary": motifs.motifs_ordinary,
+        "motifs_ordinary_k4": motifs.motifs_ordinary_k4,
         "motifs_conv": motifs.motifs_conv,
         # webtext CMS heavy hitters + flagship 4-sketch build
         "heavy_ngrams": ngrams.heavy_ngrams,
@@ -112,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "motifs_ordinary": motifs.motifs_ordinary_sql(),
+        "motifs_ordinary_k4": motifs.motifs_ordinary_k4_sql(),
         "motifs_conv": motifs.motifs_conv_sql(),
         "heavy_ngrams": ngrams.heavy_ngrams_sql(),
         "heavy_ngrams_by_lang": ngrams.heavy_ngrams_by_lang_sql(),

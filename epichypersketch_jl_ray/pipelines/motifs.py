@@ -161,18 +161,51 @@ def motifs_conv(
     )
 
 
+def motifs_ordinary_k4(sf_dir: str, *, min_count: int = 2) -> ray.data.Dataset:
+    """Higher-order (k=4) motif enumeration — the reference supports any
+    motif_size (/root/reference/test/test_higher_order_motifs.jl); this
+    exercises the generic C(len,k) path under the driver oracle, not just
+    pytest."""
+    return motif_pipeline(
+        lineitem_activation(sf_dir, conv=False),
+        motif_size=4,
+        min_count=min_count,
+        conv=False,
+    )
+
+
+def motifs_ordinary_k4_sql(min_count: int = 2) -> str:
+    return f"""
+WITH f AS MATERIALIZED (
+  SELECT l_orderkey AS data_index, CAST(l_suppkey AS INTEGER) AS feature,
+         l_quantity AS contribution,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_suppkey, l_quantity) AS rn
+  FROM lineitem),
+c AS MATERIALIZED (
+  SELECT a.data_index, a.feature AS m1, b.feature AS m2, d.feature AS m3, e.feature AS m4,
+         a.contribution + b.contribution + d.contribution + e.contribution AS contribution
+  FROM f a JOIN f b ON b.data_index = a.data_index AND b.rn > a.rn
+           JOIN f d ON d.data_index = a.data_index AND d.rn > b.rn
+           JOIN f e ON e.data_index = a.data_index AND e.rn > d.rn),
+g AS (SELECT m1, m2, m3, m4, COUNT(*) AS cnt FROM c GROUP BY 1, 2, 3, 4)
+SELECT c.m1, c.m2, c.m3, c.m4, c.data_index, c.contribution, g.cnt AS estimate
+FROM c JOIN g USING (m1, m2, m3, m4)
+WHERE g.cnt >= {min_count}
+"""
+
+
 def motifs_ordinary_sql(motif_size: int = 3, min_count: int = 3) -> str:
     """DuckDB oracle: exact brute-force slot-combination enumeration —
     the SQL analogue of the reference's verify_ground_truth
     (/root/reference/test/test_large_example_ordinary.jl:118-169)."""
     assert motif_size == 3
     return f"""
-WITH f AS (
+WITH f AS MATERIALIZED (
   SELECT l_orderkey AS data_index, CAST(l_suppkey AS INTEGER) AS feature,
          l_quantity AS contribution,
          ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_suppkey, l_quantity) AS rn
   FROM lineitem),
-c AS (
+c AS MATERIALIZED (
   SELECT a.data_index, a.feature AS m1, b.feature AS m2, d.feature AS m3,
          a.contribution + b.contribution + d.contribution AS contribution
   FROM f a JOIN f b ON b.data_index = a.data_index AND b.rn > a.rn
@@ -187,12 +220,12 @@ WHERE g.cnt >= {min_count}
 def motifs_conv_sql(motif_size: int = 3, min_count: int = 2, filter_len: int = 2) -> str:
     assert motif_size == 3
     return f"""
-WITH f AS (
+WITH f AS MATERIALIZED (
   SELECT l_orderkey AS data_index, CAST(l_suppkey AS INTEGER) AS feature,
          l_quantity AS contribution, CAST(l_linenumber AS INTEGER) AS position,
          ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
   FROM lineitem),
-c AS (
+c AS MATERIALIZED (
   SELECT a.data_index, a.feature AS m1, b.feature AS m2, d.feature AS m3,
          CAST(b.position - a.position - {filter_len} AS INTEGER) AS d12,
          CAST(d.position - b.position - {filter_len} AS INTEGER) AS d23,
