@@ -171,34 +171,37 @@ def motifs_ordinary_k4(sf_dir: str, *, min_count: int = 2) -> ray.data.Dataset:
         motif_size=4,
         min_count=min_count,
         conv=False,
+        # C(len,4) is ~15x the k=3 working set per row: let the reference's
+        # budget formula size the batch instead of the fixed default
+        batch_size=":auto",
     )
 
 
 def motifs_ordinary_k4_sql(min_count: int = 2) -> str:
-    return f"""
-WITH f AS MATERIALIZED (
-  SELECT l_orderkey AS data_index, CAST(l_suppkey AS INTEGER) AS feature,
-         l_quantity AS contribution,
-         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_suppkey, l_quantity) AS rn
-  FROM lineitem),
-c AS MATERIALIZED (
-  SELECT a.data_index, a.feature AS m1, b.feature AS m2, d.feature AS m3, e.feature AS m4,
-         a.contribution + b.contribution + d.contribution + e.contribution AS contribution
-  FROM f a JOIN f b ON b.data_index = a.data_index AND b.rn > a.rn
-           JOIN f d ON d.data_index = a.data_index AND d.rn > b.rn
-           JOIN f e ON e.data_index = a.data_index AND e.rn > d.rn),
-g AS (SELECT m1, m2, m3, m4, COUNT(*) AS cnt FROM c GROUP BY 1, 2, 3, 4)
-SELECT c.m1, c.m2, c.m3, c.m4, c.data_index, c.contribution, g.cnt AS estimate
-FROM c JOIN g USING (m1, m2, m3, m4)
-WHERE g.cnt >= {min_count}
-"""
+    return motifs_ordinary_sql(motif_size=4, min_count=min_count)
 
 
 def motifs_ordinary_sql(motif_size: int = 3, min_count: int = 3) -> str:
-    """DuckDB oracle: exact brute-force slot-combination enumeration —
-    the SQL analogue of the reference's verify_ground_truth
-    (/root/reference/test/test_large_example_ordinary.jl:118-169)."""
-    assert motif_size == 3
+    """DuckDB oracle: exact brute-force slot-combination enumeration for ANY
+    motif_size — the SQL analogue of the reference's verify_ground_truth
+    (/root/reference/test/test_large_example_ordinary.jl:118-169). The
+    k-way self-join chain is generated; CTEs are MATERIALIZED because
+    DuckDB inlines plain CTEs into every join side (re-evaluating the
+    window per side — 100x slower at k=4)."""
+    assert motif_size >= 2
+    aliases = [f"t{i}" for i in range(motif_size)]
+    m_cols = ", ".join(
+        f"{a}.feature AS m{i + 1}" for i, a in enumerate(aliases)
+    )
+    contribution = " + ".join(f"{a}.contribution" for a in aliases)
+    joins = "".join(
+        f"\n       JOIN f {aliases[i]} ON {aliases[i]}.data_index = t0.data_index"
+        f" AND {aliases[i]}.rn > {aliases[i - 1]}.rn"
+        for i in range(1, motif_size)
+    )
+    m_list = ", ".join(f"m{i + 1}" for i in range(motif_size))
+    c_m_list = ", ".join(f"c.m{i + 1}" for i in range(motif_size))
+    group_nums = ", ".join(str(i + 1) for i in range(motif_size))
     return f"""
 WITH f AS MATERIALIZED (
   SELECT l_orderkey AS data_index, CAST(l_suppkey AS INTEGER) AS feature,
@@ -206,13 +209,12 @@ WITH f AS MATERIALIZED (
          ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_suppkey, l_quantity) AS rn
   FROM lineitem),
 c AS MATERIALIZED (
-  SELECT a.data_index, a.feature AS m1, b.feature AS m2, d.feature AS m3,
-         a.contribution + b.contribution + d.contribution AS contribution
-  FROM f a JOIN f b ON b.data_index = a.data_index AND b.rn > a.rn
-           JOIN f d ON d.data_index = a.data_index AND d.rn > b.rn),
-g AS (SELECT m1, m2, m3, COUNT(*) AS cnt FROM c GROUP BY 1, 2, 3)
-SELECT c.m1, c.m2, c.m3, c.data_index, c.contribution, g.cnt AS estimate
-FROM c JOIN g USING (m1, m2, m3)
+  SELECT t0.data_index, {m_cols},
+         {contribution} AS contribution
+  FROM f t0{joins}),
+g AS (SELECT {m_list}, COUNT(*) AS cnt FROM c GROUP BY {group_nums})
+SELECT {c_m_list}, c.data_index, c.contribution, g.cnt AS estimate
+FROM c JOIN g USING ({m_list})
 WHERE g.cnt >= {min_count}
 """
 

@@ -376,9 +376,11 @@ def top_suppliers_spacesaving(sf_dir: str, *, k: int = 10, capacity: int = 32768
     ds = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"])
 
     def update(s: SpaceSaving, batch: pa.Table) -> None:
+        from epichypersketch_jl_ray.pipelines.relational import _cents
+
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
-        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        cents = _cents(price * (1.0 - disc))  # THE oracle-critical rounding
         keys = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
         s.update_hashed(keys, weights=cents)
 
