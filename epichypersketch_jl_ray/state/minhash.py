@@ -27,25 +27,62 @@ import numpy as np
 _P = np.uint64((1 << 61) - 1)
 
 
-class MinHasher:
-    """Stateless signature generator (per-doc min over permuted shingle hashes)."""
+def _mulmod_mersenne61(x: np.ndarray, a: np.ndarray) -> np.ndarray:
+    """Exact (x * a) mod (2^61 - 1) for uint64 arrays < p, without int128:
+    32-bit split products, reduced via 2^64 ≡ 8 and 2^61 ≡ 1 (mod p),
+    then two folds. Broadcasts like ``x * a``."""
+    with np.errstate(over="ignore"):
+        x_hi, x_lo = x >> np.uint64(32), x & np.uint64(0xFFFFFFFF)
+        a_hi, a_lo = a >> np.uint64(32), a & np.uint64(0xFFFFFFFF)
+        hi = x_hi * a_hi  # < 2^58
+        mid = x_hi * a_lo + x_lo * a_hi  # < 2^62
+        lo = x_lo * a_lo  # < 2^64, wraps — reconstruct exactly:
+        # x*a = hi*2^64 + mid*2^32 + lo_true; uint64 lo already IS lo_true
+        # mod 2^64 and the carry into bit 64 is (lo_true >> 64) == 0 since
+        # lo_true < 2^64. mid*2^32 overflows, so split mid = m1*2^29 + m0:
+        # mid*2^32 = m1*2^61 + m0*2^32 ≡ m1 + (m0 << 32)  (mod p)
+        m1, m0 = mid >> np.uint64(29), mid & np.uint64((1 << 29) - 1)
+        # lo ≡ (lo >> 61) + (lo & p)  (mod p)
+        s = (hi << np.uint64(3)) + m1 + (m0 << np.uint64(32)) + (lo >> np.uint64(61)) + (lo & _P)
+        s = (s >> np.uint64(61)) + (s & _P)
+        s = (s >> np.uint64(61)) + (s & _P)
+        return np.where(s >= _P, s - _P, s)
 
-    def __init__(self, num_perms: int = 128, *, seed: int = 1234) -> None:
+
+class MinHasher:
+    """Stateless signature generator (per-doc min over permuted shingle
+    hashes). ``exact_family=True`` uses the true universal hash family
+    h_i(x) = (a_i x + b_i) mod (2^61 - 1) via an exact Mersenne mulmod
+    (min-wise independence holds, ~3-4x the kernel cost); the default is
+    the documented fast deterministic mix (module docstring)."""
+
+    def __init__(
+        self, num_perms: int = 128, *, seed: int = 1234, exact_family: bool = False
+    ) -> None:
         rng = np.random.default_rng(seed)
         self.num_perms = int(num_perms)
+        self.exact_family = bool(exact_family)
         self.a = rng.integers(1, int(_P), size=num_perms, dtype=np.uint64)
         self.b = rng.integers(0, int(_P), size=num_perms, dtype=np.uint64)
+
+    def _permute(self, h: np.ndarray) -> np.ndarray:
+        """(s,) hashes -> (s, num_perms) permuted values."""
+        if self.exact_family:
+            prod = _mulmod_mersenne61(h[:, None], self.a[None, :])
+            with np.errstate(over="ignore"):
+                s = prod + self.b[None, :]  # both < p: sum < 2^62, no wrap
+            return np.where(s >= _P, s - _P, s)
+        with np.errstate(over="ignore"):
+            # deterministic mix, not the exact mod-p family — see module
+            # docstring for why (uint64 wraparound before the mod)
+            return (h[:, None] * self.a[None, :] + self.b[None, :]) % _P
 
     def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
         """(s,) uint64 shingle hashes -> (num_perms,) uint64 signature."""
         h = np.asarray(shingle_hashes, dtype=np.uint64) % _P
         if h.size == 0:
             return np.full(self.num_perms, np.iinfo(np.uint64).max, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            # deterministic mix, not the exact mod-p family — see module
-            # docstring for why (uint64 wraparound before the mod)
-            vals = (h[:, None] * self.a[None, :] + self.b[None, :]) % _P
-        return vals.min(axis=0)
+        return self._permute(h).min(axis=0)
 
     def signatures(self, flat_hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
         """Vectorized per-row signatures.
@@ -59,8 +96,7 @@ class MinHasher:
         if len(flat_hashes) == 0:
             return out
         h = np.asarray(flat_hashes, dtype=np.uint64) % _P
-        with np.errstate(over="ignore"):
-            vals = (h[:, None] * self.a[None, :] + self.b[None, :]) % _P  # (S, P)
+        vals = self._permute(h)  # (S, P)
         lengths = np.diff(offsets)
         nonempty = lengths > 0
         starts = offsets[:-1][nonempty]

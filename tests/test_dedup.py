@@ -245,3 +245,28 @@ def test_minhash_pairs_empty_candidates(ray_session):
     # schema survives at the Dataset level (to_pandas on a zero-row Ray
     # dataset drops columns — a Ray quirk, not a pipeline property)
     assert out.schema().names == ["doc_a", "doc_b", "jaccard"]
+
+
+def test_minhash_exact_family_mulmod():
+    """exact_family=True implements the true universal family
+    h_i(x) = (a_i x + b_i) mod (2^61 - 1) — verified against Python big-int
+    arithmetic; signatures still estimate Jaccard."""
+    import numpy as np
+
+    from epichypersketch_jl_ray.state.minhash import MinHasher, _P, _mulmod_mersenne61
+
+    rng = np.random.default_rng(8)
+    P = (1 << 61) - 1
+    x = rng.integers(0, P, size=2000, dtype=np.uint64)
+    a = rng.integers(0, P, size=2000, dtype=np.uint64)
+    got = _mulmod_mersenne61(x, a)
+    want = np.array([(int(xi) * int(ai)) % P for xi, ai in zip(x, a)], dtype=np.uint64)
+    assert np.array_equal(got, want)
+
+    mh = MinHasher(num_perms=256, seed=5, exact_family=True)
+    base = rng.integers(0, 2**63, size=400, dtype=np.uint64)
+    other = np.concatenate([base[:200], rng.integers(0, 2**63, size=200, dtype=np.uint64)])
+    sa = mh.signature(base)
+    sb = mh.signature(other)
+    est = (sa == sb).mean()  # true Jaccard = 200/600
+    assert abs(est - 200 / 600) < 0.12
