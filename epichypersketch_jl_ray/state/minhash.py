@@ -7,17 +7,18 @@ sketches.
 
 MinHasher produces per-document signatures (num_perms uint64 mins) from a
 document's shingle hash set; LSH banding happens in stages/dedup.py as a Ray
-Data groupby over band keys. The per-permutation map is
+Data groupby over band keys. The DEFAULT per-permutation map is
 ``((h * a_i + b_i) mod 2^64) mod p`` (p = 2^61 - 1): the multiply wraps at
-uint64 BEFORE the Mersenne mod, so this is a deterministic seeded mix, NOT
-the exact universal family h_i(x) = (a_i x + b_i) mod p, and the strict
-min-wise-independence guarantee does not apply. This is deliberate: the
-exact Mersenne mod needs a hi/lo 32-bit split (~5x the kernel cost), and
-the pipelines that use MinHash treat it purely as a candidate-recall
-heuristic — every emitted pair is EXACT-verified afterwards, so signature
-quality affects recall only (measured empirically in tests, miss
-probability < 1e-7 at the banding defaults). (a_i, b_i) come from a seeded
-PCG so every worker derives identical permutations without coordination.
+uint64 BEFORE the Mersenne mod, so it is a deterministic seeded mix, NOT
+the exact universal family, and the strict min-wise-independence guarantee
+does not apply — acceptable because the pipelines treat MinHash purely as
+a candidate-recall heuristic (every emitted pair is EXACT-verified
+afterwards; measured miss probability < 1e-7 at the banding defaults).
+``MinHasher(..., exact_family=True)`` switches to the true family
+h_i(x) = (a_i x + b_i) mod p via an exact 32-bit-split Mersenne mulmod
+(verified against big-int arithmetic in tests; ~3-4x the kernel cost).
+(a_i, b_i) come from a seeded PCG so every worker derives identical
+permutations without coordination.
 """
 
 from __future__ import annotations
