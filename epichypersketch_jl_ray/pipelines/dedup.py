@@ -173,13 +173,21 @@ def minhash_pairs(
 
     cand_shingles = shingles.map_batches(prune, batch_format="pyarrow").materialize()
 
+    # explicit schemas: probing with_a.schema() would execute the first
+    # attach shuffle a second time (lazy-plan schema inference)
+    shingle_type = pa.list_(pa.int64())
+    pair_fields = [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64())]
     with_a = attach_list_column(
         cand, "doc_a", cand_shingles, "doc_id", "shingles", "shingles_a",
         num_buckets=num_partitions,
+        pair_fields=pair_fields,
+        list_type=shingle_type,
     )
     with_ab = attach_list_column(
         with_a, "doc_b", cand_shingles, "doc_id", "shingles", "shingles_b",
         num_buckets=num_partitions,
+        pair_fields=pair_fields + [pa.field("shingles_a", shingle_type)],
+        list_type=shingle_type,
     )
 
     def verify(batch: pa.Table) -> pa.Table:

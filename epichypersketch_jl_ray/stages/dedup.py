@@ -192,6 +192,8 @@ def attach_list_column(
     *,
     num_buckets: int = 64,
     dedupe_on: list[str] | None = None,
+    pair_fields: list[pa.Field] | None = None,
+    list_type: pa.DataType | None = None,
 ) -> "ray.data.Dataset":
     """Distributed equi-join that carries a list<int64> payload: attach
     ``lists[list_col]`` to every pair row whose ``key_col`` matches
@@ -211,13 +213,19 @@ def attach_list_column(
     by construction, so all duplicates of a pair land in one group. This
     fuses the pair-dedupe into the attach shuffle instead of paying a
     dedicated groupby stage.
+
+    ``pair_fields`` / ``list_type``: pass the schemas explicitly when known
+    — ``ds.schema()`` on a LAZY dataset executes the plan's prefix, and for
+    an upstream all-to-all (e.g. chaining two attach passes) that can run
+    the first shuffle an extra time just to learn the schema.
     """
     from epichypersketch_jl_ray.functions.hashing import hash_int64
 
     pair_schema = pa.schema(
-        [pa.field(f.name, f.type) for f in _dataset_schema(pairs)]
+        [pa.field(f.name, f.type) for f in (pair_fields or _dataset_schema(pairs))]
     )
-    list_type = next(f.type for f in _dataset_schema(lists) if f.name == list_col)
+    if list_type is None:
+        list_type = next(f.type for f in _dataset_schema(lists) if f.name == list_col)
 
     def tag_pairs(batch: pa.Table) -> pa.Table:
         b = (hash_int64(batch[key_col].to_numpy(zero_copy_only=False), seed=5) % np.uint64(num_buckets)).astype(np.int64)
