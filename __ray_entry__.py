@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "motifs_ordinary": motifs.motifs_ordinary,
         "motifs_ordinary_k4": motifs.motifs_ordinary_k4,
         "motifs_conv": motifs.motifs_conv,
+        "motifs_conv_k4": motifs.motifs_conv_k4,
         # webtext CMS heavy hitters + flagship 4-sketch build
         "heavy_ngrams": ngrams.heavy_ngrams,
         "heavy_ngrams_by_lang": ngrams.heavy_ngrams_by_lang,
@@ -115,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "motifs_ordinary": motifs.motifs_ordinary_sql(),
         "motifs_ordinary_k4": motifs.motifs_ordinary_k4_sql(),
         "motifs_conv": motifs.motifs_conv_sql(),
+        "motifs_conv_k4": motifs.motifs_conv_k4_sql(),
         "heavy_ngrams": ngrams.heavy_ngrams_sql(),
         "heavy_ngrams_by_lang": ngrams.heavy_ngrams_by_lang_sql(),
         "distinct_users_exact": sketches.distinct_users_exact_sql(),

@@ -220,7 +220,33 @@ WHERE g.cnt >= {min_count}
 
 
 def motifs_conv_sql(motif_size: int = 3, min_count: int = 2, filter_len: int = 2) -> str:
-    assert motif_size == 3
+    """Generated k-way conv oracle (any motif_size): m1..mk, d12..d(k-1)k,
+    start/end, with the CPU gap semantics (d = p2-p1-filter_len, reject
+    negative gaps)."""
+    assert motif_size >= 2
+    k = motif_size
+    aliases = [f"t{i}" for i in range(k)]
+    m_cols = ", ".join(f"{a}.feature AS m{i + 1}" for i, a in enumerate(aliases))
+    d_cols = ", ".join(
+        f"CAST({aliases[i + 1]}.position - {aliases[i]}.position - {filter_len} AS INTEGER)"
+        f" AS d{i + 1}{i + 2}"
+        for i in range(k - 1)
+    )
+    contribution = " + ".join(f"{a}.contribution" for a in aliases)
+    joins = "".join(
+        f"\n       JOIN f {aliases[i]} ON {aliases[i]}.data_index = t0.data_index"
+        f" AND {aliases[i]}.rn > {aliases[i - 1]}.rn"
+        for i in range(1, k)
+    )
+    overlap = " AND ".join(
+        f"{aliases[i + 1]}.position - {aliases[i]}.position - {filter_len} >= 0"
+        for i in range(k - 1)
+    )
+    key_list = ", ".join([f"m{i + 1}" for i in range(k)] + [f"d{i + 1}{i + 2}" for i in range(k - 1)])
+    c_key_list = ", ".join(
+        [f"c.m{i + 1}" for i in range(k)] + [f"c.d{i + 1}{i + 2}" for i in range(k - 1)]
+    )
+    group_nums = ", ".join(str(i + 1) for i in range(2 * k - 1))
     return f"""
 WITH f AS MATERIALIZED (
   SELECT l_orderkey AS data_index, CAST(l_suppkey AS INTEGER) AS feature,
@@ -228,18 +254,34 @@ WITH f AS MATERIALIZED (
          ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
   FROM lineitem),
 c AS MATERIALIZED (
-  SELECT a.data_index, a.feature AS m1, b.feature AS m2, d.feature AS m3,
-         CAST(b.position - a.position - {filter_len} AS INTEGER) AS d12,
-         CAST(d.position - b.position - {filter_len} AS INTEGER) AS d23,
-         a.position AS start, CAST(d.position + {filter_len} - 1 AS INTEGER) AS "end",
-         a.contribution + b.contribution + d.contribution AS contribution
-  FROM f a JOIN f b ON b.data_index = a.data_index AND b.rn > a.rn
-           JOIN f d ON d.data_index = a.data_index AND d.rn > b.rn
-  WHERE b.position - a.position - {filter_len} >= 0
-    AND d.position - b.position - {filter_len} >= 0),
-g AS (SELECT m1, m2, m3, d12, d23, COUNT(*) AS cnt FROM c GROUP BY 1, 2, 3, 4, 5)
-SELECT c.m1, c.m2, c.m3, c.d12, c.d23, c.start, c."end", c.data_index,
+  SELECT t0.data_index, {m_cols},
+         {d_cols},
+         t0.position AS start,
+         CAST({aliases[-1]}.position + {filter_len} - 1 AS INTEGER) AS "end",
+         {contribution} AS contribution
+  FROM f t0{joins}
+  WHERE {overlap}),
+g AS (SELECT {key_list}, COUNT(*) AS cnt FROM c GROUP BY {group_nums})
+SELECT {c_key_list}, c.start, c."end", c.data_index,
        c.contribution, g.cnt AS estimate
-FROM c JOIN g USING (m1, m2, m3, d12, d23)
+FROM c JOIN g USING ({key_list})
 WHERE g.cnt >= {min_count}
 """
+
+
+def motifs_conv_k4(sf_dir: str, *, min_count: int = 2, filter_len: int = 1) -> ray.data.Dataset:
+    """Higher-order (k=4) convolution motifs — position-aware enumeration
+    with three inter-feature gaps, under the driver oracle (reference
+    higher-order conv tests, /root/reference/test/test_higher_order_motifs.jl)."""
+    return motif_pipeline(
+        lineitem_activation(sf_dir, conv=True),
+        motif_size=4,
+        min_count=min_count,
+        conv=True,
+        filter_len=filter_len,
+        batch_size=":auto",
+    )
+
+
+def motifs_conv_k4_sql(min_count: int = 2, filter_len: int = 1) -> str:
+    return motifs_conv_sql(motif_size=4, min_count=min_count, filter_len=filter_len)
