@@ -26,8 +26,15 @@ def _binary_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     buffers()[1] from position 0 would silently return the WRONG rows'
     payload bytes (with uniform payload sizes the length check still
     passes). Same discipline as hashing._string_buffers."""
+    t = arr.type
+    if pa.types.is_large_binary(t) or pa.types.is_large_string(t):
+        off_dtype = np.int64  # large_* variants carry int64 offset buffers
+    elif pa.types.is_binary(t) or pa.types.is_string(t):
+        off_dtype = np.int32
+    else:
+        raise TypeError(f"_binary_buffers expects a (large_)binary/string array, got {t}")
     bufs = arr.buffers()
-    offsets = np.frombuffer(bufs[1], dtype=np.int32, count=len(arr) + 1 + arr.offset)[
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype, count=len(arr) + 1 + arr.offset)[
         arr.offset :
     ].astype(np.int64)
     values = (

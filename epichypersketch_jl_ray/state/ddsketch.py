@@ -38,8 +38,10 @@ class DDSketch(MergeableSketch):
         v = np.asarray(values, dtype=np.float64)
         if v.size == 0:
             return self
-        if (v < 0).any():
-            raise ValueError("DDSketch accepts non-negative values only")
+        if not np.isfinite(v).all() or (v < 0).any():
+            # NaN would pass both the <0 check and the ==0/>0 selections,
+            # incrementing count with no bucket mass and skewing ranks
+            raise ValueError("DDSketch accepts finite non-negative values only")
         zeros = int((v == 0).sum())
         self.zero_count += zeros
         pos = v[v > 0]

@@ -38,7 +38,13 @@ def grouped_update(
     keys_s, vals = keys[order], values[order]
     bounds = np.flatnonzero(np.concatenate(([True], keys_s[1:] != keys_s[:-1])))
     for start, stop in zip(bounds, np.append(bounds[1:], len(keys_s))):
-        apply(g.get(str(keys_s[start])), vals[start:stop])
+        # native python scalar as the part key, so numeric key columns
+        # round-trip through GroupedSketch.get(key) lookups (g.parts[5],
+        # not g.parts['5'])
+        k = keys_s[start]
+        if isinstance(k, np.generic):
+            k = k.item()
+        apply(g.get(k), vals[start:stop])
 
 
 class GroupedSketch(MergeableSketch):
@@ -65,7 +71,11 @@ class GroupedSketch(MergeableSketch):
         for k, sk in other.parts.items():
             mine = self.parts.get(k)
             if mine is None:
-                self.parts[k] = sk
+                # copy, don't adopt by reference: later updates to the merged
+                # sketch must not mutate `other`'s state (the UDAF harness
+                # always hands us deserialized copies, but the public API
+                # cannot rely on that)
+                self.parts[k] = type(sk).from_bytes(sk.to_bytes())
             else:
                 mine.merge(sk)
         return self

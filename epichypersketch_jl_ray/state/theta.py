@@ -5,8 +5,11 @@ Apache DataSketches (Dasgupta, Lang, Rhodes, Thaler, "A framework for
 estimating stream expression cardinalities", EDBT 2016 — public papers;
 this is an independent numpy implementation).
 
-State: the k smallest distinct hash values mapped to (0, 1). Union is
-concat + unique + keep-k-smallest — associative and commutative.
+State: the k smallest distinct uint64 hash values, kept as INTEGERS
+(sort/unique/intersect all happen in the uint64 domain — a float64 mapping
+would lose the low 11 mantissa bits for large hashes and could merge
+distinct values); they map to (0, 1] only when computing theta/estimates.
+Union is concat + unique + keep-k-smallest — associative and commutative.
 Cardinality: (k - 1) / theta with theta = the k-th smallest value (or
 exact |retained| when fewer than k seen). Intersection of sketches A, B:
 theta = min(theta_A, theta_B); retained common values below theta scaled
@@ -30,13 +33,13 @@ class ThetaSketch(MergeableSketch):
         if k < 16:
             raise ValueError("k must be >= 16")
         self.k = int(k)
-        self.values = np.empty(0, dtype=np.float64)  # sorted, distinct, in (0,1]
+        self.values = np.empty(0, dtype=np.uint64)  # sorted, distinct hashes
 
     def update_hashed(self, hashes: np.ndarray) -> "ThetaSketch":
         """Ingest pre-hashed uint64 keys (hashing.hash_int64 / fnv1a64)."""
         if len(hashes) == 0:
             return self
-        v = (np.asarray(hashes, dtype=np.uint64).astype(np.float64) + 1.0) * _SCALE
+        v = np.asarray(hashes, dtype=np.uint64)
         self.values = np.unique(np.concatenate([self.values, v]))[: self.k]
         return self
 
@@ -47,8 +50,14 @@ class ThetaSketch(MergeableSketch):
         return self
 
     @property
+    def _theta_u(self) -> int | None:
+        """k-th smallest retained hash, or None below capacity (theta = 1)."""
+        return int(self.values[-1]) if len(self.values) >= self.k else None
+
+    @property
     def theta(self) -> float:
-        return float(self.values[-1]) if len(self.values) >= self.k else 1.0
+        tu = self._theta_u
+        return 1.0 if tu is None else (tu + 1.0) * _SCALE
 
     def estimate(self) -> float:
         if len(self.values) < self.k:
@@ -57,9 +66,14 @@ class ThetaSketch(MergeableSketch):
 
     @staticmethod
     def intersection_estimate(a: "ThetaSketch", b: "ThetaSketch") -> float:
-        theta = min(a.theta, b.theta)
-        av = a.values[a.values < theta] if theta < 1.0 else a.values
-        bv = b.values[b.values < theta] if theta < 1.0 else b.values
+        thetas_u = [t for t in (a._theta_u, b._theta_u) if t is not None]
+        if thetas_u:
+            tu = np.uint64(min(thetas_u))
+            av = a.values[a.values < tu]
+            bv = b.values[b.values < tu]
+            theta = (float(tu) + 1.0) * _SCALE
+        else:
+            av, bv, theta = a.values, b.values, 1.0
         common = np.intersect1d(av, bv, assume_unique=True)
         return len(common) / theta
 

@@ -291,3 +291,72 @@ def test_user_overlap_theta_pipeline(ray_session, sf_dir):
         true = con.sql(sql).fetchone()[0]
         # sf fixtures are below theta capacity -> estimates are EXACT
         assert out[expr] == true, (expr, out[expr], true)
+
+
+def test_grouped_sketch_merge_copies_adopted_parts():
+    """Merging must COPY sketches adopted from `other` (missing-key case):
+    later updates to the merged sketch must not mutate `other`'s state
+    (ADVICE r2: reference-adoption was a trap for the public API)."""
+    import numpy as np
+
+    from epichypersketch_jl_ray.state.grouped import GroupedSketch
+    from epichypersketch_jl_ray.state.hll import HyperLogLog
+
+    def factory():
+        return HyperLogLog(p=10, seed=3)
+
+    a, b = GroupedSketch(factory), GroupedSketch(factory)
+    b.get("en").update_hashed(np.arange(100, dtype=np.uint64))
+    before = b.parts["en"].digest()
+    a.merge(b)
+    a.parts["en"].update_hashed(np.arange(100, 200, dtype=np.uint64))
+    assert b.parts["en"].digest() == before  # b untouched by a's updates
+
+
+def test_grouped_update_native_scalar_keys():
+    """grouped_update with a NUMERIC key column must produce parts keyed by
+    the native scalar, so g.get(5) round-trips (ADVICE r2: str() coercion
+    diverged from direct lookups)."""
+    import numpy as np
+
+    from epichypersketch_jl_ray.state.grouped import GroupedSketch, grouped_update
+    from epichypersketch_jl_ray.state.hll import HyperLogLog
+
+    g = GroupedSketch(lambda: HyperLogLog(p=10, seed=3))
+    keys = np.array([5, 5, 7, 7, 7], dtype=np.int64)
+    vals = np.arange(5, dtype=np.int64)
+    grouped_update(g, keys, vals, lambda sk, v: sk.update_hashed(v.astype('uint64')))
+    assert set(g.parts) == {5, 7}
+    assert g.get(5) is g.parts[5]
+
+
+def test_ddsketch_rejects_nan():
+    import numpy as np
+    import pytest
+
+    from epichypersketch_jl_ray.state.ddsketch import DDSketch
+
+    d = DDSketch(alpha=0.01)
+    with pytest.raises(ValueError):
+        d.update(np.array([1.0, np.nan]))
+    with pytest.raises(ValueError):
+        d.update(np.array([np.inf]))
+    assert d.count == 0  # nothing half-applied
+
+
+def test_theta_sketch_integer_domain_no_mantissa_collisions():
+    """Retained values stay uint64: adjacent large hashes that would collide
+    after a float64 mapping (low ~11 bits lost) must remain distinct
+    (ADVICE r2)."""
+    import numpy as np
+
+    from epichypersketch_jl_ray.state.theta import ThetaSketch
+
+    base = np.uint64(0xFFFFFFFFFFFFF000)
+    hashes = base + np.arange(16, dtype=np.uint64)  # distinct, high magnitude
+    t = ThetaSketch(16).update_hashed(hashes)
+    assert t.values.dtype == np.uint64
+    assert len(t.values) == 16  # float64 rounding would have merged some
+    # estimate path still works and theta is in (0, 1]
+    assert 0.0 < t.theta <= 1.0
+    assert t.estimate() > 0
