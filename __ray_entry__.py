@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # core reference semantics (CMS motif enumeration, SURVEY.md §2.3)
         "motifs_ordinary": motifs.motifs_ordinary,
         "motifs_ordinary_k4": motifs.motifs_ordinary_k4,
+        "motifs_ordinary_k5": motifs.motifs_ordinary_k5,
         "motifs_conv": motifs.motifs_conv,
         "motifs_conv_k4": motifs.motifs_conv_k4,
         # webtext CMS heavy hitters + flagship 4-sketch build
@@ -115,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "motifs_ordinary": motifs.motifs_ordinary_sql(),
         "motifs_ordinary_k4": motifs.motifs_ordinary_k4_sql(),
+        "motifs_ordinary_k5": motifs.motifs_ordinary_k5_sql(),
         "motifs_conv": motifs.motifs_conv_sql(),
         "motifs_conv_k4": motifs.motifs_conv_k4_sql(),
         "heavy_ngrams": ngrams.heavy_ngrams_sql(),

@@ -181,6 +181,23 @@ def motifs_ordinary_k4_sql(min_count: int = 2) -> str:
     return motifs_ordinary_sql(motif_size=4, min_count=min_count)
 
 
+def motifs_ordinary_k5(sf_dir: str, *, min_count: int = 2) -> ray.data.Dataset:
+    """k=5 motifs — closes the reference's higher-order test surface
+    (/root/reference/test/test_higher_order_motifs.jl covers k=4 AND k=5)
+    under the driver oracle, same generic C(len,k) path."""
+    return motif_pipeline(
+        lineitem_activation(sf_dir, conv=False),
+        motif_size=5,
+        min_count=min_count,
+        conv=False,
+        batch_size=":auto",
+    )
+
+
+def motifs_ordinary_k5_sql(min_count: int = 2) -> str:
+    return motifs_ordinary_sql(motif_size=5, min_count=min_count)
+
+
 def motifs_ordinary_sql(motif_size: int = 3, min_count: int = 3) -> str:
     """DuckDB oracle: exact brute-force slot-combination enumeration for ANY
     motif_size — the SQL analogue of the reference's verify_ground_truth
