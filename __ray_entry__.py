@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
         "curate_corpus": curate.curate_corpus,
+        "curate_corpus_cc": curate.curate_corpus_cc,
         # similarity search
         "ann_cosine_topk": ann.ann_cosine_topk,
         "ann_lsh_topk": ann.ann_lsh_topk,
@@ -132,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh_sql(),
         "dedup_embedding": dedup.dedup_embedding_sql(),
         "curate_corpus": curate.curate_corpus_sql(),
+        "curate_corpus_cc": curate.curate_corpus_cc_sql(),
         "ann_cosine_topk": ann.ann_cosine_topk_sql(),
         "doc_stats": textstats.doc_stats_sql(),
         "token_count_bpe": textstats.token_count_bpe_sql(),

@@ -29,14 +29,11 @@ from epichypersketch_jl_ray.stages.dedup import content_key_table
 from epichypersketch_jl_ray.sources.tables import read_table
 
 
-def curate_corpus(
-    sf_dir: str,
-    *,
-    min_chars: int = 120,
-    threshold: float = 0.5,
-    num_partitions: int = 8,
-) -> ray.data.Dataset:
-    """Surviving doc_ids after quality filter + exact dedup + near-dup drop."""
+def _keepers_and_pairs(
+    sf_dir: str, *, min_chars: int, threshold: float, num_partitions: int
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Shared head of the curation chain: quality filter -> exact-dedup
+    keepers -> verified near-dup pairs among the keepers."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
 
     def quality(batch: pa.Table) -> pa.Table:
@@ -57,8 +54,20 @@ def curate_corpus(
         keepers, join_type="inner", num_partitions=num_partitions, on=("doc_id",)
     ).materialize()
 
-    pairs = minhash_pairs(
-        keeper_docs, threshold=threshold, num_partitions=num_partitions
+    pairs = minhash_pairs(keeper_docs, threshold=threshold, num_partitions=num_partitions)
+    return keepers, pairs
+
+
+def curate_corpus(
+    sf_dir: str,
+    *,
+    min_chars: int = 120,
+    threshold: float = 0.5,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Surviving doc_ids after quality filter + exact dedup + near-dup drop."""
+    keepers, pairs = _keepers_and_pairs(
+        sf_dir, min_chars=min_chars, threshold=threshold, num_partitions=num_partitions
     )
 
     # drop the higher doc_id of every verified pair: union keepers (flag 0)
@@ -89,6 +98,83 @@ def curate_corpus(
         return batch.filter(pc.equal(batch["dropped"], 0)).select(["doc_id"])
 
     return agg.map_batches(survivors, batch_format="pyarrow")
+
+
+def curate_corpus_cc(
+    sf_dir: str,
+    *,
+    min_chars: int = 120,
+    threshold: float = 0.5,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Cluster-aware curation: like curate_corpus, but near-dup removal drops
+    whole duplicate CLUSTERS (connected components of the verified pair
+    graph, stages/cc.py) keeping only each cluster's minimum doc_id — the
+    transitive closure pair-wise removal misses on chains a~b~c with a!~c.
+    """
+    from epichypersketch_jl_ray.stages.cc import connected_components
+
+    keepers, pairs = _keepers_and_pairs(
+        sf_dir, min_chars=min_chars, threshold=threshold, num_partitions=num_partitions
+    )
+
+    comps = connected_components(pairs, num_buckets=2 * num_partitions)
+
+    # drop every clustered node except its component minimum, via the same
+    # union + groupby anti-join shape as curate_corpus
+    def drops(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch["node"], batch["component"])
+        dropped_nodes = batch.filter(keep)
+        return pa.table(
+            {
+                "doc_id": dropped_nodes["node"].cast(pa.int64()),
+                "dropped": pa.array(np.ones(len(dropped_nodes), np.int64), pa.int64()),
+            }
+        )
+
+    def keeps(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "dropped": pa.array(np.zeros(len(batch), np.int64), pa.int64()),
+            }
+        )
+
+    flagged = keepers.map_batches(keeps, batch_format="pyarrow").union(
+        comps.map_batches(drops, batch_format="pyarrow")
+    )
+    agg = flagged.groupby("doc_id").aggregate(Max("dropped", alias_name="dropped"))
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["dropped"], 0)).select(["doc_id"])
+
+    return agg.map_batches(survivors, batch_format="pyarrow")
+
+
+def curate_corpus_cc_sql(min_chars: int = 120, threshold: float = 0.5) -> str:
+    """Recursive-CTE oracle: transitive closure of the exact-Jaccard pair
+    graph, keep each component's minimum doc_id."""
+    assert SHINGLE_N == 3
+    return f"""
+WITH RECURSIVE
+f AS (SELECT doc_id, text FROM documents WHERE n_chars >= {min_chars}),
+k AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id, text FROM f GROUP BY text),
+t AS (SELECT doc_id, string_split(text,' ') toks FROM k),
+s AS MATERIALIZED (SELECT DISTINCT doc_id, toks[i]||' '||toks[i+1]||' '||toks[i+2] sh
+      FROM t, LATERAL unnest(range(1, len(toks)-1)) r(i)),
+sz AS (SELECT doc_id, count(*) n FROM s GROUP BY 1),
+inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i
+          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+j AS (SELECT da, db, i::DOUBLE / (x.n + y.n - i) jac FROM inter
+      JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db),
+e AS MATERIALIZED (SELECT da u, db v FROM j WHERE jac >= {threshold}
+      UNION SELECT db, da FROM j WHERE jac >= {threshold}),
+reach(u, v) AS (SELECT u, v FROM e
+      UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
+SELECT doc_id FROM k
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+"""
 
 
 def curate_corpus_sql(min_chars: int = 120, threshold: float = 0.5) -> str:
