@@ -7,14 +7,16 @@ template, and ``extract_text`` inverts it exactly — a pure function of the
 bytes (no parser, locale or entity table), so N-vs-4N runs and resumes
 produce identical text.
 
-Real-world html decoding (lxml/bs4 etc.) is out of scope for this container
-(libs absent) — ``extract_text_generic`` documents the seam where a real
-extractor would plug in and raises NotImplementedError for non-fixture html.
+Non-fixture html goes through ``extract_text_generic`` — a pure-function
+compiled-regex tag/script/entity stripper with committed byte-exact goldens
+(parser libraries like lxml/bs4/trafilatura are absent from this container;
+the function signature is the seam where one would plug in).
 """
 
 from __future__ import annotations
 
-import numpy as np
+import re
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -63,10 +65,73 @@ def extract_text(html: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pc.utf8_slice_codeunits(tail, start=0, stop=-len(_SUFFIX))
 
 
-def extract_text_generic(html: pa.Array) -> pa.Array:
-    """Seam for a real html→text extractor (trafilatura/lxml class loaded once
-    per actor). Not available in this container."""
-    raise NotImplementedError(
-        "generic html extraction requires an html parser not present in this "
-        "environment; fixture html uses extract_text()"
+# compiled once at import (= once per worker process; an actor stage pays
+# nothing per batch). Order of application is semantic, not cosmetic:
+# script/style/comment BLOCKS drop with their contents, block-level tags
+# become newlines so words don't fuse across structure, remaining tags
+# strip, and only THEN entities decode — so "&lt;script&gt;" stays literal
+# text instead of becoming a tag.
+_RE_DROP_BLOCK = re.compile(r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>")
+_RE_COMMENT = re.compile(r"(?s)<!--.*?-->")
+_RE_BLOCK_TAG = re.compile(
+    r"(?i)</?(?:p|br|div|li|ul|ol|dl|dt|dd|h[1-6]|tr|table|thead|tbody|td|th|"
+    r"section|article|aside|header|footer|nav|blockquote|pre|form|hr|title)\b[^>]*>"
+)
+_RE_TAG = re.compile(r"(?s)<[^>]*>")
+_RE_NUM_ENTITY = re.compile(r"&#(?:x([0-9a-fA-F]{1,6})|([0-9]{1,7}));")
+_NAMED_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # last: "&amp;lt;" must decode to "&lt;", not "<"
+)
+_RE_HSPACE = re.compile(r"[ \t\r\f\v\u00a0]+")
+_RE_VSPACE = re.compile(r" *\n[ \n]*")
+
+
+def _decode_entities(s: str) -> str:
+    def num(m: "re.Match[str]") -> str:
+        cp = int(m.group(1), 16) if m.group(1) is not None else int(m.group(2))
+        return chr(cp) if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF) else ""
+
+    s = _RE_NUM_ENTITY.sub(num, s)
+    for k, v in _NAMED_ENTITIES:
+        s = s.replace(k, v)
+    return s
+
+
+def _strip_one(s: str) -> str:
+    s = _RE_DROP_BLOCK.sub(" ", s)
+    s = _RE_COMMENT.sub(" ", s)
+    s = _RE_BLOCK_TAG.sub("\n", s)
+    s = _RE_TAG.sub(" ", s)
+    s = _decode_entities(s)
+    s = _RE_HSPACE.sub(" ", s)
+    s = _RE_VSPACE.sub("\n", s)
+    return s.strip()
+
+
+def extract_text_generic(html: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Generic html→text for NON-fixture html: a pure function of the bytes
+    (compiled-regex tag/script/entity stripper — no parser library, no
+    locale or time dependence), so N-vs-4N runs and resumes produce
+    byte-identical text. Not a DOM parser: malformed nesting degrades to
+    extra whitespace, never to an exception. Byte-exact goldens are
+    committed (tests/goldens/generic_html_goldens.json); fixture-template
+    html should keep using the exact-inverse ``extract_text``.
+
+    Per-row Python by necessity (entity/tag grammar is not an Arrow kernel);
+    run it inside a map_batches actor stage where the compiled regexes are
+    process-wide state.
+    """
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    if len(html) == 0:
+        return pa.array([], pa.string())
+    strings = html.cast(pa.string()).to_pylist()
+    return pa.array(
+        [None if s is None else _strip_one(s) for s in strings], pa.string()
     )

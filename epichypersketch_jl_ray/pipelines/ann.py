@@ -10,7 +10,7 @@ import pyarrow.compute as pc
 import ray
 
 from epichypersketch_jl_ray.sources.tables import read_table
-from epichypersketch_jl_ray.stages.ann import BruteForceTopK, _embedding_matrix, final_topk
+from epichypersketch_jl_ray.stages.ann import BruteForceTopK, _embedding_matrix, distributed_topk
 
 N_QUERIES = 5
 TOP_K = 10
@@ -33,8 +33,9 @@ def ann_cosine_topk(sf_dir: str, *, k: int = TOP_K) -> pd.DataFrame:
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=2,
-    ).to_pandas()
-    return final_topk(cands, k=k)
+    )
+    # distributed per-query merge; only the final queries x k rows collect
+    return distributed_topk(cands, k=k).to_pandas()
 
 
 def ann_lsh_topk(sf_dir: str, *, k: int = TOP_K, bits: int = 6) -> pd.DataFrame:
@@ -89,8 +90,8 @@ def ann_lsh_topk(sf_dir: str, *, k: int = TOP_K, bits: int = 6) -> pd.DataFrame:
             }
         )
 
-    cands = ds.map_batches(bucket_filter_topk, batch_format="pyarrow", batch_size=4096).to_pandas()
-    return final_topk(cands, k=k)
+    cands = ds.map_batches(bucket_filter_topk, batch_format="pyarrow", batch_size=4096)
+    return distributed_topk(cands, k=k).to_pandas()
 
 
 def ann_ivf_topk(
@@ -173,8 +174,8 @@ def ann_ivf_topk(
             }
         )
 
-    cands = ds.map_batches(ivf_batch, batch_format="pyarrow", batch_size=4096).to_pandas()
-    return final_topk(cands, k=k)
+    cands = ds.map_batches(ivf_batch, batch_format="pyarrow", batch_size=4096)
+    return distributed_topk(cands, k=k).to_pandas()
 
 
 def ann_cosine_topk_sql(k: int = TOP_K) -> str:

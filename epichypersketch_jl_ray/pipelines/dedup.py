@@ -4,7 +4,6 @@ exact n-gram Jaccard)."""
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -175,17 +174,22 @@ def minhash_pairs(
 
     # explicit schemas: probing with_a.schema() would execute the first
     # attach shuffle a second time (lazy-plan schema inference)
+    from epichypersketch_jl_ray.stages.join import auto_bucket_count
+
+    # attach buckets scale with the CANDIDATE count (known exactly here),
+    # not a fixed constant — candidate volume is what the attach shuffles
+    attach_buckets = max(num_partitions, auto_bucket_count(n_pairs))
     shingle_type = pa.list_(pa.int64())
     pair_fields = [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64())]
     with_a = attach_list_column(
         cand, "doc_a", cand_shingles, "doc_id", "shingles", "shingles_a",
-        num_buckets=num_partitions,
+        num_buckets=attach_buckets,
         pair_fields=pair_fields,
         list_type=shingle_type,
     )
     with_ab = attach_list_column(
         with_a, "doc_b", cand_shingles, "doc_id", "shingles", "shingles_b",
-        num_buckets=num_partitions,
+        num_buckets=attach_buckets,
         pair_fields=pair_fields + [pa.field("shingles_a", shingle_type)],
         list_type=shingle_type,
     )
@@ -373,29 +377,46 @@ def dedup_embedding_lsh(
     )
 
 
-def dedup_simhash(sf_dir: str, *, max_hamming: int = 3) -> pd.DataFrame:
+def dedup_simhash(sf_dir: str, *, max_hamming: int = 3) -> ray.data.Dataset:
     """Near-dup pairs via SimHash 4x16-bit pigeonhole banding — exact for
-    hamming <= 3*16/..: any pair within hamming 3 shares a chunk. Rows-only
-    check (simhash not SQL-expressible)."""
+    hamming <= 3: any pair within hamming 3 shares one of the 4 chunks.
+    Rows-only check (simhash not SQL-expressible).
+
+    A pair can collide in up to 4 chunk buckets, so candidates dedupe with a
+    DISTRIBUTED groupby on (doc_a, doc_b) — same shape as minhash_pairs; the
+    round-2 version collected the candidate stream to driver pandas. The
+    hamming filter then runs vectorized per batch."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     cand = (
         ds.map_batches(simhash_stage, batch_format="pyarrow")
         .groupby("chunk_bucket")
         .map_groups(simhash_candidates_from_chunk, batch_format="pyarrow")
-        .to_pandas()
+        # sim_a/sim_b are identical across a pair's duplicate bucket rows:
+        # Min is just "pick one" under the dedupe groupby
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("sim_a", alias_name="sim_a"), Min("sim_b", alias_name="sim_b"))
     )
-    if len(cand) == 0:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype("int64")
-    cand = cand.drop_duplicates(subset=["doc_a", "doc_b"])
-    ham = hamming_distance64(
-        cand["sim_a"].to_numpy().view(np.uint64), cand["sim_b"].to_numpy().view(np.uint64)
-    )
-    keep = ham <= max_hamming
-    out = pd.DataFrame(
-        {
-            "doc_a": cand["doc_a"].to_numpy()[keep],
-            "doc_b": cand["doc_b"].to_numpy()[keep],
-            "hamming": ham[keep].astype(np.int64),
-        }
-    ).sort_values(["doc_a", "doc_b"])
-    return out.reset_index(drop=True)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        ham = hamming_distance64(
+            batch["sim_a"].to_numpy(zero_copy_only=False).view(np.uint64),
+            batch["sim_b"].to_numpy(zero_copy_only=False).view(np.uint64),
+        )
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"].to_numpy(zero_copy_only=False)[keep],
+                "doc_b": batch["doc_b"].to_numpy(zero_copy_only=False)[keep],
+                "hamming": pa.array(ham[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return cand.map_batches(finish, batch_format="pyarrow")

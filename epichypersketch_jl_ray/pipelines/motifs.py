@@ -122,12 +122,15 @@ def lineitem_activation(sf_dir: str, *, conv: bool) -> ray.data.Dataset:
         return _ACTIVATION_CACHE[key]
     cols = ["l_orderkey", "l_suppkey", "l_quantity"] + (["l_linenumber"] if conv else [])
     li = read_table(sf_dir, "lineitem", columns=cols)
+    from epichypersketch_jl_ray.sources.tables import table_rows
+
     act = activation_from_table(
         li,
         key_col="l_orderkey",
         feature_col="l_suppkey",
         contribution_col="l_quantity",
         position_col="l_linenumber" if conv else None,
+        size_hint_rows=table_rows(sf_dir, "lineitem"),
     ).materialize()
     _ACTIVATION_CACHE[key] = act
     return act

@@ -95,40 +95,54 @@ FROM lineitem GROUP BY 1 ORDER BY revenue_cents DESC, l_suppkey LIMIT {k}
 """
 
 
-def revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
-    """Broadcast join: orders ⋈ customer ⋈ nation without any shuffle join —
-    the small sides ship once via ray.put and are probed per batch
-    (SURVEY.md §2.5: broadcast-small-side is the engine's only join form;
-    large-large joins would use the bucketed-hash-join pattern)."""
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+def revenue_by_nation(sf_dir: str, *, num_partitions: int = 8) -> ray.data.Dataset:
+    """orders ⋈ customer via the native hash-partitioned join (customer grows
+    linearly with the corpus — broadcasting it was the round-2 scale bug),
+    then nation (25 rows, a TRUE small side) broadcast via ray.put and
+    resolved per batch before the final groupby."""
     nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    cust = cust.sort_values("c_custkey")
-    nat_names = nation.set_index("n_nationkey")["n_name"]
-    cust_keys = cust["c_custkey"].to_numpy()
-    cust_nation = nat_names.reindex(cust["c_nationkey"]).to_numpy()
-    lookup_ref = ray.put((cust_keys, cust_nation))
+    nat_sorted = nation.sort_values("n_nationkey")
+    nat_ref = ray.put(
+        (nat_sorted["n_nationkey"].to_numpy(), nat_sorted["n_name"].to_numpy())
+    )
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
-    def join(batch: pa.Table) -> pa.Table:
-        keys, names = ray.get(lookup_ref)
-        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys, ck)
-        pos = np.minimum(pos, len(keys) - 1)
-        ok = keys[pos] == ck
-        if not ok.all():
-            raise ValueError("order references missing customer")
+    def prep(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "n_name": pa.array(names[pos], pa.string()),
+                "o_custkey": batch["o_custkey"],
                 "revenue_cents": pa.array(
                     _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False)), pa.int64()
                 ),
             }
         )
 
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = orders.map_batches(prep, batch_format="pyarrow").join(
+        cust,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def resolve_nation(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(nat_ref)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, nk)
+        pos = np.minimum(pos, len(keys) - 1)
+        if not (keys[pos] == nk).all():
+            raise ValueError("customer references missing nation")
+        return pa.table(
+            {
+                "n_name": pa.array(names[pos], pa.string()),
+                "revenue_cents": batch["revenue_cents"],
+            }
+        )
+
     return (
-        orders.map_batches(join, batch_format="pyarrow")
+        joined.map_batches(resolve_nation, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"), Count(alias_name="n_orders"))
     )
@@ -142,10 +156,19 @@ GROUP BY 1
 """
 
 
-def sessionize(sf_dir: str, *, gap_minutes: int = 30, num_buckets: int = 64) -> ray.data.Dataset:
+def sessionize(
+    sf_dir: str, *, gap_minutes: int = 30, num_buckets: int | None = None
+) -> ray.data.Dataset:
     """Per-user session counting (stateful streaming analogue, SURVEY.md
     §2.10 — the reference has no windowing; this is the training-data-pipeline
-    extension). Bucketed groupby + vectorized run-length session breaks."""
+    extension). Bucketed groupby + vectorized run-length session breaks.
+    Bucket count scales with the input (parquet-footer row count) so a
+    bucket stays ~64k rows instead of corpus/64."""
+    from epichypersketch_jl_ray.sources.tables import table_rows
+    from epichypersketch_jl_ray.stages.join import auto_bucket_count
+
+    if num_buckets is None:
+        num_buckets = auto_bucket_count(table_rows(sf_dir, "events"))
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
     gap_us = np.int64(gap_minutes * 60 * 1_000_000)
 
@@ -211,31 +234,91 @@ def parts_never_discounted(sf_dir: str, *, min_discount: float = 0.09) -> ray.da
     def update(b: BloomFilter, batch: pa.Table) -> None:
         b.add_hashed(hash_int64(batch["l_partkey"].to_numpy(zero_copy_only=False), seed=77))
 
+    from epichypersketch_jl_ray.sources.tables import table_rows
+
     bloom = sketch_dataset(
-        keys_ds, lambda: BloomFilter(capacity=1 << 18, p=1e-6, seed=77), update, BloomFilter
+        keys_ds,
+        lambda: BloomFilter(capacity=max(1 << 16, table_rows(sf_dir, "part")), p=1e-6, seed=77),
+        update,
+        BloomFilter,
     )
-    # exact keys for verifying bloom hits (distinct, small)
-    exact_keys = np.sort(
-        keys_ds.groupby("l_partkey").count().to_pandas()["l_partkey"].to_numpy()
-    )
-    refs = ray.put((bloom, exact_keys))
+    bloom_ref = ray.put(bloom)
 
     part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
 
-    def anti(batch: pa.Table) -> pa.Table:
-        bf, exact = ray.get(refs)
-        pk = batch["p_partkey"].to_numpy(zero_copy_only=False)
-        hits = bf.contains_hashed(hash_int64(pk, seed=77))
-        keep = ~hits
-        # verify bloom hits exactly (false positives must survive the anti-join)
-        if hits.any():
-            pos = np.searchsorted(exact, pk[hits])
-            pos = np.minimum(pos, len(exact) - 1) if len(exact) else pos
-            really_present = (exact[pos] == pk[hits]) if len(exact) else np.zeros(hits.sum(), bool)
-            keep[np.flatnonzero(hits)[~really_present]] = True
-        return batch.filter(pa.array(keep))
+    def split(want_hits: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            bf: BloomFilter = ray.get(bloom_ref)
+            pk = batch["p_partkey"].to_numpy(zero_copy_only=False)
+            hits = bf.contains_hashed(hash_int64(pk, seed=77))
+            return batch.filter(pa.array(hits if want_hits else ~hits))
 
-    return part.map_batches(anti, batch_format="pyarrow")
+        return fn
+
+    # Bloom MISS = definite non-member: those parts pass the anti-join with
+    # no shuffle at all
+    misses = part.map_batches(split(False), batch_format="pyarrow")
+
+    # Bloom HITS (true members + false positives) are verified with a
+    # DISTRIBUTED semi-join: a second Bloom over the hit partkeys prunes the
+    # (corpus-scale) discounted-key stream down to hit-scale, then one
+    # hit-scale groupby decides membership exactly. No driver-side key array
+    # anywhere — the round-2 version collected every distinct discounted
+    # partkey onto the driver, which grows linearly with the corpus.
+    hits = part.map_batches(split(True), batch_format="pyarrow").materialize()
+
+    def update_hits(b: BloomFilter, batch: pa.Table) -> None:
+        b.add_hashed(hash_int64(batch["p_partkey"].to_numpy(zero_copy_only=False), seed=78))
+
+    n_hits = hits.count()
+    if n_hits == 0:
+        return misses
+    hit_bloom = sketch_dataset(
+        hits,
+        lambda: BloomFilter(capacity=max(1 << 14, 2 * n_hits), p=1e-4, seed=78),
+        update_hits,
+        BloomFilter,
+    )
+    hit_bloom_ref = ray.put(hit_bloom)
+
+    def prune_keys(batch: pa.Table) -> pa.Table:
+        bf: BloomFilter = ray.get(hit_bloom_ref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(bf.contains_hashed(hash_int64(pk, seed=78))))
+        return pa.table(
+            {
+                "p_partkey": sub["l_partkey"].cast(pa.int64()),
+                "p_brand": pa.nulls(len(sub), pa.string()),
+                "discounted": pa.array(np.ones(len(sub), np.int64), pa.int64()),
+            }
+        )
+
+    def tag_hits(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"].cast(pa.int64()),
+                "p_brand": batch["p_brand"],
+                "discounted": pa.array(np.zeros(len(batch), np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    verified = (
+        hits.map_batches(tag_hits, batch_format="pyarrow")
+        .union(keys_ds.map_batches(prune_keys, batch_format="pyarrow"))
+        .groupby("p_partkey")
+        .aggregate(
+            Max("discounted", alias_name="discounted"), Max("p_brand", alias_name="p_brand")
+        )
+    )
+
+    import pyarrow.compute as pc
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["discounted"], 0)).select(["p_partkey", "p_brand"])
+
+    return misses.union(verified.map_batches(keep_clean, batch_format="pyarrow"))
 
 
 def parts_never_discounted_sql(min_discount: float = 0.09) -> str:
@@ -312,9 +395,14 @@ def clicks_last_purchase(sf_dir: str) -> ray.data.Dataset:
 
     import pyarrow.compute as pc
 
+    from epichypersketch_jl_ray.sources.tables import table_rows
+
     clicks = ev.map_batches(split("click", False), batch_format="pyarrow")
     purchases = ev.map_batches(split("purchase", True), batch_format="pyarrow")
-    joined = bucketed_asof_join(clicks, purchases, by="user_id", on="ts")
+    joined = bucketed_asof_join(
+        clicks, purchases, by="user_id", on="ts",
+        size_hint_rows=table_rows(sf_dir, "events"),
+    )
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -445,10 +533,13 @@ def clicks_after_purchase(sf_dir: str, *, window_minutes: int = 60) -> ray.data.
 
         return fn
 
+    from epichypersketch_jl_ray.sources.tables import table_rows
+
     purchases = ev.map_batches(split("purchase"), batch_format="pyarrow")
     clicks = ev.map_batches(split("click"), batch_format="pyarrow")
     joined = bucketed_range_count_join(
-        purchases, clicks, by="user_id", on="ts", window=win_us, out_count="n_clicks"
+        purchases, clicks, by="user_id", on="ts", window=win_us, out_count="n_clicks",
+        size_hint_rows=table_rows(sf_dir, "events"),
     )
 
     def finish(batch: pa.Table) -> pa.Table:

@@ -84,15 +84,22 @@ def activation_from_table(
     feature_col: str,
     contribution_col: str,
     position_col: str | None = None,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
+    size_hint_rows: int | None = None,
 ) -> ray.data.Dataset:
     """Normalized rows -> activation dataset (one row per sequence).
 
     The bucket groupby is the pipeline's single all-to-all exchange; the
     bucket key is a splitmix of the sequence key so power-law keys spread
-    evenly (north_rule skew requirement).
+    evenly (north_rule skew requirement). ``num_buckets`` defaults to
+    auto_bucket_count(size_hint_rows) so buckets scale with the input
+    instead of growing to corpus/64.
     """
     from epichypersketch_jl_ray.functions.hashing import hash_int64
+    from epichypersketch_jl_ray.stages.join import auto_bucket_count
+
+    if num_buckets is None:
+        num_buckets = auto_bucket_count(size_hint_rows)
 
     cols = [key_col, feature_col, contribution_col] + (
         [position_col] if position_col else []

@@ -15,3 +15,18 @@ import ray.data
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
     path = os.path.join(sf_dir, f"{name}.parquet")
     return ray.data.read_parquet(path, columns=columns)
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet FOOTERS only (no column data read) — the cheap
+    pre-pass that sizes buckets/Blooms before a pipeline is built."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        files = glob.glob(f"{path}/**/*.parquet", recursive=True)
+    else:
+        files = [path]
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)

@@ -72,6 +72,29 @@ class LSHBuckets:
         return out
 
 
+def distributed_topk(candidates: ray.data.Dataset, *, k: int = 10) -> ray.data.Dataset:
+    """DISTRIBUTED final top-k reduce: groupby(query_id) co-locates each
+    query's per-block partial top-ks, one vectorized per-group merge emits
+    exactly k (query_id, neighbor_id, rank) rows. The candidate stream
+    (blocks × queries × k rows) never touches the driver — at 100 TB that
+    stream is millions of rows while the result stays queries × k."""
+
+    def topk_group(group: pa.Table) -> pa.Table:
+        sims = group["sim"].to_numpy(zero_copy_only=False)
+        ids = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        qid = group["query_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]  # sim desc, neighbor_id asc
+        return pa.table(
+            {
+                "query_id": pa.array(qid[order], pa.int64()),
+                "neighbor_id": pa.array(ids[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return candidates.groupby("query_id").map_groups(topk_group, batch_format="pyarrow")
+
+
 def final_topk(candidates, k: int = 10) -> "np.ndarray":
     """Driver-side merge of per-batch candidates (small: queries × k per
     batch): per query, top-k by (sim desc, neighbor_id asc), vectorized."""

@@ -6,12 +6,19 @@ shuffle joins" / ray_guide joins section).
 - bucketed_hash_join: large-large equi-join. Both sides get
   ``bucket = splitmix64(key) % B`` and a side tag, are unioned (one shuffle
   co-locates both sides' rows), and each bucket runs a vectorized pandas
-  merge. Skew: the bucket key is a hash, so hot keys spread; a single
-  pathological key maps to ONE bucket — salt that key into sub-buckets and
-  replicate the other side if profiling ever shows it (not needed for any
-  current pipeline).
+  merge. Skew: the bucket key is a hash, so DISTINCT hot keys spread; a
+  single pathological key still maps to ONE bucket — pass ``hot_keys`` to
+  salt those keys' left rows across ``salt`` sub-buckets and replicate the
+  right side's matching rows into each (classic salted-join: left work
+  spreads ``salt``-ways at the cost of ``salt``× replication of the tiny
+  hot right-side slice).
 - bucketed_asof_join: as-of (backward, inclusive) join per `by` key —
   bucket on the `by` key, sort within bucket, pandas merge_asof.
+
+Bucket counts: every helper takes ``bucket_count=None`` → derived via
+``auto_bucket_count`` from ``size_hint_rows`` (callers pass a parquet-footer
+row count) so a bucket targets ~64k rows instead of corpus/64 — the fixed-64
+default silently made each bucket corpus/64 and would not survive 100×.
 """
 
 from __future__ import annotations
@@ -24,11 +31,75 @@ import ray.data
 
 from epichypersketch_jl_ray.functions.hashing import hash_int64
 
+_TARGET_ROWS_PER_BUCKET = 1 << 16
 
-def _tag_and_bucket(ds, key_col: str, side: int, bucket_count: int, seed: int):
+
+def auto_bucket_count(
+    size_hint_rows: int | None,
+    *,
+    target_rows_per_bucket: int = _TARGET_ROWS_PER_BUCKET,
+    lo: int = 16,
+    hi: int = 4096,
+) -> int:
+    """Bucket count that grows with input size: ~target rows per bucket,
+    clamped to [lo, hi]. None hint (no cheap row count available) falls back
+    to ``lo`` — callers with parquet inputs should pass a footer count
+    (sources.tables.table_rows)."""
+    if size_hint_rows is None:
+        return lo
+    return max(lo, min(hi, -(-int(size_hint_rows) // target_rows_per_bucket)))
+
+
+def _tag_and_bucket(
+    ds,
+    key_col: str,
+    side: int,
+    bucket_count: int,
+    seed: int,
+    hot_keys: np.ndarray | None = None,
+    salt: int = 8,
+):
+    """Append (_bucket, _side). With ``hot_keys``, hot rows move to a
+    dedicated bucket range [bucket_count, bucket_count + n_hot*salt): the
+    build side (side 0) spreads each hot key's rows across its ``salt``
+    sub-buckets, the probe side (side 1) replicates its (few) hot rows into
+    every sub-bucket — so one pathological key occupies ``salt`` tasks
+    instead of one."""
+    hot_sorted = np.sort(np.asarray(hot_keys, dtype=np.int64)) if hot_keys is not None else None
+
     def tag(batch: pa.Table) -> pa.Table:
         k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         bucket = (hash_int64(k, seed=seed) % np.uint64(bucket_count)).astype(np.int64)
+        if hot_sorted is not None and len(hot_sorted):
+            pos = np.searchsorted(hot_sorted, k)
+            pos_c = np.minimum(pos, len(hot_sorted) - 1)
+            is_hot = hot_sorted[pos_c] == k
+            if side == 0:
+                # spread: sub-bucket from the row's position (any spreader works;
+                # correctness only needs same-key co-location with the replicas)
+                sub = (
+                    hash_int64(np.arange(len(k), dtype=np.int64), seed=seed + 1)
+                    % np.uint64(salt)
+                ).astype(np.int64)
+                bucket = np.where(is_hot, bucket_count + pos_c * salt + sub, bucket)
+            else:
+                # replicate each hot row into all `salt` sub-buckets
+                cold = batch.filter(pa.array(~is_hot)).append_column(
+                    "_bucket", pa.array(bucket[~is_hot], pa.int64())
+                )
+                hot_tbl = batch.filter(pa.array(is_hot))
+                reps = pa.concat_tables([hot_tbl] * salt) if len(hot_tbl) else hot_tbl
+                # concat layout = the m hot rows tiled `salt` times
+                hot_buckets = (
+                    bucket_count
+                    + np.tile(pos_c[is_hot] * salt, salt)
+                    + np.repeat(np.arange(salt, dtype=np.int64), len(hot_tbl))
+                )
+                reps = reps.append_column("_bucket", pa.array(hot_buckets, pa.int64()))
+                out = pa.concat_tables([cold, reps]) if len(reps) else cold
+                return out.append_column(
+                    "_side", pa.array(np.full(len(out), side, dtype=np.int8), pa.int8())
+                )
         return batch.append_column("_bucket", pa.array(bucket, pa.int64())).append_column(
             "_side", pa.array(np.full(len(k), side, dtype=np.int8), pa.int8())
         )
@@ -66,21 +137,29 @@ def bucketed_hash_join(
     *,
     left_on: str,
     right_on: str,
-    bucket_count: int = 64,
+    bucket_count: int | None = None,
+    size_hint_rows: int | None = None,
     seed: int = 17,
+    hot_keys: np.ndarray | None = None,
+    salt: int = 8,
 ) -> ray.data.Dataset:
     """Inner equi-join via one co-locating shuffle + per-bucket pandas merge.
 
     Column-name collisions other than the keys are the caller's problem
     (prune to needed columns first — which also minimizes shuffle bytes).
+    ``hot_keys``: known pathological keys (profiling / heavy-hitter sketch)
+    whose LEFT rows are salted across ``salt`` sub-buckets with the matching
+    right rows replicated into each.
     """
+    if bucket_count is None:
+        bucket_count = auto_bucket_count(size_hint_rows)
     # each side's original columns, captured up front: selecting by name
     # undoes the union null-padding without dropna(axis=1), which would also
     # drop a legitimate column that happens to be all-null within one bucket
     l_cols = list(left.schema().names)
     r_cols = list(right.schema().names)
-    lt = _tag_and_bucket(left, left_on, 0, bucket_count, seed)
-    rt = _tag_and_bucket(right, right_on, 1, bucket_count, seed)
+    lt = _tag_and_bucket(left, left_on, 0, bucket_count, seed, hot_keys, salt)
+    rt = _tag_and_bucket(right, right_on, 1, bucket_count, seed, hot_keys, salt)
     both = _union_padded(lt, rt)
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -102,7 +181,8 @@ def bucketed_range_count_join(
     on: str,
     window: int,
     out_count: str = "n_matches",
-    bucket_count: int = 64,
+    bucket_count: int | None = None,
+    size_hint_rows: int | None = None,
     seed: int = 29,
 ) -> ray.data.Dataset:
     """Range join, count form: for each left row, the number of right rows
@@ -117,6 +197,8 @@ def bucketed_range_count_join(
     row counted ONCE — i.e. SELECT DISTINCT left-side semantics, which the
     SQL oracle mirrors with a DISTINCT on its left CTE.
     """
+    if bucket_count is None:
+        bucket_count = auto_bucket_count(size_hint_rows)
     l_cols = [by, on]
     r_cols = [by, on]
     lt = _tag_and_bucket(left.select_columns(l_cols), by, 0, bucket_count, seed)
@@ -160,12 +242,15 @@ def bucketed_asof_join(
     by: str,
     on: str,
     right_suffix: str = "_r",
-    bucket_count: int = 64,
+    bucket_count: int | None = None,
+    size_hint_rows: int | None = None,
     seed: int = 23,
 ) -> ray.data.Dataset:
     """Backward-inclusive as-of join (for each left row, the latest right row
     with the same ``by`` key and right.on <= left.on). Inner semantics: left
     rows with no match are dropped (no nulls in the output)."""
+    if bucket_count is None:
+        bucket_count = auto_bucket_count(size_hint_rows)
     l_cols = list(left.schema().names)
     r_cols = list(right.schema().names)
     lt = _tag_and_bucket(left, by, 0, bucket_count, seed)

@@ -12,7 +12,7 @@ def test_simhash_pipeline_complete_vs_bruteforce(ray_session, sf_dir):
     from epichypersketch_jl_ray.pipelines.dedup import dedup_simhash
     from epichypersketch_jl_ray.state.minhash import hamming_distance64, simhash64_batch
 
-    out = dedup_simhash(sf_dir)
+    out = dedup_simhash(sf_dir).to_pandas()
     tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     flat, off = token_hashes(tbl["text"].combine_chunks())
     sh = simhash64_batch(flat, off)
