@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sketches,
         textstats,
         webpages,
+        windowfns,
     )
 
     return {
@@ -99,6 +100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clicks_after_purchase": relational.clicks_after_purchase,
         "parts_never_discounted": relational.parts_never_discounted,
         "users_intersection": relational.users_intersection,
+        # window-function analogues (grouped top-N / running total / rollup)
+        "top_parts_per_brand": windowfns.top_parts_per_brand,
+        "user_cumulative_spend": windowfns.user_cumulative_spend,
+        "revenue_rollup": windowfns.revenue_rollup,
     }
 
 
@@ -112,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         relational,
         sketches,
         textstats,
+        windowfns,
     )
 
     return {
@@ -149,4 +155,7 @@ def oracle_sql() -> dict[str, str]:
         "clicks_after_purchase": relational.clicks_after_purchase_sql(),
         "parts_never_discounted": relational.parts_never_discounted_sql(),
         "users_intersection": relational.users_intersection_sql(),
+        "top_parts_per_brand": windowfns.top_parts_per_brand_sql(),
+        "user_cumulative_spend": windowfns.user_cumulative_spend_sql(),
+        "revenue_rollup": windowfns.revenue_rollup_sql(),
     }

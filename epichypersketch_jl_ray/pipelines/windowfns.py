@@ -1,0 +1,243 @@
+"""SQL window-function analogues as distributed Ray Data shapes.
+
+Three operator classes the rest of the suite doesn't cover:
+
+- grouped top-N  (ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) <= n):
+  pre-aggregate -> co-locate by group -> vectorized per-group head.
+- cumulative aggregate (SUM(v) OVER (PARTITION BY k ORDER BY t)): bucket by
+  key hash, ONE lexsort per bucket, segment cumsum — with SQL's default
+  RANGE frame tie semantics (ties share the frame end) so the answer is
+  deterministic and hash-comparable.
+- ROLLUP multi-level aggregation: one pass per level over the already
+  partially-aggregated finest level — coarser levels aggregate the (tiny)
+  finest-level result, not the corpus.
+
+All three keep the corpus in the engine: the only driver-side results are
+the final (group-bounded) answers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data.aggregate import Count, Sum
+
+from epichypersketch_jl_ray.sources.tables import read_table
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+def top_parts_per_brand(sf_dir: str, *, n: int = 3, num_partitions: int = 8) -> ray.data.Dataset:
+    """Grouped top-N: each brand's n highest-revenue parts with their rank —
+    the ROW_NUMBER window shape. Revenue pre-aggregates per partkey (corpus
+    shuffle), brand attaches via the native hash join, then one tiny
+    per-brand groupby ranks."""
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_partkey": batch["l_partkey"],
+                "revenue_cents": pa.array(_cents(price * (1.0 - disc)), pa.int64()),
+            }
+        )
+
+    rev = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    joined = rev.join(
+        part,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+
+    def topn(group: pa.Table) -> pa.Table:
+        r = group["revenue_cents"].to_numpy(zero_copy_only=False)
+        pk = group["l_partkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, -r))[:n]  # revenue desc, partkey asc
+        return pa.table(
+            {
+                "p_brand": group["p_brand"].take(pa.array(order)),
+                "p_partkey": pa.array(pk[order], pa.int64()),
+                "revenue_cents": pa.array(r[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return joined.groupby("p_brand").map_groups(topn, batch_format="pyarrow")
+
+
+def top_parts_per_brand_sql(n: int = 3) -> str:
+    return f"""
+WITH r AS (SELECT l_partkey,
+                  SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS rev
+           FROM lineitem GROUP BY 1),
+j AS (SELECT p_brand, p_partkey, rev FROM r JOIN part ON p_partkey = l_partkey),
+w AS (SELECT p_brand, p_partkey, rev,
+             ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY rev DESC, p_partkey) AS rn
+      FROM j)
+SELECT p_brand, p_partkey, CAST(rev AS BIGINT) AS revenue_cents, CAST(rn AS BIGINT) AS rank
+FROM w WHERE rn <= {n}
+"""
+
+
+def user_cumulative_spend(sf_dir: str, *, num_buckets: int | None = None) -> ray.data.Dataset:
+    """Running total per user over purchase events (SUM OVER (PARTITION BY
+    user ORDER BY ts)) with SQL's default RANGE frame: rows tied on ts all
+    carry the tie group's closing total, making the result order-independent
+    and hash-stable. One bucketed shuffle, one lexsort + segment cumsum per
+    bucket."""
+    import pyarrow.compute as pc
+
+    from epichypersketch_jl_ray.functions.hashing import hash_int64
+    from epichypersketch_jl_ray.sources.tables import table_rows
+    from epichypersketch_jl_ray.stages.join import auto_bucket_count
+
+    if num_buckets is None:
+        num_buckets = auto_bucket_count(table_rows(sf_dir, "events"))
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        u = sub["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = (hash_int64(u, seed=41) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "ts": pa.array(
+                    sub["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False), pa.int64()
+                ),
+                "cents": pa.array(
+                    _cents(sub["value"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+                "bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "purchase_ts": pa.array([], pa.int64()),
+                    "cum_cents": pa.array([], pa.int64()),
+                }
+            )
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        c = batch["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts, c = u[order], ts[order], c[order]
+        cs = np.cumsum(c)
+        user_start = np.concatenate(([True], u[1:] != u[:-1]))
+        # per-user cumulative: subtract the bucket running total just before
+        # each user's first row
+        start_idx = np.flatnonzero(user_start)
+        prev = np.concatenate(([0], cs))[start_idx]
+        base = np.repeat(prev, np.diff(np.append(start_idx, len(u))))
+        cum = cs - base
+        # RANGE tie semantics: every row of a (user, ts) tie run reports the
+        # run's LAST cumulative value
+        run_start = user_start | np.concatenate(([True], ts[1:] != ts[:-1]))
+        run_id = np.cumsum(run_start) - 1
+        run_last = np.zeros(run_id[-1] + 1, dtype=np.int64)
+        run_last[run_id] = cum  # later rows of a run overwrite earlier
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "purchase_ts": pa.array(ts, pa.int64()),
+                "cum_cents": pa.array(run_last[run_id], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(purchases, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def user_cumulative_spend_sql() -> str:
+    return """
+SELECT user_id, epoch_us(ts) AS purchase_ts,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS cum_cents
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def revenue_rollup(sf_dir: str) -> ray.data.Dataset:
+    """ROLLUP(l_returnflag, l_linestatus): totals at (flag, status), (flag)
+    and grand-total levels. The finest level is the only corpus-scale
+    aggregate; coarser levels re-aggregate its (few-row) result — the
+    hierarchical-aggregation shape, not three corpus passes."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "cents": pa.array(
+                    _cents(batch["l_extendedprice"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+            }
+        )
+
+    fine = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("cents", alias_name="revenue_cents"), Count(alias_name="n"))
+        .materialize()
+    )
+
+    def relabel(flag_all: bool, status_all: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = len(batch)
+            return pa.table(
+                {
+                    "l_returnflag": pa.array(["ALL"] * k, pa.string())
+                    if flag_all
+                    else batch["l_returnflag"],
+                    "l_linestatus": pa.array(["ALL"] * k, pa.string())
+                    if status_all
+                    else batch["l_linestatus"],
+                    "revenue_cents": batch["revenue_cents"],
+                    "n": batch["n"],
+                }
+            )
+
+        return fn
+
+    mid = (
+        fine.map_batches(relabel(False, True), batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"), Sum("n", alias_name="n"))
+    )
+    top = (
+        fine.map_batches(relabel(True, True), batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"), Sum("n", alias_name="n"))
+    )
+    return fine.union(mid).union(top)
+
+
+def revenue_rollup_sql() -> str:
+    return """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
