@@ -95,16 +95,24 @@ FROM lineitem GROUP BY 1 ORDER BY revenue_cents DESC, l_suppkey LIMIT {k}
 """
 
 
-def revenue_by_nation(sf_dir: str, *, num_partitions: int = 8) -> ray.data.Dataset:
-    """orders ⋈ customer via the native hash-partitioned join (customer grows
-    linearly with the corpus — broadcasting it was the round-2 scale bug),
-    then nation (25 rows, a TRUE small side) broadcast via ray.put and
-    resolved per batch before the final groupby."""
+def revenue_by_nation(
+    sf_dir: str, *, num_partitions: int = 8, broadcast_threshold_rows: int = 1_000_000
+) -> ray.data.Dataset:
+    """orders ⋈ customer ⋈ nation with a SIZE-AWARE join strategy.
+
+    nation (25 rows) is always broadcast via ray.put. customer grows
+    linearly with the corpus, so it is broadcast ONLY below
+    ``broadcast_threshold_rows`` (parquet-footer count — one lookup array on
+    each worker); above it the native hash-partitioned join runs — the shape
+    that survives 100 TB, where a customer broadcast would be a multi-GB
+    driver materialization. Both paths produce identical results (pinned by
+    a threshold=0 oracle test)."""
+    from epichypersketch_jl_ray.sources.tables import table_rows
+
     nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
     nat_sorted = nation.sort_values("n_nationkey")
-    nat_ref = ray.put(
-        (nat_sorted["n_nationkey"].to_numpy(), nat_sorted["n_name"].to_numpy())
-    )
+    nat_keys = nat_sorted["n_nationkey"].to_numpy()
+    nat_names = nat_sorted["n_name"].to_numpy()
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
@@ -118,32 +126,66 @@ def revenue_by_nation(sf_dir: str, *, num_partitions: int = 8) -> ray.data.Datas
             }
         )
 
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    joined = orders.map_batches(prep, batch_format="pyarrow").join(
-        cust,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    )
-
-    def resolve_nation(batch: pa.Table) -> pa.Table:
-        keys, names = ray.get(nat_ref)
-        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys, nk)
-        pos = np.minimum(pos, len(keys) - 1)
-        if not (keys[pos] == nk).all():
+    def _nation_of(nk: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(nat_keys, nk)
+        pos = np.minimum(pos, len(nat_keys) - 1)
+        if not (nat_keys[pos] == nk).all():
             raise ValueError("customer references missing nation")
-        return pa.table(
-            {
-                "n_name": pa.array(names[pos], pa.string()),
-                "revenue_cents": batch["revenue_cents"],
-            }
+        return nat_names[pos]
+
+    if table_rows(sf_dir, "customer") <= broadcast_threshold_rows:
+        cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+        cust = cust.sort_values("c_custkey")
+        lookup_ref = ray.put(
+            (cust["c_custkey"].to_numpy(), _nation_of(cust["c_nationkey"].to_numpy()))
         )
 
+        def bjoin(batch: pa.Table) -> pa.Table:
+            keys, names = ray.get(lookup_ref)
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, ck)
+            pos = np.minimum(pos, len(keys) - 1)
+            if not (keys[pos] == ck).all():
+                raise ValueError("order references missing customer")
+            return pa.table(
+                {
+                    "n_name": pa.array(names[pos], pa.string()),
+                    "revenue_cents": pa.array(
+                        _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False)), pa.int64()
+                    ),
+                }
+            )
+
+        resolved = orders.map_batches(bjoin, batch_format="pyarrow")
+    else:
+        cust_ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+        joined = orders.map_batches(prep, batch_format="pyarrow").join(
+            cust_ds,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+        nat_ref = ray.put((nat_keys, nat_names))
+
+        def resolve_nation(batch: pa.Table) -> pa.Table:
+            keys, names = ray.get(nat_ref)
+            nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, nk)
+            pos = np.minimum(pos, len(keys) - 1)
+            if not (keys[pos] == nk).all():
+                raise ValueError("customer references missing nation")
+            return pa.table(
+                {
+                    "n_name": pa.array(names[pos], pa.string()),
+                    "revenue_cents": batch["revenue_cents"],
+                }
+            )
+
+        resolved = joined.map_batches(resolve_nation, batch_format="pyarrow")
+
     return (
-        joined.map_batches(resolve_nation, batch_format="pyarrow")
-        .groupby("n_name")
+        resolved.groupby("n_name")
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"), Count(alias_name="n_orders"))
     )
 

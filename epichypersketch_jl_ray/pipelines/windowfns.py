@@ -31,11 +31,20 @@ def _cents(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 100.0 + 0.5).astype(np.int64)
 
 
-def top_parts_per_brand(sf_dir: str, *, n: int = 3, num_partitions: int = 8) -> ray.data.Dataset:
+def top_parts_per_brand(
+    sf_dir: str,
+    *,
+    n: int = 3,
+    num_partitions: int = 8,
+    broadcast_threshold_rows: int = 1_000_000,
+) -> ray.data.Dataset:
     """Grouped top-N: each brand's n highest-revenue parts with their rank —
     the ROW_NUMBER window shape. Revenue pre-aggregates per partkey (corpus
-    shuffle), brand attaches via the native hash join, then one tiny
-    per-brand groupby ranks."""
+    shuffle); the brand attach is size-aware (broadcast partkey→brand below
+    the threshold, native hash join above — same strategy and threshold test
+    as revenue_by_nation); one tiny per-brand groupby ranks."""
+    from epichypersketch_jl_ray.sources.tables import table_rows
+
     li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -54,13 +63,28 @@ def top_parts_per_brand(sf_dir: str, *, n: int = 3, num_partitions: int = 8) -> 
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
     )
     part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
-    joined = rev.join(
-        part,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("l_partkey",),
-        right_on=("p_partkey",),
-    )
+    if table_rows(sf_dir, "part") <= broadcast_threshold_rows:
+        pdf = part.to_pandas().sort_values("p_partkey")
+        map_ref = ray.put((pdf["p_partkey"].to_numpy(), pdf["p_brand"].to_numpy()))
+
+        def attach_brand(batch: pa.Table) -> pa.Table:
+            keys, brands = ray.get(map_ref)
+            pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, pk)
+            pos = np.minimum(pos, len(keys) - 1)
+            if not (keys[pos] == pk).all():
+                raise ValueError("lineitem references missing part")
+            return batch.append_column("p_brand", pa.array(brands[pos], pa.string()))
+
+        joined = rev.map_batches(attach_brand, batch_format="pyarrow")
+    else:
+        joined = rev.join(
+            part,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+        )
 
     def topn(group: pa.Table) -> pa.Table:
         r = group["revenue_cents"].to_numpy(zero_copy_only=False)

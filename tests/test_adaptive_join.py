@@ -1,0 +1,33 @@
+"""Size-aware join strategy: the broadcast path (below the row threshold)
+and the native-hash-join path (above it) must produce identical,
+oracle-exact results — threshold=0 forces the join path on fixture data."""
+
+import sys
+
+sys.path.insert(0, "/root/repo/tests")
+from oracle_util import compare, duck_con, to_pandas
+
+
+def test_revenue_by_nation_both_paths_match_oracle(ray_session, sf_dir):
+    from epichypersketch_jl_ray.pipelines.relational import revenue_by_nation, revenue_by_nation_sql
+
+    con = duck_con(sf_dir)
+    want = con.sql(revenue_by_nation_sql()).df()
+    bcast = to_pandas(revenue_by_nation(sf_dir))  # default: under threshold
+    joined = to_pandas(revenue_by_nation(sf_dir, broadcast_threshold_rows=0))
+    assert not compare("revenue_by_nation[broadcast]", bcast, want)
+    assert not compare("revenue_by_nation[join]", joined, want)
+
+
+def test_top_parts_per_brand_both_paths_match_oracle(ray_session, sf_dir):
+    from epichypersketch_jl_ray.pipelines.windowfns import (
+        top_parts_per_brand,
+        top_parts_per_brand_sql,
+    )
+
+    con = duck_con(sf_dir)
+    want = con.sql(top_parts_per_brand_sql()).df()
+    bcast = to_pandas(top_parts_per_brand(sf_dir))
+    joined = to_pandas(top_parts_per_brand(sf_dir, broadcast_threshold_rows=0))
+    assert not compare("top_parts_per_brand[broadcast]", bcast, want)
+    assert not compare("top_parts_per_brand[join]", joined, want)
