@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_membership_bloom": sketches.user_membership_bloom,
         "top_ngrams_spacesaving": sketches.top_ngrams_spacesaving,
         "top_suppliers_spacesaving": sketches.top_suppliers_spacesaving,
+        "top_suppliers_countsketch": sketches.top_suppliers_countsketch,
         "doc_sample": sketches.doc_sample,
         "doc_sample_by_lang": sketches.doc_sample_by_lang,
         # dedup suite

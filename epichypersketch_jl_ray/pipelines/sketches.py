@@ -398,3 +398,49 @@ def top_suppliers_spacesaving_sql(k: int = 10) -> str:
     from epichypersketch_jl_ray.pipelines.relational import top_suppliers_sql
 
     return top_suppliers_sql(k)
+
+
+def top_suppliers_countsketch(
+    sf_dir: str, *, k: int = 10, capacity: int = 32768
+) -> pd.DataFrame:
+    """Weighted heavy hitters with UNBIASED estimates: SpaceSaving proposes
+    the candidate keys (one scan, bounded state), CountSketch (the signed
+    AMS sketch, state/countsketch.py) refines each candidate's revenue with
+    a median-of-rows unbiased estimate — the classic candidate+refine
+    pairing for skewed streams where CMS-style counters systematically
+    overestimate. Both sketches build in ONE shared pass over lineitem
+    (a 2-tuple partial under the same UDAF merge). Rows-only check (the
+    estimate is randomized; unbiasedness and the eps*||f||_2 bound are
+    pytest-asserted against the exact oracle)."""
+    from epichypersketch_jl_ray.state.countsketch import CountSketch
+    from epichypersketch_jl_ray.state.spacesaving import SpaceSaving
+    from epichypersketch_jl_ray.state.tuplestate import TupleState
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def factory() -> TupleState:
+        return TupleState(
+            (SpaceSaving(capacity=capacity), CountSketch(epsilon=0.005, delta=1e-3, seed=97))
+        )
+
+    def update(t: TupleState, batch: pa.Table) -> None:
+        from epichypersketch_jl_ray.pipelines.relational import _cents
+
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        cents = _cents(price * (1.0 - disc))
+        keys = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ss, cs = t.parts
+        ss.update_hashed(keys, weights=cents)
+        cs.add_keys(keys, weights=cents)
+
+    merged = sketch_dataset(ds, factory, update, TupleState)
+    ss, cs = merged.parts
+    est = cs.estimate_keys(ss.keys)
+    order = np.lexsort((ss.keys.astype(np.int64), -est))[:k]
+    return pd.DataFrame(
+        {
+            "l_suppkey": ss.keys[order].astype(np.int64),
+            "revenue_cents_est": est[order].astype(np.int64),
+        }
+    )
