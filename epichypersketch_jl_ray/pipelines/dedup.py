@@ -382,41 +382,48 @@ def dedup_simhash(sf_dir: str, *, max_hamming: int = 3) -> ray.data.Dataset:
     hamming <= 3: any pair within hamming 3 shares one of the 4 chunks.
     Rows-only check (simhash not SQL-expressible).
 
-    A pair can collide in up to 4 chunk buckets, so candidates dedupe with a
-    DISTRIBUTED groupby on (doc_a, doc_b) — same shape as minhash_pairs; the
-    round-2 version collected the candidate stream to driver pandas. The
-    hamming filter then runs vectorized per batch."""
+    Scale shape: the hamming filter is a pure function of the pair and runs
+    INSIDE each chunk group (random 16-bit chunk collisions make the raw
+    candidate stream O(n²/2¹⁶) rows; the filtered stream is near-dup
+    scale), and cross-position duplicates are eliminated WITHOUT a dedupe
+    shuffle: a pair is kept only in the group of its SMALLEST matching
+    chunk position — computable locally from the two full signatures — so
+    each qualifying pair is emitted exactly once. (The round-2 version
+    collected the whole candidate stream to driver pandas.)"""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = (
-        ds.map_batches(simhash_stage, batch_format="pyarrow")
-        .groupby("chunk_bucket")
-        .map_groups(simhash_candidates_from_chunk, batch_format="pyarrow")
-        # sim_a/sim_b are identical across a pair's duplicate bucket rows:
-        # Min is just "pick one" under the dedupe groupby
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Min("sim_a", alias_name="sim_a"), Min("sim_b", alias_name="sim_b"))
-    )
 
-    def finish(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "hamming": pa.array([], pa.int64()),
-                }
-            )
-        ham = hamming_distance64(
-            batch["sim_a"].to_numpy(zero_copy_only=False).view(np.uint64),
-            batch["sim_b"].to_numpy(zero_copy_only=False).view(np.uint64),
+    def verified_from_chunk(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
         )
-        keep = ham <= max_hamming
+        t = simhash_candidates_from_chunk(group)
+        if len(t) == 0:
+            return empty
+        sa = t["sim_a"].to_numpy(zero_copy_only=False).view(np.uint64)
+        sb = t["sim_b"].to_numpy(zero_copy_only=False).view(np.uint64)
+        pos = t["position"].to_numpy(zero_copy_only=False)
+        # smallest chunk position where the two signatures agree
+        first = np.full(len(t), 4, dtype=np.int64)
+        for q in (3, 2, 1, 0):
+            shift = np.uint64(16 * q)
+            m = ((sa >> shift) & np.uint64(0xFFFF)) == ((sb >> shift) & np.uint64(0xFFFF))
+            first[m] = q
+        ham = hamming_distance64(sa, sb)
+        keep = (ham <= max_hamming) & (pos == first)
         return pa.table(
             {
-                "doc_a": batch["doc_a"].to_numpy(zero_copy_only=False)[keep],
-                "doc_b": batch["doc_b"].to_numpy(zero_copy_only=False)[keep],
+                "doc_a": t["doc_a"].to_numpy(zero_copy_only=False)[keep],
+                "doc_b": t["doc_b"].to_numpy(zero_copy_only=False)[keep],
                 "hamming": pa.array(ham[keep].astype(np.int64), pa.int64()),
             }
         )
 
-    return cand.map_batches(finish, batch_format="pyarrow")
+    return (
+        ds.map_batches(simhash_stage, batch_format="pyarrow")
+        .groupby("chunk_bucket")
+        .map_groups(verified_from_chunk, batch_format="pyarrow")
+    )

@@ -329,13 +329,14 @@ def simhash_candidates_from_chunk(batch: pa.Table) -> pa.Table:
             "doc_b": pa.array([], pa.int64()),
             "sim_a": pa.array([], pa.int64()),
             "sim_b": pa.array([], pa.int64()),
+            "position": pa.array([], pa.int64()),
         }
     )
     if len(keys) == 0:
         return empty
     boundaries = np.flatnonzero(np.diff(keys, prepend=keys[0] - 1))
     sizes = np.diff(np.append(boundaries, len(keys)))
-    a, b, sa, sb = [], [], [], []
+    a, b, sa, sb, pos = [], [], [], [], []
     for start, size in zip(boundaries[sizes > 1], sizes[sizes > 1]):
         grp_d = docs[start : start + size]
         grp_s = sh[start : start + size]
@@ -344,6 +345,11 @@ def simhash_candidates_from_chunk(batch: pa.Table) -> pa.Table:
         b.append(grp_d[jj])
         sa.append(grp_s[ii])
         sb.append(grp_s[jj])
+        # chunk position this pair was found under (chunk_key layout:
+        # value + position * 65536) — lets the caller keep each pair only at
+        # its SMALLEST matching position, making emissions globally unique
+        # without a dedupe shuffle
+        pos.append(np.full(len(ii), keys[start] >> 16, dtype=np.int64))
     if not a:
         return empty
     return pa.table(
@@ -352,5 +358,6 @@ def simhash_candidates_from_chunk(batch: pa.Table) -> pa.Table:
             "doc_b": pa.array(np.concatenate(b), pa.int64()),
             "sim_a": pa.array(np.concatenate(sa), pa.int64()),
             "sim_b": pa.array(np.concatenate(sb), pa.int64()),
+            "position": pa.array(np.concatenate(pos), pa.int64()),
         }
     )
