@@ -271,7 +271,10 @@ def parts_never_discounted(sf_dir: str, *, min_discount: float = 0.09) -> ray.da
             ["l_partkey"]
         )
 
-    keys_ds = li.map_batches(discounted, batch_format="pyarrow")
+    # materialized: consumed twice (Bloom build + hit-scale prune) — one
+    # lineitem scan instead of two, blocks live in the object store (spill,
+    # not driver memory)
+    keys_ds = li.map_batches(discounted, batch_format="pyarrow").materialize()
 
     def update(b: BloomFilter, batch: pa.Table) -> None:
         b.add_hashed(hash_int64(batch["l_partkey"].to_numpy(zero_copy_only=False), seed=77))
