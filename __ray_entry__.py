@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clicks_after_purchase": relational.clicks_after_purchase,
         "parts_never_discounted": relational.parts_never_discounted,
         "users_intersection": relational.users_intersection,
+        "click_only_user_hours": relational.click_only_user_hours,
+        "customer_order_counts": relational.customer_order_counts,
         # window-function analogues (grouped top-N / running total / rollup)
         "top_parts_per_brand": windowfns.top_parts_per_brand,
         "user_cumulative_spend": windowfns.user_cumulative_spend,
@@ -156,6 +158,8 @@ def oracle_sql() -> dict[str, str]:
         "clicks_after_purchase": relational.clicks_after_purchase_sql(),
         "parts_never_discounted": relational.parts_never_discounted_sql(),
         "users_intersection": relational.users_intersection_sql(),
+        "click_only_user_hours": relational.click_only_user_hours_sql(),
+        "customer_order_counts": relational.customer_order_counts_sql(),
         "top_parts_per_brand": windowfns.top_parts_per_brand_sql(),
         "user_cumulative_spend": windowfns.user_cumulative_spend_sql(),
         "revenue_rollup": windowfns.revenue_rollup_sql(),

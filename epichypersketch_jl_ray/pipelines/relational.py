@@ -674,3 +674,88 @@ WITH o AS (
 SELECT user_id, COUNT(*) AS n_events, CAST(SUM(brk) + 1 AS BIGINT) AS n_sessions
 FROM o GROUP BY user_id
 """
+
+
+def customer_order_counts(sf_dir: str) -> ray.data.Dataset:
+    """LEFT OUTER join aggregate: every customer's order count, INCLUDING
+    zero-order customers — the outer-join semantics the inner joins
+    elsewhere drop. Shape: union customer presence rows (n=0) with order
+    rows (n=1) and one groupby sum — no join machinery; the presence row
+    guarantees every left key appears."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    def presence(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"].cast(pa.int64()),
+                "n": pa.array(np.zeros(len(batch), np.int64), pa.int64()),
+            }
+        )
+
+    def one_per_order(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch["o_custkey"].cast(pa.int64()),
+                "n": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        cust.map_batches(presence, batch_format="pyarrow")
+        .union(orders.map_batches(one_per_order, batch_format="pyarrow"))
+        .groupby("c_custkey")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+
+
+def customer_order_counts_sql() -> str:
+    return """
+SELECT c_custkey, CAST(COUNT(o_custkey) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+def click_only_user_hours(sf_dir: str) -> ray.data.Dataset:
+    """Set op EXCEPT over a COMPOSITE key: distinct (user, hour-window)
+    pairs with a click but no purchase — the complement of
+    users_intersection under the same membership-flag groupby (UNION /
+    INTERSECT / EXCEPT differ only in the final filter; the composite key
+    shows the shape generalizes beyond single columns)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    hour_us = np.int64(3_600_000_000)
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "hour": pa.array(ts // hour_us, pa.int64()),
+                "is_click": pc.equal(batch["event_type"], "click").cast(pa.int64()),
+                "is_purchase": pc.equal(batch["event_type"], "purchase").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Max("is_click", alias_name="c"), Max("is_purchase", alias_name="p"))
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        only_click = pc.and_(pc.equal(batch["c"], 1), pc.equal(batch["p"], 0))
+        return batch.filter(only_click).select(["user_id", "hour"])
+
+    return agg.map_batches(keep, batch_format="pyarrow")
+
+
+def click_only_user_hours_sql() -> str:
+    return """
+SELECT user_id, (epoch_us(ts) // 3600000000) AS hour FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id, (epoch_us(ts) // 3600000000) FROM events WHERE event_type = 'purchase'
+"""
