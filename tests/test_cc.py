@@ -60,7 +60,9 @@ def test_cc_long_path_converges(ray_session):
 def test_cc_star_and_isolated_pairs(ray_session):
     edges = [(100, i) for i in range(101, 110)] + [(5, 6), (7, 8)]
     want = _union_find_minima(edges)
-    assert _run_cc(edges) == want
+    # self-loops drop, duplicate and reversed duplicates collapse
+    noisy = edges + [(42, 42), (5, 6), (6, 5), (100, 105)]
+    assert _run_cc(noisy) == want
     assert want[109] == 100 and want[6] == 5
 
 
