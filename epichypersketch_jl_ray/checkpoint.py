@@ -11,13 +11,15 @@ partition:
 
     {"file": ..., "blob": ..., "rows": n, "wall_s": t, "digest": sha, "attempt": k}
 
-Crash safety without per-blob fsync: on resume every manifest entry's blob is
-re-validated against its recorded content digest — a torn or missing blob
-just means that partition is recomputed. Merge order is the sorted file list
+Crash safety without per-blob fsync: the manifest records each blob's
+raw-bytes sha256, and on resume every blob is validated against it DURING
+the merge read (one pass per blob — no separate validation scan, no double
+deserialization); a torn or missing blob just means that partition is
+recomputed and the merge re-runs. Merge order is the sorted file list
 (deterministic), executed as a parallel tree (Ray merge tasks over blob
 groups, then one k-way merge_many on the driver), so an interrupted+resumed
-run's final state is byte-identical to an uninterrupted one for the exactly-
-mergeable sketches (CMS/HLL/Bloom) and answer-equivalent for KLL/t-digest.
+run's final state is byte-identical to an uninterrupted one — including
+KLL/t-digest, whose buffered state round-trips exactly through the blob.
 """
 
 from __future__ import annotations
@@ -37,7 +39,11 @@ def _partition_task(
     path: str, make_partial: Callable, batch_size: int, blob_path: str
 ) -> tuple[int, float, str]:
     """Compute one partition's partial sketch and write its blob atomically.
-    Returns (rows, wall_s, digest)."""
+    Returns (rows, wall_s, digest) — digest is sha256 of the BLOB BYTES
+    (torn-write detection needs byte identity, and hashing raw bytes on
+    resume avoids deserializing every blob twice)."""
+    import hashlib
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -54,11 +60,12 @@ def _partition_task(
         # a legitimately empty input shard contributes an empty partial
         # (rows=0 recorded in the manifest) instead of aborting the build
         state = make_partial(pf.schema_arrow.empty_table())
+    raw = state.to_bytes()
     tmp = blob_path + f".tmp.{os.getpid()}"
     with open(tmp, "wb") as fh:
-        fh.write(state.to_bytes())
+        fh.write(raw)
     os.replace(tmp, blob_path)
-    return rows, time.monotonic() - t0, state.digest()
+    return rows, time.monotonic() - t0, hashlib.sha256(raw).hexdigest()
 
 
 def _read_blob(cls: type[MergeableSketch], path: str) -> MergeableSketch:
@@ -70,6 +77,35 @@ def _read_blob(cls: type[MergeableSketch], path: str) -> MergeableSketch:
 def _merge_blobs_task(cls: type[MergeableSketch], paths: list[str]) -> bytes:
     parts = [_read_blob(cls, p) for p in paths]
     return parts[0].merge_many(parts[1:]).to_bytes()
+
+
+@ray.remote
+def _merge_validate_task(
+    cls: type[MergeableSketch], entries: list[tuple[str, str]]
+) -> tuple[bytes | None, list[str]]:
+    """Merge a group of blobs, validating each against its manifest
+    raw-bytes sha256 during the SAME read (resume used to read every blob
+    twice — once to validate, once to merge — and the semantic digest()
+    also flushes t-digest/KLL buffers, perturbing a resumed merge). A
+    ``None`` digest means the blob was written this run and needs no check.
+    Returns (merged_bytes_of_valid, bad_paths)."""
+    import hashlib
+
+    parts, bad = [], []
+    for path, digest in entries:
+        try:
+            with open(path, "rb") as fh:
+                raw = fh.read()
+            if digest is not None and hashlib.sha256(raw).hexdigest() != digest:
+                bad.append(path)
+                continue
+            st = cls.from_bytes(raw)
+        except Exception:
+            bad.append(path)
+            continue
+        parts.append(st)
+    data = parts[0].merge_many(parts[1:]).to_bytes() if parts else None
+    return data, bad
 
 
 def _manifest_path(ckpt_dir: str) -> str:
@@ -87,31 +123,6 @@ def read_manifest(ckpt_dir: str) -> dict[str, dict]:
                     rec = json.loads(line)
                     done[rec["file"]] = rec
     return done
-
-
-def _validate(cls: type[MergeableSketch], rec: dict) -> bool:
-    """A manifest entry is usable iff its blob exists and matches the digest
-    recorded at write time (crash-safety without fsync)."""
-    try:
-        return _read_blob(cls, rec["blob"]).digest() == rec["digest"]
-    except Exception:
-        return False
-
-
-@ray.remote
-def _validate_blobs_task(cls: type[MergeableSketch], recs: list[dict]) -> list[bool]:
-    return [_validate(cls, r) for r in recs]
-
-
-def _validate_parallel(cls: type[MergeableSketch], recs: list[dict], chunk: int = 16) -> list[bool]:
-    """Digest-validate manifest entries with parallel Ray tasks — a resumed
-    512-partition run validates in seconds instead of reading every blob
-    serially on the driver."""
-    if len(recs) <= chunk:
-        return [_validate(cls, r) for r in recs]
-    groups = [recs[i : i + chunk] for i in range(0, len(recs), chunk)]
-    results = ray.get([_validate_blobs_task.remote(cls, g) for g in groups])
-    return [ok for grp in results for ok in grp]
 
 
 def build_checkpointed(
@@ -133,71 +144,104 @@ def build_checkpointed(
     files = sorted(input_files)
     raw_manifest = read_manifest(ckpt_dir)
     prev_attempts = {f: r.get("attempt", 0) for f, r in raw_manifest.items()}
-    recs = list(raw_manifest.values())
-    valid = _validate_parallel(cls, recs)
-    done = {r["file"]: r for r, ok in zip(recs, valid) if ok}
-    todo = [f for f in files if f not in done]
+    # manifest entries are trusted provisionally; their digests are checked
+    # during the merge read itself (one pass over each blob instead of a
+    # separate validate pass), and any torn/corrupt blob is recomputed then
+    done = {f: r for f, r in raw_manifest.items() if f in set(files)}
     t0 = time.monotonic()
     fn_ref = ray.put(make_partial)
+    manifest_path = _manifest_path(ckpt_dir)
 
-    pending: dict = {}
-    it = iter(todo)
+    def compute_partitions(todo_files: list[str]) -> None:
+        pending: dict = {}
+        it = iter(todo_files)
 
-    def launch_next() -> bool:
-        try:
-            f = next(it)
-        except StopIteration:
-            return False
-        blob = os.path.join(ckpt_dir, f"part-{os.path.basename(f)}.bin")
-        pending[_partition_task.remote(f, fn_ref, batch_size, blob)] = (f, blob)
-        return True
+        def launch_next() -> bool:
+            try:
+                f = next(it)
+            except StopIteration:
+                return False
+            blob = os.path.join(ckpt_dir, f"part-{os.path.basename(f)}.bin")
+            pending[_partition_task.remote(f, fn_ref, batch_size, blob)] = (f, blob)
+            return True
 
-    for _ in range(max_in_flight):
-        if not launch_next():
-            break
-    manifest_fh = open(_manifest_path(ckpt_dir), "a")
-    try:
-        while pending:
-            ready, _ = ray.wait(
-                list(pending), num_returns=min(8, len(pending)), timeout=None
-            )
-            results = ray.get(ready)
-            lines = []
-            for ref, (rows, wall, digest) in zip(ready, results):
-                f, blob = pending.pop(ref)
-                rec = {
-                    "file": f,
-                    "blob": blob,
-                    "rows": rows,
-                    "wall_s": round(wall, 4),
-                    "digest": digest,
-                    "attempt": prev_attempts.get(f, 0) + 1,
-                }
-                lines.append(json.dumps(rec))
-                done[f] = rec
-                launch_next()
-            manifest_fh.write("\n".join(lines) + "\n")
-            manifest_fh.flush()
-    finally:
-        manifest_fh.close()
+        for _ in range(max_in_flight):
+            if not launch_next():
+                break
+        with open(manifest_path, "a") as manifest_fh:
+            while pending:
+                ready, _ = ray.wait(
+                    list(pending), num_returns=min(8, len(pending)), timeout=None
+                )
+                results = ray.get(ready)
+                lines = []
+                for ref, (rows, wall, digest) in zip(ready, results):
+                    f, blob = pending.pop(ref)
+                    rec = {
+                        "file": f,
+                        "blob": blob,
+                        "rows": rows,
+                        "wall_s": round(wall, 4),
+                        "digest": digest,
+                        "attempt": prev_attempts.get(f, 0) + 1,
+                    }
+                    prev_attempts[f] = rec["attempt"]
+                    lines.append(json.dumps(rec))
+                    done[f] = rec
+                    launch_next()
+                manifest_fh.write("\n".join(lines) + "\n")
+                manifest_fh.flush()
 
-    # deterministic merge order: sorted file list; parallel tree merge of
-    # blob groups via Ray tasks, then one k-way merge_many on the driver
-    total_rows = sum(done[f]["rows"] for f in files)
-    blob_paths = [done[f]["blob"] for f in files]
-    if len(blob_paths) > merge_fanout:
-        groups = [
-            blob_paths[i : i + merge_fanout] for i in range(0, len(blob_paths), merge_fanout)
+    todo = [f for f in files if f not in done]
+    compute_partitions(todo)
+    fresh = set(todo)  # computed this run: digests authoritative, skip check
+
+    # deterministic merge order: sorted file list; parallel tree merge with
+    # FUSED digest validation (resumed blobs only), then one k-way
+    # merge_many on the driver. If any resumed blob fails its digest, the
+    # bad partitions are recomputed and the whole merge re-runs — keeping
+    # the merge order identical to an uninterrupted run's.
+    merged = None
+    for _attempt in range(2):
+        entries = [
+            (done[f]["blob"], None if f in fresh else done[f]["digest"]) for f in files
         ]
-        refs = [_merge_blobs_task.remote(cls, g) for g in groups]
-        parts = [cls.from_bytes(b) for b in ray.get(refs)]
+        if len(entries) > merge_fanout:
+            groups = [
+                entries[i : i + merge_fanout] for i in range(0, len(entries), merge_fanout)
+            ]
+            refs = [_merge_validate_task.remote(cls, g) for g in groups]
+            results = ray.get(refs)
+            bad_paths = [p for _, bad in results for p in bad]
+            parts = [cls.from_bytes(b) for b, _ in results if b is not None]
+        else:
+            import hashlib
+
+            bad_paths, parts = [], []
+            for p, d in entries:
+                try:
+                    with open(p, "rb") as fh:
+                        raw = fh.read()
+                    if d is not None and hashlib.sha256(raw).hexdigest() != d:
+                        bad_paths.append(p)
+                        continue
+                    parts.append(cls.from_bytes(raw))
+                except Exception:
+                    bad_paths.append(p)
+        if not bad_paths:
+            merged = parts[0].merge_many(parts[1:]) if parts else None
+            break
+        bad_files = [f for f in files if done[f]["blob"] in set(bad_paths)]
+        compute_partitions(bad_files)
+        fresh.update(bad_files)
     else:
-        parts = [_read_blob(cls, p) for p in blob_paths]
-    merged = parts[0].merge_many(parts[1:]) if parts else None
+        raise RuntimeError("checkpoint blobs failed digest validation after recompute")
+
+    total_rows = sum(done[f]["rows"] for f in files)
     wall = time.monotonic() - t0
     metrics = {
         "partitions": len(files),
-        "resumed_partitions": len(files) - len(todo),
+        "resumed_partitions": len(files) - len(fresh),
         "rows": total_rows,
         "wall_s": round(wall, 4),
         "rows_per_s": round(total_rows / wall, 2) if wall > 0 else None,
