@@ -64,19 +64,22 @@ def _keepers_and_pairs_uncached(
         keep = pc.greater_equal(batch["n_chars"], min_chars)
         return batch.filter(keep).select(["doc_id", "text"])
 
-    filtered = docs.map_batches(quality, batch_format="pyarrow").materialize()
+    filtered = docs.map_batches(quality, batch_format="pyarrow")
 
-    keepers = (
-        filtered.map_batches(content_key_table, batch_format="pyarrow")
+    # ONE groupby carries the text through the exact-dedup shuffle: all rows
+    # of a (h1, h2) group share the same text by construction (content
+    # hash), so Max("text") is just "pick it" — this replaces the earlier
+    # groupby + rejoin-on-doc_id, which shuffled the text a second time
+    keeper_docs = (
+        filtered.map_batches(
+            lambda b: content_key_table(b, keep=("text",)), batch_format="pyarrow"
+        )
         .groupby(["h1", "h2"])
-        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .aggregate(Min("doc_id", alias_name="doc_id"), Max("text", alias_name="text"))
         .drop_columns(["h1", "h2"])
+        .materialize()
     )
-    # keeper docs regain their text via the native hash join (string payload
-    # is join-safe; only list payloads need the bucketed attach)
-    keeper_docs = filtered.join(
-        keepers, join_type="inner", num_partitions=num_partitions, on=("doc_id",)
-    ).materialize()
+    keepers = keeper_docs.select_columns(["doc_id"])
 
     pairs = minhash_pairs(keeper_docs, threshold=threshold, num_partitions=num_partitions)
     return keepers, pairs

@@ -128,6 +128,43 @@ def _fingerprint(edges: ray.data.Dataset) -> tuple[int, int, int]:
     return (agg["cnt"] or 0, agg["h1"] or 0, agg["h2"] or 0)
 
 
+def _single_task_components(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Union-find over the whole (small) edge set inside ONE Ray task —
+    the size-aware shortcut: each alternating star round costs ~4 shuffle
+    stages of fixed overhead, which dwarfs the work when the verified pair
+    set is thousands of rows (the common case: near-dups are rare)."""
+
+    def whole(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        parent = np.arange(len(nodes), dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for a, b in zip(inv[: len(u)].tolist(), inv[len(u) :].tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min NODE id, so every root is its component min
+                if nodes[ra] < nodes[rb]:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "component": pa.array(nodes[roots], pa.int64()),
+            }
+        )
+
+    return edges.repartition(1).map_batches(whole, batch_format="pyarrow", batch_size=None)
+
+
 def connected_components(
     pairs: ray.data.Dataset,
     *,
@@ -135,9 +172,16 @@ def connected_components(
     dst: str = "doc_b",
     num_buckets: int = 16,
     max_rounds: int = 64,
+    single_task_threshold: int = 1_000_000,
 ) -> ray.data.Dataset:
     """(node, component) for every node appearing in ``pairs``; component is
-    the minimum node id of the node's connected component."""
+    the minimum node id of the node's connected component.
+
+    Size-aware (same strategy as the adaptive joins): an edge set at or
+    below ``single_task_threshold`` rows runs as one union-find Ray task;
+    larger sets run the distributed star rounds. Both paths are equal by
+    construction and pinned together by tests (threshold=0 forces the star
+    path)."""
 
     def to_edges(batch: pa.Table) -> pa.Table:
         a = batch[src].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -152,8 +196,11 @@ def connected_components(
         )
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return _empty_components()
+    if n_edges <= single_task_threshold:
+        return _single_task_components(edges)
 
     fp = _fingerprint(edges)
     for _ in range(max_rounds):

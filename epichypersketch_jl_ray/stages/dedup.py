@@ -26,21 +26,25 @@ from epichypersketch_jl_ray.functions.text import word_shingle_hashes
 from epichypersketch_jl_ray.state.minhash import MinHasher, hamming_distance64, simhash64_batch
 
 
-def content_key_table(batch: pa.Table, *, id_col: str = "doc_id") -> pa.Table:
-    """(h1, h2, id) keying table for exact dedup — the 128-bit vectorized
-    content key (functions/hashing.content_hash128) as two int64 columns.
-    THE one definition: exact dedup and the curation chain must key
-    identically."""
+def content_key_table(
+    batch: pa.Table, *, id_col: str = "doc_id", keep: tuple[str, ...] = ()
+) -> pa.Table:
+    """(h1, h2, id[, keep...]) keying table for exact dedup — the 128-bit
+    vectorized content key (functions/hashing.content_hash128) as two int64
+    columns. THE one definition: exact dedup and the curation chain must
+    key identically. ``keep`` passes payload columns through (e.g. the text
+    itself, so a downstream groupby can carry it without a re-join)."""
     from epichypersketch_jl_ray.functions.hashing import content_hash128
 
     h1, h2 = content_hash128(batch["text"])
-    return pa.table(
-        {
-            "h1": pa.array(h1.view(np.int64), pa.int64()),
-            "h2": pa.array(h2.view(np.int64), pa.int64()),
-            id_col: batch[id_col],
-        }
-    )
+    cols = {
+        "h1": pa.array(h1.view(np.int64), pa.int64()),
+        "h2": pa.array(h2.view(np.int64), pa.int64()),
+        id_col: batch[id_col],
+    }
+    for c in keep:
+        cols[c] = batch[c]
+    return pa.table(cols)
 
 
 def md5_hex(texts: pa.Array | pa.ChunkedArray) -> pa.Array:

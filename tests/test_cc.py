@@ -24,7 +24,9 @@ def _union_find_minima(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
-def _run_cc(edges):
+def _run_cc(edges, *, single_task_threshold=0):
+    """Default forces the distributed star path; pass a large threshold to
+    exercise the single-task union-find shortcut."""
     import ray
 
     from epichypersketch_jl_ray.stages.cc import connected_components
@@ -37,7 +39,9 @@ def _run_cc(edges):
             }
         )
     )
-    out = connected_components(pairs, num_buckets=4).to_pandas()
+    out = connected_components(
+        pairs, num_buckets=4, single_task_threshold=single_task_threshold
+    ).to_pandas()
     if len(out) == 0:
         return {}
     return dict(zip(out["node"].astype(int), out["component"].astype(int)))
@@ -46,7 +50,9 @@ def _run_cc(edges):
 def test_cc_matches_union_find_on_random_graph(ray_session):
     rng = np.random.default_rng(7)
     edges = [tuple(sorted(e)) for e in rng.integers(0, 120, size=(150, 2)) if e[0] != e[1]]
-    assert _run_cc(edges) == _union_find_minima(edges)
+    want = _union_find_minima(edges)
+    assert _run_cc(edges) == want  # distributed star path
+    assert _run_cc(edges, single_task_threshold=10**6) == want  # shortcut path
 
 
 def test_cc_long_path_converges(ray_session):
