@@ -37,10 +37,14 @@ def __getattr__(name):
         from epichypersketch_jl_ray import api
 
         return getattr(api, name)
-    if name in ("CountMin", "HyperLogLog", "KLL", "TDigest", "BloomFilter", "MinHasher", "SpaceSaving", "ReservoirSample", "DDSketch", "GroupedSketch", "ThetaSketch", "FrequentDirections"):
+    if name in ("CountMin", "HyperLogLog", "KLL", "TDigest", "BloomFilter", "MinHasher", "SpaceSaving", "ReservoirSample", "DDSketch", "GroupedSketch", "ThetaSketch", "FrequentDirections", "CountSketch", "TupleState"):
         from epichypersketch_jl_ray import state
 
         return getattr(state, name)
+    if name == "connected_components":
+        from epichypersketch_jl_ray.stages.cc import connected_components
+
+        return connected_components
     if name == "build_checkpointed":
         from epichypersketch_jl_ray.checkpoint import build_checkpointed
 

@@ -20,6 +20,8 @@ from epichypersketch_jl_ray.state.ddsketch import DDSketch
 from epichypersketch_jl_ray.state.grouped import GroupedSketch
 from epichypersketch_jl_ray.state.theta import ThetaSketch
 from epichypersketch_jl_ray.state.frequentdirections import FrequentDirections
+from epichypersketch_jl_ray.state.countsketch import CountSketch
+from epichypersketch_jl_ray.state.tuplestate import TupleState
 
 __all__ = [
     "MergeableSketch",
@@ -36,4 +38,6 @@ __all__ = [
     "GroupedSketch",
     "ThetaSketch",
     "FrequentDirections",
+    "CountSketch",
+    "TupleState",
 ]
