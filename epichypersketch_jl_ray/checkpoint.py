@@ -5,11 +5,12 @@ checkpoint row).
 Unit of work = one input parquet file ("partition"). Each partition's partial
 sketch is computed AND written by a raw Ray task (the one place the Dataset
 API genuinely can't express the semantics: skip-finished-partitions resume
-needs explicit per-partition identity), as ``<ckpt>/part-<name>.bin`` via an
-atomic tmp+rename; the driver appends a JSONL manifest line per finished
-partition:
+needs explicit per-partition identity), as ``<ckpt>/part-<pathhash>-<name>.bin``
+(full-path hash prefix: same-basename inputs from different directories get
+distinct blobs) via an atomic tmp+rename; the driver appends a JSONL
+manifest line per finished partition:
 
-    {"file": ..., "blob": ..., "rows": n, "wall_s": t, "digest": sha, "attempt": k}
+    {"fmt": 2, "file": ..., "blob": ..., "rows": n, "wall_s": t, "digest": sha, "attempt": k}
 
 Crash safety without per-blob fsync: the manifest records each blob's
 raw-bytes sha256, and on resume every blob is validated against it DURING
@@ -68,27 +69,16 @@ def _partition_task(
     return rows, time.monotonic() - t0, hashlib.sha256(raw).hexdigest()
 
 
-def _read_blob(cls: type[MergeableSketch], path: str) -> MergeableSketch:
-    with open(path, "rb") as fh:
-        return cls.from_bytes(fh.read())
-
-
-@ray.remote
-def _merge_blobs_task(cls: type[MergeableSketch], paths: list[str]) -> bytes:
-    parts = [_read_blob(cls, p) for p in paths]
-    return parts[0].merge_many(parts[1:]).to_bytes()
-
-
-@ray.remote
-def _merge_validate_task(
-    cls: type[MergeableSketch], entries: list[tuple[str, str]]
-) -> tuple[bytes | None, list[str]]:
-    """Merge a group of blobs, validating each against its manifest
-    raw-bytes sha256 during the SAME read (resume used to read every blob
-    twice — once to validate, once to merge — and the semantic digest()
-    also flushes t-digest/KLL buffers, perturbing a resumed merge). A
-    ``None`` digest means the blob was written this run and needs no check.
-    Returns (merged_bytes_of_valid, bad_paths)."""
+def _load_validated(
+    cls: type[MergeableSketch], entries: list[tuple[str, str | None]]
+) -> tuple[list[MergeableSketch], list[str]]:
+    """Read blobs, validating each against its manifest raw-bytes sha256
+    during the SAME read (resume used to read every blob twice — once to
+    validate, once to merge — and the semantic digest() also flushes
+    t-digest/KLL buffers, perturbing a resumed merge). A ``None`` digest
+    means the blob was written this run and needs no check. The ONE
+    definition of validate-and-load, shared by the Ray merge task and the
+    driver's small-set branch. Returns (valid_states, bad_paths)."""
     import hashlib
 
     parts, bad = [], []
@@ -104,6 +94,16 @@ def _merge_validate_task(
             bad.append(path)
             continue
         parts.append(st)
+    return parts, bad
+
+
+@ray.remote
+def _merge_validate_task(
+    cls: type[MergeableSketch], entries: list[tuple[str, str | None]]
+) -> tuple[bytes | None, list[str]]:
+    """Merge a group of blobs with fused validation (_load_validated).
+    Returns (merged_bytes_of_valid, bad_paths)."""
+    parts, bad = _load_validated(cls, entries)
     data = parts[0].merge_many(parts[1:]).to_bytes() if parts else None
     return data, bad
 
@@ -112,16 +112,35 @@ def _manifest_path(ckpt_dir: str) -> str:
     return os.path.join(ckpt_dir, "manifest.jsonl")
 
 
+_MANIFEST_FMT = 2  # 2 = digest is sha256 of blob bytes (1 was state.digest())
+
+
 def read_manifest(ckpt_dir: str) -> dict[str, dict]:
+    """Usable manifest records. Records from an older manifest format are
+    skipped LOUDLY (warning) — their digests are not comparable, so those
+    partitions recompute rather than silently failing validation."""
+    import logging
+
     path = _manifest_path(ckpt_dir)
     done = {}
+    stale = 0
     if os.path.exists(path):
         with open(path) as f:
             for line in f:
                 line = line.strip()
                 if line:
                     rec = json.loads(line)
+                    if rec.get("fmt") != _MANIFEST_FMT:
+                        stale += 1
+                        continue
                     done[rec["file"]] = rec
+    if stale:
+        logging.getLogger(__name__).warning(
+            "read_manifest: skipped %d record(s) from an older manifest format "
+            "(fmt != %d); those partitions will be recomputed",
+            stale,
+            _MANIFEST_FMT,
+        )
     return done
 
 
@@ -161,7 +180,12 @@ def build_checkpointed(
                 f = next(it)
             except StopIteration:
                 return False
-            blob = os.path.join(ckpt_dir, f"part-{os.path.basename(f)}.bin")
+            # full-path hash prefix: two inputs sharing a basename
+            # (a/shard0.parquet, b/shard0.parquet) must not share a blob
+            import hashlib
+
+            tag = hashlib.sha256(f.encode()).hexdigest()[:10]
+            blob = os.path.join(ckpt_dir, f"part-{tag}-{os.path.basename(f)}.bin")
             pending[_partition_task.remote(f, fn_ref, batch_size, blob)] = (f, blob)
             return True
 
@@ -178,6 +202,7 @@ def build_checkpointed(
                 for ref, (rows, wall, digest) in zip(ready, results):
                     f, blob = pending.pop(ref)
                     rec = {
+                        "fmt": _MANIFEST_FMT,
                         "file": f,
                         "blob": blob,
                         "rows": rows,
@@ -215,19 +240,7 @@ def build_checkpointed(
             bad_paths = [p for _, bad in results for p in bad]
             parts = [cls.from_bytes(b) for b, _ in results if b is not None]
         else:
-            import hashlib
-
-            bad_paths, parts = [], []
-            for p, d in entries:
-                try:
-                    with open(p, "rb") as fh:
-                        raw = fh.read()
-                    if d is not None and hashlib.sha256(raw).hexdigest() != d:
-                        bad_paths.append(p)
-                        continue
-                    parts.append(cls.from_bytes(raw))
-                except Exception:
-                    bad_paths.append(p)
+            parts, bad_paths = _load_validated(cls, entries)
         if not bad_paths:
             merged = parts[0].merge_many(parts[1:]) if parts else None
             break

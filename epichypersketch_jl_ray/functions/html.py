@@ -78,29 +78,26 @@ _RE_BLOCK_TAG = re.compile(
     r"section|article|aside|header|footer|nav|blockquote|pre|form|hr|title)\b[^>]*>"
 )
 _RE_TAG = re.compile(r"(?s)<[^>]*>")
-_RE_NUM_ENTITY = re.compile(r"&#(?:x([0-9a-fA-F]{1,6})|([0-9]{1,7}));")
-_NAMED_ENTITIES = (
-    ("&nbsp;", " "),
-    ("&lt;", "<"),
-    ("&gt;", ">"),
-    ("&quot;", '"'),
-    ("&apos;", "'"),
-    ("&#39;", "'"),
-    ("&amp;", "&"),  # last: "&amp;lt;" must decode to "&lt;", not "<"
+# ONE combined regex decoded in a single re.sub pass: replacement text is
+# never rescanned, so "&amp;lt;" AND "&#38;lt;" both decode to the literal
+# "&lt;" (a sequential per-entity pass double-decodes the numeric form —
+# its substitution yields "&" which a later named pass re-consumes)
+_RE_ENTITY = re.compile(
+    r"&(?:#x([0-9a-fA-F]{1,6})|#([0-9]{1,7})|(amp|lt|gt|quot|apos|nbsp));"
 )
+_NAMED = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'", "nbsp": " "}
 _RE_HSPACE = re.compile(r"[ \t\r\f\v\u00a0]+")
 _RE_VSPACE = re.compile(r" *\n[ \n]*")
 
 
 def _decode_entities(s: str) -> str:
-    def num(m: "re.Match[str]") -> str:
+    def one(m: "re.Match[str]") -> str:
+        if m.group(3) is not None:
+            return _NAMED[m.group(3)]
         cp = int(m.group(1), 16) if m.group(1) is not None else int(m.group(2))
         return chr(cp) if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF) else ""
 
-    s = _RE_NUM_ENTITY.sub(num, s)
-    for k, v in _NAMED_ENTITIES:
-        s = s.replace(k, v)
-    return s
+    return _RE_ENTITY.sub(one, s)
 
 
 def _strip_one(s: str) -> str:

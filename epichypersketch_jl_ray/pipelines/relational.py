@@ -145,13 +145,18 @@ def revenue_by_nation(
             ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
             pos = np.searchsorted(keys, ck)
             pos = np.minimum(pos, len(keys) - 1)
-            if not (keys[pos] == ck).all():
-                raise ValueError("order references missing customer")
+            # inner-join semantics, matching the native-join path AND the
+            # SQL oracle: orders referencing a missing customer DROP
+            # (raising here would make the two paths diverge on dirty data)
+            hit = keys[pos] == ck
             return pa.table(
                 {
-                    "n_name": pa.array(names[pos], pa.string()),
+                    "n_name": pa.array(names[pos][hit], pa.string()),
                     "revenue_cents": pa.array(
-                        _cents(batch["o_totalprice"].to_numpy(zero_copy_only=False)), pa.int64()
+                        _cents(
+                            batch["o_totalprice"].to_numpy(zero_copy_only=False)[hit]
+                        ),
+                        pa.int64(),
                     ),
                 }
             )
@@ -281,9 +286,11 @@ def parts_never_discounted(sf_dir: str, *, min_discount: float = 0.09) -> ray.da
 
     from epichypersketch_jl_ray.sources.tables import table_rows
 
+    # hoisted: the factory runs once per block — footer scans belong outside
+    n_part = max(1 << 16, table_rows(sf_dir, "part"))
     bloom = sketch_dataset(
         keys_ds,
-        lambda: BloomFilter(capacity=max(1 << 16, table_rows(sf_dir, "part")), p=1e-6, seed=77),
+        lambda: BloomFilter(capacity=n_part, p=1e-6, seed=77),
         update,
         BloomFilter,
     )

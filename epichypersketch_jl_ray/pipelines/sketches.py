@@ -434,7 +434,11 @@ def top_suppliers_countsketch(
         ss.update_hashed(keys, weights=cents)
         cs.add_keys(keys, weights=cents)
 
-    merged = sketch_dataset(ds, factory, update, TupleState)
+    # large batches: each partial carries CountSketch's dense rows x cols
+    # int64 counters (~7 MB), so partial COUNT — not batch size — is the
+    # object-store/merge cost; the sketch is linear, so batch size cannot
+    # change the answer
+    merged = sketch_dataset(ds, factory, update, TupleState, batch_size=65536)
     ss, cs = merged.parts
     est = cs.estimate_keys(ss.keys)
     order = np.lexsort((ss.keys.astype(np.int64), -est))[:k]

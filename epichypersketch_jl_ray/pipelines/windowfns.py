@@ -24,11 +24,8 @@ import pyarrow as pa
 import ray
 from ray.data.aggregate import Count, Sum
 
+from epichypersketch_jl_ray.pipelines.relational import _cents  # ONE rounding rule
 from epichypersketch_jl_ray.sources.tables import read_table
-
-
-def _cents(x: np.ndarray) -> np.ndarray:
-    return np.floor(x * 100.0 + 0.5).astype(np.int64)
 
 
 def top_parts_per_brand(
@@ -72,9 +69,12 @@ def top_parts_per_brand(
             pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
             pos = np.searchsorted(keys, pk)
             pos = np.minimum(pos, len(keys) - 1)
-            if not (keys[pos] == pk).all():
-                raise ValueError("lineitem references missing part")
-            return batch.append_column("p_brand", pa.array(brands[pos], pa.string()))
+            # inner-join semantics (match the native-join path and oracle):
+            # lineitems referencing a missing part drop instead of raising
+            hit = keys[pos] == pk
+            return batch.filter(pa.array(hit)).append_column(
+                "p_brand", pa.array(brands[pos][hit], pa.string())
+            )
 
         joined = rev.map_batches(attach_brand, batch_format="pyarrow")
     else:

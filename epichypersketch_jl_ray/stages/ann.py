@@ -95,20 +95,3 @@ def distributed_topk(candidates: ray.data.Dataset, *, k: int = 10) -> ray.data.D
     return candidates.groupby("query_id").map_groups(topk_group, batch_format="pyarrow")
 
 
-def final_topk(candidates, k: int = 10) -> "np.ndarray":
-    """Driver-side merge of per-batch candidates (small: queries × k per
-    batch): per query, top-k by (sim desc, neighbor_id asc), vectorized."""
-    import pandas as pd
-
-    out = (
-        candidates.sort_values(
-            ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
-        )
-        .groupby("query_id", as_index=False)
-        .head(k)
-        .reset_index(drop=True)
-    )
-    out["rank"] = out.groupby("query_id").cumcount() + 1
-    return out[["query_id", "neighbor_id", "rank"]].astype(
-        {"query_id": "int64", "neighbor_id": "int64", "rank": "int64"}
-    )

@@ -100,3 +100,85 @@ def test_empty_shard_contributes_empty_partial(ray_session, tmp_path):
     assert base.hll.digest() == with_empty.hll.digest()
     assert read_manifest(str(tmp_path / "ck2"))[empty]["rows"] == 0
     assert m["rows"] == sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def test_same_basename_inputs_get_distinct_blobs(ray_session, tmp_path):
+    """Two input files sharing a basename in different directories must not
+    overwrite each other's blob (full-path hash prefix in the blob name)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from epichypersketch_jl_ray.checkpoint import build_checkpointed, read_manifest
+    from epichypersketch_jl_ray.state.countmin import CountMin
+
+    for sub, vals in (("a", [1, 2, 3]), ("b", [4, 5, 6])):
+        d = tmp_path / sub
+        d.mkdir()
+        pq.write_table(pa.table({"x": pa.array(vals, pa.int64())}), d / "shard0.parquet")
+
+    def make_partial(tbl):
+        import numpy as np
+
+        cm = CountMin(1, seed=3)
+        cm.add(tbl["x"].to_numpy(zero_copy_only=False).astype(np.int64)[:, None])
+        return cm
+
+    files = [str(tmp_path / "a" / "shard0.parquet"), str(tmp_path / "b" / "shard0.parquet")]
+    ck = str(tmp_path / "ck")
+    merged, m = build_checkpointed(files, make_partial, CountMin, ck)
+    blobs = {r["blob"] for r in read_manifest(ck).values()}
+    assert len(blobs) == 2  # distinct blobs despite identical basenames
+    import numpy as np
+
+    est = merged.estimate(np.array([[1], [4]], dtype=np.int64))
+    assert est[0] == 1 and est[1] == 1  # both partitions counted exactly once
+
+
+def test_stale_manifest_format_recomputes_loudly(ray_session, tmp_path, caplog):
+    """Records from the old manifest format (no fmt field / state digests)
+    are skipped with a warning and their partitions recompute."""
+    import json as _json
+    import logging
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from epichypersketch_jl_ray.checkpoint import build_checkpointed, read_manifest
+    from epichypersketch_jl_ray.state.countmin import CountMin
+
+    pq.write_table(
+        pa.table({"x": pa.array([7, 7], pa.int64())}), tmp_path / "in.parquet"
+    )
+
+    def make_partial(tbl):
+        import numpy as np
+
+        cm = CountMin(1, seed=3)
+        cm.add(tbl["x"].to_numpy(zero_copy_only=False).astype(np.int64)[:, None])
+        return cm
+
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    # hand-write an OLD-format manifest record (no fmt field)
+    (ck / "manifest.jsonl").write_text(
+        _json.dumps(
+            {
+                "file": str(tmp_path / "in.parquet"),
+                "blob": str(ck / "part-in.parquet.bin"),
+                "rows": 2,
+                "wall_s": 0.1,
+                "digest": "deadbeef",
+                "attempt": 1,
+            }
+        )
+        + "\n"
+    )
+    with caplog.at_level(logging.WARNING):
+        merged, m = build_checkpointed(
+            [str(tmp_path / "in.parquet")], make_partial, CountMin, str(ck)
+        )
+    assert m["resumed_partitions"] == 0  # stale record did not resume
+    assert any("older manifest format" in r.message for r in caplog.records)
+    import numpy as np
+
+    assert merged.estimate(np.array([[7]], dtype=np.int64))[0] == 2
