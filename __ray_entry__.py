@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup suite
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding": dedup.dedup_embedding,
         "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
@@ -140,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
         "top_suppliers_spacesaving": sketches.top_suppliers_spacesaving_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh_sql(),
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_sql(),
         "dedup_embedding": dedup.dedup_embedding_sql(),
         "curate_corpus": curate.curate_corpus_sql(),
         "curate_corpus_cc": curate.curate_corpus_cc_sql(),

@@ -26,6 +26,17 @@ from epichypersketch_jl_ray.state.minhash import hamming_distance64
 SHINGLE_N = 3
 
 
+def _shingle_table(batch: pa.Table) -> pa.Table:
+    """(doc_id, shingles list<int64>) — distinct word-SHINGLE_N-gram hashes
+    per document; computed ONCE and reused by banding/prefix emission and
+    exact verification."""
+    sh, off = word_shingle_hashes(batch["text"], n=SHINGLE_N)
+    lists = pa.ListArray.from_arrays(
+        pa.array(off.astype(np.int32), pa.int32()), pa.array(sh.view(np.int64), pa.int64())
+    )
+    return pa.table({"doc_id": batch["doc_id"], "shingles": lists})
+
+
 def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     """Exact dedup: group on a vectorized 128-bit content hash, keep min
     doc_id (hash-partition + per-group first — the standard exact-dedup
@@ -98,16 +109,7 @@ def minhash_pairs(
     and no per-pair Python loop — at 100 TB the candidate-pair set streams
     through the same shuffle machinery as any other table.
     """
-    import pyarrow.compute as pc
-
-    def shingle_table(batch: pa.Table) -> pa.Table:
-        sh, off = word_shingle_hashes(batch["text"], n=SHINGLE_N)
-        lists = pa.ListArray.from_arrays(
-            pa.array(off.astype(np.int32), pa.int32()), pa.array(sh.view(np.int64), pa.int64())
-        )
-        return pa.table({"doc_id": batch["doc_id"], "shingles": lists})
-
-    shingles = ds.map_batches(shingle_table, batch_format="pyarrow").materialize()
+    shingles = ds.map_batches(_shingle_table, batch_format="pyarrow").materialize()
 
     sig = SignatureStage(num_perms=num_perms, bands=bands, shingle_n=SHINGLE_N)
 
@@ -127,20 +129,50 @@ def minhash_pairs(
         .drop_columns(["n_bands"])
         .materialize()
     )
+    return _verify_jaccard_pairs(
+        cand, shingles, threshold=threshold, num_partitions=num_partitions
+    )
 
-    # semi-join prune: only docs appearing in a candidate pair need their
-    # shingle row shuffled through the attach passes. A distributed Bloom
-    # over candidate doc ids is broadcast and filters the shingle side —
-    # false positives just ship a few harmless extra rows. Near-dups are
-    # rare relative to the corpus, so this keeps the attach shuffles
-    # candidate-scale instead of corpus-scale.
+
+def _verify_jaccard_pairs(
+    cand: ray.data.Dataset,
+    shingles: ray.data.Dataset,
+    *,
+    threshold: float,
+    num_partitions: int = 8,
+    dedupe_in_attach: bool = False,
+) -> ray.data.Dataset:
+    """Shared exact-Jaccard verification tail: deduplicated candidate pairs
+    (doc_a, doc_b) + the materialized shingle table -> verified pairs with
+    jaccard >= threshold. Used by both the MinHash-LSH and the prefix-filter
+    (AllPairs) pipelines — the candidate GENERATION differs, the
+    verification shuffle shape is identical.
+
+    Semi-join prune: only docs appearing in a candidate pair need their
+    shingle row shuffled through the attach passes. A distributed Bloom
+    over candidate doc ids is broadcast and filters the shingle side —
+    false positives just ship a few harmless extra rows. Near-dups are
+    rare relative to the corpus, so this keeps the attach shuffles
+    candidate-scale instead of corpus-scale. Each pair is then co-located
+    with both docs' shingle lists via two bucketed attach passes and exact
+    Jaccard is computed vectorized per batch.
+
+    ``dedupe_in_attach``: the candidate stream still contains duplicate
+    pairs; fold the dedupe into the first attach shuffle (dedupe_on)
+    instead of requiring a dedicated upstream groupby. Right when the
+    duplication factor is small (prefix filtering: ~1-2x); wrong when it is
+    large (minhash banding: up to bands x — there, dedupe FIRST so the
+    duplicate volume never enters the attach shuffle).
+    """
+    import pyarrow.compute as pc
+
     from epichypersketch_jl_ray.functions.hashing import hash_int64
     from epichypersketch_jl_ray.stages.udaf import sketch_dataset
     from epichypersketch_jl_ray.state.bloom import BloomFilter
 
     n_pairs = cand.count()
     if n_pairs == 0:
-        # nothing shared a band bucket: empty pair set, typed like the
+        # no candidates at all: empty pair set, typed like the
         # verified output (the downstream sketch/attach stages would
         # otherwise choke on a zero-partial merge)
         return ray.data.from_arrow(
@@ -184,6 +216,7 @@ def minhash_pairs(
     with_a = attach_list_column(
         cand, "doc_a", cand_shingles, "doc_id", "shingles", "shingles_a",
         num_buckets=attach_buckets,
+        dedupe_on=["doc_a", "doc_b"] if dedupe_in_attach else None,
         pair_fields=pair_fields,
         list_type=shingle_type,
     )
@@ -214,6 +247,115 @@ j AS (SELECT da, db, i::DOUBLE / (x.n + y.n - i) jac FROM inter
       JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db)
 SELECT da AS doc_a, db AS doc_b, jac AS jaccard FROM j WHERE jac >= {threshold}
 """
+
+
+def dedup_ngram_jaccard(
+    sf_dir: str, *, threshold: float = 0.5, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """EXACT n-gram Jaccard near-dup pairs over the documents table (see
+    ngram_jaccard_pairs). Unlike MinHash-LSH this has no probabilistic miss:
+    the prefix-filtering principle guarantees every qualifying pair is a
+    candidate, so the output EQUALS the exact-Jaccard oracle by
+    construction, not just with overwhelming probability."""
+    return ngram_jaccard_pairs(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=threshold,
+        num_partitions=num_partitions,
+    )
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.5,
+    num_partitions: int = 8,
+    hot_capacity: int = 1 << 17,
+) -> ray.data.Dataset:
+    """Exact n-gram-Jaccard similarity self-join via distributed
+    AllPairs/PPJoin prefix filtering (Bayardo et al. WWW'07).
+
+    Stages (all corpus reads happen once):
+      1. shingle table (doc_id, distinct shingle hashes) — materialized and
+         reused for prefix emission AND verification.
+      2. hot-shingle detection: one SpaceSaving scan over the shingle
+         stream (no groupby shuffle); the survivor set (<= hot_capacity
+         keys, survivor-scale) is broadcast and defines the global shingle
+         order (hot last) — the df-ascending heuristic that keeps
+         power-law-common shingles out of prefixes so no posting list
+         explodes.
+      3. prefix emission (stages.dedup.prefix_filter_rows): each doc emits
+         only its |S| - ceil(t*|S|) + 1 smallest shingles under that order
+         — for t=0.5 about half the shingle volume, and candidate pairs
+         must collide on a prefix shingle of BOTH docs.
+      4. groupby(shingle_bucket) -> candidate pairs with the length filter
+         min(|A|,|B|) >= ceil(t*max) applied at pair time.
+      5. distributed pair dedupe + the shared Bloom-pruned attach/verify
+         tail (_verify_jaccard_pairs) — identical shuffle shape to
+         MinHash-LSH verification.
+
+    Exactness: prefix filtering has no false negatives (prefix-filtering
+    principle) and verification computes true Jaccard, so output ==
+    brute-force all-pairs at any scale. Work is candidate-scale throughout;
+    candidates are bounded by prefix-shingle collisions instead of the
+    O(N^2) of a full similarity join.
+    """
+    from epichypersketch_jl_ray.stages.dedup import (
+        candidate_pairs_from_prefix,
+        prefix_filter_rows,
+    )
+    from epichypersketch_jl_ray.stages.udaf import sketch_dataset
+    from epichypersketch_jl_ray.state.spacesaving import SpaceSaving
+
+    shingles = ds.map_batches(_shingle_table, batch_format="pyarrow").materialize()
+
+    def add_shingles(ss: SpaceSaving, batch: pa.Table) -> None:
+        arr = batch["shingles"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        ss.update_hashed(arr.flatten().to_numpy(zero_copy_only=False).view(np.uint64))
+
+    hot = sketch_dataset(
+        shingles, lambda: SpaceSaving(capacity=hot_capacity), add_shingles, SpaceSaving
+    )
+    hot_order = np.argsort(hot.keys.astype(np.uint64))
+    hot_keys = hot.keys.astype(np.uint64)[hot_order]
+    hot_ref = ray.put(hot_keys)
+    counts_ref = ray.put(hot.counts[hot_order].astype(np.int64))
+
+    def emit_prefixes(batch: pa.Table) -> pa.Table:
+        return prefix_filter_rows(
+            batch,
+            threshold=threshold,
+            hot_shingles=ray.get(hot_ref),
+            hot_counts=ray.get(counts_ref),
+        )
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        return candidate_pairs_from_prefix(group, threshold=threshold)
+
+    cand = (
+        shingles.map_batches(emit_prefixes, batch_format="pyarrow")
+        .groupby("shingle_bucket")
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+    # a pair can collide on several prefix shingles, but the duplication
+    # factor is small (~1-2x) — fold the dedupe into the attach shuffle
+    # instead of paying a dedicated groupby stage (contrast minhash_pairs,
+    # where banding duplicates up to bands x and dedupes first)
+    return _verify_jaccard_pairs(
+        cand,
+        shingles,
+        threshold=threshold,
+        num_partitions=num_partitions,
+        dedupe_in_attach=True,
+    )
+
+
+def dedup_ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    """Same exact-Jaccard oracle as MinHash-LSH — the pipelines answer the
+    same question; this one deterministically."""
+    return dedup_minhash_lsh_sql(threshold)
 
 
 def dedup_embedding(sf_dir: str, *, threshold: float = 0.45) -> ray.data.Dataset:
