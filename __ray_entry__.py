@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window-function analogues (grouped top-N / running total / rollup)
         "top_parts_per_brand": windowfns.top_parts_per_brand,
         "user_cumulative_spend": windowfns.user_cumulative_spend,
+        "user_purchase_gaps": windowfns.user_purchase_gaps,
+        "user_spend_quartile": windowfns.user_spend_quartile,
         "revenue_rollup": windowfns.revenue_rollup,
     }
 
@@ -164,5 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_counts": relational.customer_order_counts_sql(),
         "top_parts_per_brand": windowfns.top_parts_per_brand_sql(),
         "user_cumulative_spend": windowfns.user_cumulative_spend_sql(),
+        "user_purchase_gaps": windowfns.user_purchase_gaps_sql(),
+        "user_spend_quartile": windowfns.user_spend_quartile_sql(),
         "revenue_rollup": windowfns.revenue_rollup_sql(),
     }

@@ -201,6 +201,174 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+def user_purchase_gaps(sf_dir: str, *, num_buckets: int | None = None) -> ray.data.Dataset:
+    """LAG window shape: for every purchase after a user's first, the gap in
+    microseconds since that user's previous purchase (ts - LAG(ts) OVER
+    (PARTITION BY user ORDER BY ts, event_id)). event_id breaks timestamp
+    ties, so the answer is deterministic and hash-comparable. Same bucketed
+    shape as user_cumulative_spend: one shuffle on hash(user) % buckets, one
+    lexsort + segment diff per bucket — no per-user task, no driver loop."""
+    import pyarrow.compute as pc
+
+    from epichypersketch_jl_ray.functions.hashing import hash_int64
+    from epichypersketch_jl_ray.sources.tables import table_rows
+    from epichypersketch_jl_ray.stages.join import auto_bucket_count
+
+    if num_buckets is None:
+        num_buckets = auto_bucket_count(table_rows(sf_dir, "events"))
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type", "event_id"])
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        u = sub["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = (hash_int64(u, seed=43) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "ts": pa.array(
+                    sub["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False), pa.int64()
+                ),
+                "event_id": sub["event_id"].cast(pa.int64()),
+                "bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "gap_us": pa.array([], pa.int64()),
+            }
+        )
+        if len(batch) == 0:
+            return empty
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        ev = batch["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, ts, u))
+        u, ts, ev = u[order], ts[order], ev[order]
+        same_user = np.concatenate(([False], u[1:] == u[:-1]))
+        gap = np.concatenate(([0], ts[1:] - ts[:-1]))
+        keep = same_user  # first purchase per user has no gap
+        return pa.table(
+            {
+                "user_id": pa.array(u[keep], pa.int64()),
+                "event_id": pa.array(ev[keep], pa.int64()),
+                "gap_us": pa.array(gap[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(purchases, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def user_purchase_gaps_sql() -> str:
+    return """
+WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t
+           FROM events WHERE event_type = 'purchase'),
+w AS (SELECT user_id, event_id,
+             t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap_us
+      FROM p)
+SELECT user_id, event_id, CAST(gap_us AS BIGINT) AS gap_us
+FROM w WHERE gap_us IS NOT NULL
+"""
+
+
+def user_spend_quartile(sf_dir: str, *, tiles: int = 4, shift: int = 16) -> ray.data.Dataset:
+    """NTILE(tiles) OVER (ORDER BY total_spend DESC, user_id): every user's
+    spend quartile — a GLOBAL-ORDER window, the one shape a plain groupby
+    cannot express.
+
+    Distributed exact-rank construction (no global sort shuffle, no driver
+    materialization of the user table):
+      1. per-user purchase totals — corpus groupby (the unavoidable one).
+      2. exact coarse histogram: bucket = total_cents >> ``shift``; a
+         groupby(bucket).count() yields a BOUNDED table (value range /
+         2^shift rows, independent of user count), from which the driver
+         computes each bucket's starting global rank in DESC order.
+      3. broadcast offsets; groupby(bucket).map_groups ranks each bucket
+         locally (sort by -cents, user_id; global rank = bucket offset +
+         local index) and applies SQL's NTILE split: with N = q*tiles + m,
+         the first m tiles get q+1 rows.
+    Ties in total_cents never straddle buckets (equal cents => equal
+    bucket), so local ordering is globally correct.
+    """
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        return pa.table(
+            {
+                "user_id": sub["user_id"].cast(pa.int64()),
+                "cents": pa.array(
+                    _cents(sub["value"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+            }
+        )
+
+    totals = (
+        ds.map_batches(purchases, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cents", alias_name="total_cents"))
+        .materialize()
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        c = batch["total_cents"].to_numpy(zero_copy_only=False)
+        return batch.append_column("cbucket", pa.array(c >> shift, pa.int64()))
+
+    bucketed = totals.map_batches(bucketize, batch_format="pyarrow").materialize()
+    hist = bucketed.groupby("cbucket").aggregate(Count(alias_name="n")).to_pandas()
+    hist = hist.sort_values("cbucket", ascending=False)  # DESC spend order
+    counts = hist["n"].to_numpy(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    n_total = int(counts.sum())
+    off_ref = ray.put(
+        (hist["cbucket"].to_numpy(np.int64), offsets)
+    )
+    q, m = divmod(n_total, tiles)
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        keys, offs = ray.get(off_ref)
+        c = group["total_cents"].to_numpy(zero_copy_only=False)
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, -c))
+        c, u = c[order], u[order]
+        base = offs[np.searchsorted(-keys, -int(c[0] >> shift))]
+        r = base + np.arange(len(c), dtype=np.int64)  # 0-based global rank
+        if q == 0:
+            tile = r + 1
+        else:
+            first = r < (q + 1) * m
+            tile = np.where(first, r // (q + 1), m + (r - m * (q + 1)) // q) + 1
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "total_cents": pa.array(c, pa.int64()),
+                "quartile": pa.array(tile.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return bucketed.groupby("cbucket").map_groups(rank_bucket, batch_format="pyarrow")
+
+
+def user_spend_quartile_sql(tiles: int = 4) -> str:
+    return f"""
+WITH t AS (SELECT user_id,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT user_id, total_cents,
+       CAST(NTILE({tiles}) OVER (ORDER BY total_cents DESC, user_id) AS BIGINT) AS quartile
+FROM t
+"""
+
+
 def revenue_rollup(sf_dir: str) -> ray.data.Dataset:
     """ROLLUP(l_returnflag, l_linestatus): totals at (flag, status), (flag)
     and grand-total levels. The finest level is the only corpus-scale
