@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_intersection": relational.users_intersection,
         "click_only_user_hours": relational.click_only_user_hours,
         "customer_order_counts": relational.customer_order_counts,
+        "event_props_by_type": relational.event_props_by_type,
         # window-function analogues (grouped top-N / running total / rollup)
         "top_parts_per_brand": windowfns.top_parts_per_brand,
         "user_cumulative_spend": windowfns.user_cumulative_spend,
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "users_intersection": relational.users_intersection_sql(),
         "click_only_user_hours": relational.click_only_user_hours_sql(),
         "customer_order_counts": relational.customer_order_counts_sql(),
+        "event_props_by_type": relational.event_props_by_type_sql(),
         "top_parts_per_brand": windowfns.top_parts_per_brand_sql(),
         "user_cumulative_spend": windowfns.user_cumulative_spend_sql(),
         "user_purchase_gaps": windowfns.user_purchase_gaps_sql(),

@@ -766,3 +766,45 @@ SELECT user_id, (epoch_us(ts) // 3600000000) AS hour FROM events WHERE event_typ
 EXCEPT
 SELECT user_id, (epoch_us(ts) // 3600000000) FROM events WHERE event_type = 'purchase'
 """
+
+
+def event_props_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Semi-structured telemetry aggregation: parse the integer field ``k``
+    out of the events table's JSON ``props`` column and aggregate per event
+    type. Extraction is a single Arrow extract_regex kernel per batch
+    (functions/json.json_int_field — no per-row json.loads), the aggregate
+    is one small groupby; absent/malformed fields drop as nulls, matching
+    SQL json_extract semantics."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    from epichypersketch_jl_ray.functions.json import json_int_field
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        k = json_int_field(batch["props"], "k")
+        out = pa.table({"event_type": batch["event_type"], "k": k})
+        return out.filter(pc.is_valid(out["k"]))
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("k", alias_name="sum_k"),
+            Min("k", alias_name="min_k"),
+            Max("k", alias_name="max_k"),
+        )
+    )
+
+
+def event_props_by_type_sql() -> str:
+    return """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY event_type
+"""

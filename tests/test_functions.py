@@ -177,3 +177,32 @@ def test_hash_strings_fast_trailing_empty():
     # mixed long/short stays per-string consistent
     d = hash_strings_fast(pa.array(["verylongtokenindeed", ""]))
     assert d[1] == a[2]
+
+
+def test_json_int_field_flat_and_missing():
+    import pyarrow as pa
+
+    from epichypersketch_jl_ray.functions.json import (
+        json_int_field,
+        json_int_field_numpy,
+        json_string_field,
+    )
+
+    arr = pa.array(
+        [
+            '{"k": 87}',
+            '{"k":-3, "other": 1}',
+            '{ "k" : 0 }',
+            '{"other": 5}',     # absent -> null
+            'not json',         # malformed -> null
+            '{"k": "text"}',    # non-integer -> null
+        ]
+    )
+    out = json_int_field(arr, "k")
+    assert out.to_pylist() == [87, -3, 0, None, None, None]
+    vals, valid = json_int_field_numpy(arr, "k")
+    assert vals[valid].tolist() == [87, -3, 0]
+    assert valid.tolist() == [True, True, True, False, False, False]
+
+    s = json_string_field(pa.array(['{"lang": "en"}', '{"lang":""}', "{}"]), "lang")
+    assert s.to_pylist() == ["en", "", None]
