@@ -1,7 +1,14 @@
-"""Multimodal pipeline: binary payload column → decode (stubbed, actor pool)
-→ featurize → embedding column. The decode library seam is documented in
-stages/multimodal.py; the deterministic fake decode makes the full Ray
-plumbing testable (rows-only driver check — the fixture has no SQL oracle)."""
+"""Multimodal pipelines: binary payload column → decode (actor pool) →
+featurize → embedding column.
+
+The driver queries run REAL decodes end-to-end — the fixtures are valid
+BMP / WAV-PCM / raw-video payloads and the decoders are the pure-numpy
+parsers in functions/codecs.py (no codec library needed for uncompressed
+formats). Compressed formats stay behind the documented
+NotImplementedError seams in stages/multimodal.py, exercised by the fake
+fixtures in tests. Rows-only driver check — binary fixtures have no SQL
+oracle; decode round-trip exactness is pinned by tests/test_codecs.py.
+"""
 
 from __future__ import annotations
 
@@ -14,24 +21,24 @@ from epichypersketch_jl_ray.stages.multimodal import (
     FeaturizeImage,
     FrameSampleVideo,
     WindowAudio,
-    make_fake_audio_table,
-    make_fake_image_table,
-    make_fake_video_table,
+    make_bmp_image_table,
+    make_raw_video_table,
+    make_wav_audio_table,
 )
 
 
 def image_features(sf_dir: str, *, n: int = 512, dim: int = 16) -> pd.DataFrame:
-    """Deterministic fake-image corpus → decode → feature vectors.
+    """Deterministic BMP corpus → REAL decode (pure-numpy BI_RGB parser,
+    actor pool) → feature vectors.
 
     ``sf_dir`` only scales the corpus (the multimodal fixture is generated,
     not read from the sf tables).
     """
     scale = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 8}.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 1)
-    tbl = make_fake_image_table(n * scale)
+    tbl = make_bmp_image_table(n * scale)
     ds = ray.data.from_arrow(tbl)
     decoded = ds.map_batches(
         DecodeImage,
-        fn_constructor_kwargs={"fake": True},
         batch_format="pyarrow",
         batch_size=256,
         concurrency=2,
@@ -47,14 +54,15 @@ def image_features(sf_dir: str, *, n: int = 512, dim: int = 16) -> pd.DataFrame:
 
 
 def video_frame_features(sf_dir: str, *, n: int = 64, stride: int = 8, dim: int = 8) -> pd.DataFrame:
-    """Fake-video corpus → frame sampling (actor pool, stubbed codec) →
-    per-frame feature vectors. One output row per sampled frame."""
+    """Raw-video corpus (ffmpeg rawvideo layout) → frame sampling (actor
+    pool, REAL offset-slicing decode) → per-frame feature vectors. One
+    output row per sampled frame."""
     scale = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 4}.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 1)
-    tbl = make_fake_video_table(n * scale)
+    tbl = make_raw_video_table(n * scale)
     ds = ray.data.from_arrow(tbl)
     frames = ds.map_batches(
         FrameSampleVideo,
-        fn_constructor_kwargs={"stride": stride, "fake": True},
+        fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow",
         batch_size=32,
         concurrency=2,
@@ -70,14 +78,15 @@ def video_frame_features(sf_dir: str, *, n: int = 64, stride: int = 8, dim: int 
 
 
 def audio_window_features(sf_dir: str, *, n: int = 64, window: int = 1024, dim: int = 8) -> pd.DataFrame:
-    """Fake-audio corpus → window chunking (actor pool, stubbed codec) →
-    per-window feature vectors. One output row per analysis window."""
+    """WAV-PCM corpus → REAL decode (pure-numpy RIFF parser) + window
+    chunking (actor pool) → per-window feature vectors. One output row per
+    analysis window."""
     scale = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 4}.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 1)
-    tbl = make_fake_audio_table(n * scale)
+    tbl = make_wav_audio_table(n * scale)
     ds = ray.data.from_arrow(tbl)
     windows = ds.map_batches(
         WindowAudio,
-        fn_constructor_kwargs={"window": window, "fake": True},
+        fn_constructor_kwargs={"window": window},
         batch_format="pyarrow",
         batch_size=32,
         concurrency=2,

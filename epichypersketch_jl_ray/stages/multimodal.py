@@ -1,12 +1,16 @@
 """Multimodal (image/audio/video) stages: opaque ``binary`` payload columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The decode step is STUBBED (no image/audio libraries in this container) —
-``DecodeImage`` documents the real seam (a PIL/torchvision decode loaded once
-per actor) and raises NotImplementedError unless ``fake=True``, which
-produces a deterministic fake decode from the payload bytes so the Ray-side
-plumbing — schema, batch sizing, actor signature, output layout — is real and
-tested end-to-end.
+Decode dispatches on the row's ``mime``:
+- UNCOMPRESSED formats decode FOR REAL with the pure-numpy codecs in
+  functions/codecs.py — image/bmp (BI_RGB 8/24-bit), audio/wav (PCM mono),
+  video/raw-gray8 (concatenated raw frames, ffmpeg's rawvideo layout).
+- COMPRESSED formats (JPEG/PNG/MP3/H.264) remain honest
+  NotImplementedError seams — their codec libraries are absent from this
+  container; a real deployment loads the codec once per actor in
+  ``__init__`` (the reason these stages are callable classes).
+- mime */fake is the deterministic byte->float stand-in, enabled by
+  ``fake=True``, kept for exercising the compressed-codec seam plumbing.
 
 Schema convention:
     id:int64, payload:binary, mime:string, width:int32, height:int32
@@ -69,37 +73,80 @@ def make_fake_image_table(n: int, *, seed: int = 7, side: int = 8) -> pa.Table:
     )
 
 
-class DecodeImage:
-    """Actor stage: decode payload bytes -> pixel arrays.
+def make_bmp_image_table(n: int, *, seed: int = 7, side: int = 8) -> pa.Table:
+    """Deterministic REAL-format fixture: payloads are valid 8-bit grayscale
+    BMP files (functions/codecs.encode_bmp_gray8)."""
+    from epichypersketch_jl_ray.functions.codecs import encode_bmp_gray8
 
-    Real implementation seam: ``__init__`` would load the codec/model ONCE
-    per actor (the reason this is a callable class, not a function); with
-    ``fake=True`` the "decode" is a deterministic byte->float mapping.
+    rng = np.random.default_rng(seed)
+    payloads = [
+        encode_bmp_gray8(rng.integers(0, 256, size=(side, side), dtype=np.uint8))
+        for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/bmp"] * n, pa.string()),
+            "width": pa.array([side] * n, pa.int32()),
+            "height": pa.array([side] * n, pa.int32()),
+        }
+    )
+
+
+class DecodeImage:
+    """Actor stage: decode payload bytes -> pixel arrays, dispatching on
+    mime (module docstring): image/bmp decodes FOR REAL (pure-numpy BI_RGB
+    parser), image/fake is the byte->float stand-in behind ``fake=True``,
+    compressed mimes raise the documented codec seam. The per-ITEM loop is
+    inherent to decoding variable-size binary blobs (a real codec is
+    per-item too); each item's work is vectorized numpy.
     """
 
     def __init__(self, *, fake: bool = False) -> None:
         self.fake = fake
-        if not fake:
-            raise NotImplementedError(
-                "image decoding requires an image library not present in this "
-                "container; pass fake=True for the deterministic test decode"
-            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from epichypersketch_jl_ray.functions.codecs import decode_bmp
+
         payloads = batch["payload"]
         if isinstance(payloads, pa.ChunkedArray):
             payloads = payloads.combine_chunks()
+        mimes = batch["mime"].to_pylist()
         widths = batch["width"].to_numpy(zero_copy_only=False)
         heights = batch["height"].to_numpy(zero_copy_only=False)
         offsets, values = _binary_buffers(payloads)
-        lens = np.diff(offsets)
-        if not (lens == widths * heights).all():
-            raise ValueError("payload length does not match width*height")
-        span = values[offsets[0] : offsets[-1]]
-        pixels = span.astype(np.float32) / 255.0
+        parts: list[np.ndarray] = []
+        for i, mime in enumerate(mimes):
+            blob = values[offsets[i] : offsets[i + 1]]
+            if mime == "image/bmp":
+                img = decode_bmp(blob)
+                if img.shape[0] != heights[i] or img.shape[1] != widths[i]:
+                    raise ValueError(
+                        f"BMP header {img.shape[1]}x{img.shape[0]} contradicts metadata "
+                        f"{widths[i]}x{heights[i]} for id row {i}"
+                    )
+                parts.append(img.astype(np.float32).ravel() / 255.0)
+            elif mime == "image/fake":
+                if not self.fake:
+                    raise NotImplementedError(
+                        "fake payloads need fake=True (deterministic test decode)"
+                    )
+                if len(blob) != widths[i] * heights[i]:
+                    raise ValueError("payload length does not match width*height")
+                parts.append(blob.astype(np.float32) / 255.0)
+            else:
+                raise NotImplementedError(
+                    f"decoding {mime} requires a codec library not present in this "
+                    "container (bmp decodes natively; jpeg/png need PIL/torchvision "
+                    "loaded once per actor here)"
+                )
+        lengths = np.array([len(p) for p in parts], dtype=np.int64)
         lists = pa.ListArray.from_arrays(
-            pa.array((offsets - offsets[0]).astype(np.int32), pa.int32()),
-            pa.array(pixels, pa.float32()),
+            pa.array(np.concatenate(([0], np.cumsum(lengths))).astype(np.int32), pa.int32()),
+            pa.array(
+                np.concatenate(parts) if parts else np.empty(0, np.float32), pa.float32()
+            ),
         )
         return batch.append_column("pixels", lists)
 
@@ -123,27 +170,53 @@ def make_fake_video_table(n: int, *, seed: int = 13, side: int = 4, frames: int 
     )
 
 
+def make_raw_video_table(n: int, *, seed: int = 13, side: int = 4, frames: int = 24) -> pa.Table:
+    """Deterministic REAL-format fixture: payload = ``frames`` concatenated
+    raw gray8 frames — ffmpeg's rawvideo layout (`-f rawvideo -pix_fmt
+    gray`), which IS the decoded representation; no codec involved."""
+    t = make_fake_video_table(n, seed=seed, side=side, frames=frames)
+    return t.set_column(
+        t.schema.get_field_index("mime"),
+        "mime",
+        pa.array(["video/raw-gray8"] * n, pa.string()),
+    )
+
+
 class FrameSampleVideo:
     """Actor stage: video payload -> every ``stride``-th decoded frame.
 
-    Real seam: a codec (pyav/ffmpeg) loaded once per actor would seek+decode
-    only the sampled frames; ``fake=True`` slices the concatenated fake
-    frames deterministically. Output: one ROW PER SAMPLED FRAME
-    (id, frame_idx, pixels) — the flat layout downstream featurize stages
-    consume, and the shape that keeps block sizes bounded for long videos.
+    video/raw-gray8 (concatenated raw frames, ffmpeg rawvideo layout)
+    decodes FOR REAL — frame extraction is pure offset slicing, exactly
+    what the vectorized gather below does. Compressed video (H.264/VP9)
+    raises the documented codec seam: a pyav/ffmpeg decoder loaded once per
+    actor would seek+decode only the sampled frames. video/fake (same
+    layout, kept for seam tests) needs ``fake=True``. Output: one ROW PER
+    SAMPLED FRAME (id, frame_idx, pixels) — the flat layout downstream
+    featurize stages consume, and the shape that keeps block sizes bounded
+    for long videos.
     """
 
     def __init__(self, *, stride: int = 8, fake: bool = False) -> None:
-        if not fake:
-            raise NotImplementedError(
-                "video decoding requires a codec library not present in this "
-                "container; pass fake=True for the deterministic test decode"
-            )
         if stride < 1:
             raise ValueError("stride must be >= 1")
         self.stride = stride
+        self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        for mime in set(batch["mime"].to_pylist()):
+            if mime == "video/raw-gray8":
+                continue
+            if mime == "video/fake":
+                if not self.fake:
+                    raise NotImplementedError(
+                        "fake payloads need fake=True (deterministic test decode)"
+                    )
+            else:
+                raise NotImplementedError(
+                    f"decoding {mime} requires a codec library not present in this "
+                    "container (raw-gray8 decodes natively; h264/vp9 need "
+                    "pyav/ffmpeg loaded once per actor here)"
+                )
         payloads = batch["payload"]
         if isinstance(payloads, pa.ChunkedArray):
             payloads = payloads.combine_chunks()
@@ -207,34 +280,81 @@ def make_fake_audio_table(n: int, *, seed: int = 17, samples: int = 4096) -> pa.
     )
 
 
-class WindowAudio:
-    """Actor stage: audio payload -> fixed-size analysis windows.
+def make_wav_audio_table(n: int, *, seed: int = 17, samples: int = 4096, rate: int = 16000) -> pa.Table:
+    """Deterministic REAL-format fixture: payloads are valid RIFF/WAVE PCM16
+    mono files (functions/codecs.encode_wav_pcm16)."""
+    from epichypersketch_jl_ray.functions.codecs import encode_wav_pcm16
 
-    Real seam: an audio codec/feature extractor (soundfile/torchaudio)
-    loaded once per actor; ``fake=True`` treats the payload as raw 8-bit PCM
-    and emits one row per ``window``-sample hop — the flat layout the
-    featurize stage consumes (same contract as video frame sampling).
+    rng = np.random.default_rng(seed)
+    payloads = [
+        encode_wav_pcm16(
+            rng.integers(-32768, 32768, size=samples).astype(np.int16), sample_rate=rate
+        )
+        for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/wav"] * n, pa.string()),
+            "sample_rate": pa.array([rate] * n, pa.int32()),
+            "n_samples": pa.array([samples] * n, pa.int32()),
+        }
+    )
+
+
+class WindowAudio:
+    """Actor stage: audio payload -> fixed-size analysis windows, one row
+    per ``window``-sample hop (the flat layout featurize consumes, same
+    contract as video frame sampling).
+
+    audio/wav decodes FOR REAL (pure-numpy RIFF/PCM parser); audio/fake
+    treats the payload as raw 8-bit samples behind ``fake=True``;
+    compressed mimes (mp3/ogg/flac) raise the documented codec seam.
     """
 
     def __init__(self, *, window: int = 1024, fake: bool = False) -> None:
-        if not fake:
-            raise NotImplementedError(
-                "audio decoding requires an audio library not present in this "
-                "container; pass fake=True for the deterministic test decode"
-            )
         if window < 1:
             raise ValueError("window must be >= 1")
         self.window = window
+        self.fake = fake
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _decode_samples(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(flat float32 samples, int64 offsets) for the whole batch."""
+        from epichypersketch_jl_ray.functions.codecs import decode_wav
+
         payloads = batch["payload"]
         if isinstance(payloads, pa.ChunkedArray):
             payloads = payloads.combine_chunks()
-        ids = batch["id"].to_numpy(zero_copy_only=False)
         offsets, values = _binary_buffers(payloads)
+        mimes = batch["mime"].to_pylist()
+        parts: list[np.ndarray] = []
+        for i, mime in enumerate(mimes):
+            blob = values[offsets[i] : offsets[i + 1]]
+            if mime == "audio/wav":
+                samples, _rate = decode_wav(blob)
+                parts.append(samples)
+            elif mime == "audio/fake":
+                if not self.fake:
+                    raise NotImplementedError(
+                        "fake payloads need fake=True (deterministic test decode)"
+                    )
+                parts.append(blob.astype(np.float32) / 255.0)
+            else:
+                raise NotImplementedError(
+                    f"decoding {mime} requires an audio library not present in "
+                    "this container (wav decodes natively; mp3/ogg need "
+                    "soundfile/torchaudio loaded once per actor here)"
+                )
+        lengths = np.array([len(p) for p in parts], dtype=np.int64)
+        flat = np.concatenate(parts) if parts else np.empty(0, np.float32)
+        return flat, np.concatenate(([0], np.cumsum(lengths)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        values, offsets = self._decode_samples(batch)
         # vectorized windowing: fixed window size means the whole gather is
-        # one (n_out, window) fancy-index (a real codec/extractor replaces
-        # exactly this block)
+        # one (n_out, window) fancy-index over the decoded sample stream
         span_len = np.diff(offsets)
         n_windows = span_len // self.window
         total = int(n_windows.sum())
@@ -253,9 +373,7 @@ class WindowAudio:
             np.concatenate(([0], np.cumsum(n_windows)[:-1])), n_windows
         )
         starts = offsets[row_ids] + widx * self.window
-        flat = (
-            values[starts[:, None] + np.arange(self.window)[None, :]].astype(np.float32) / 255.0
-        ).ravel()
+        flat = values[starts[:, None] + np.arange(self.window)[None, :]].ravel()
         lists = pa.ListArray.from_arrays(
             pa.array(np.arange(0, (total + 1) * self.window, self.window, dtype=np.int32)),
             pa.array(flat, pa.float32()),

@@ -37,10 +37,12 @@ def test_multimodal_plumbing(ray_session, sf_dir):
 
 
 def test_decode_stub_raises_without_fake(ray_session):
-    from epichypersketch_jl_ray.stages.multimodal import DecodeImage
+    """The codec seam is per-mime at call time: fake payloads without
+    fake=True and compressed mimes raise; real formats (BMP) never do."""
+    from epichypersketch_jl_ray.stages.multimodal import DecodeImage, make_fake_image_table
 
     with pytest.raises(NotImplementedError):
-        DecodeImage()
+        DecodeImage()(make_fake_image_table(2))
 
 
 def test_decode_validates_payload(ray_session):
@@ -68,7 +70,7 @@ def test_video_frame_sampling(ray_session, sf_dir):
     b = np.array(out2.sort_values(["id", "frame_idx"])["embedding"].tolist())
     assert np.array_equal(a, b)
     with pytest.raises(NotImplementedError):
-        FrameSampleVideo(stride=8)
+        FrameSampleVideo(stride=8)(make_fake_video_table(2))
     with pytest.raises(ValueError):
         FrameSampleVideo(stride=0, fake=True)
 
@@ -82,8 +84,10 @@ def test_audio_windowing(ray_session, sf_dir):
     per_clip = out.groupby("id")["window_idx"].apply(sorted)
     assert all(v == [0, 1, 2, 3] for v in per_clip)
     assert all(len(e) == 8 for e in out["embedding"].head(5))
+    from epichypersketch_jl_ray.stages.multimodal import make_fake_audio_table
+
     with pytest.raises(NotImplementedError):
-        WindowAudio(window=1024)
+        WindowAudio(window=1024)(make_fake_audio_table(2))
 
 
 def test_multimodal_stages_honour_sliced_batches():

@@ -1,0 +1,126 @@
+"""Pure-numpy codec correctness: BMP and WAV round-trips (bit-exact), edge
+cases (row padding, top-down BMP, 24-bit, extra WAV chunks), and the real
+multimodal decode path end-to-end."""
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from epichypersketch_jl_ray.functions.codecs import (
+    decode_bmp,
+    decode_wav,
+    encode_bmp_gray8,
+    encode_wav_pcm16,
+)
+
+
+@pytest.mark.parametrize("w,h", [(8, 8), (5, 3), (1, 1), (7, 2)])
+def test_bmp_gray8_round_trip(w, h):
+    rng = np.random.default_rng(w * 100 + h)
+    px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    blob = encode_bmp_gray8(px)
+    out = decode_bmp(blob)
+    np.testing.assert_array_equal(out, px)  # bit-exact incl. non-4-divisible widths
+
+
+def test_bmp_top_down_and_24bit():
+    # hand-build a 2x2 top-down 24-bit BMP: negative height, BGR rows
+    w, h = 2, 2
+    rgb = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8
+    )
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[:, :, ::-1].reshape(h, w * 3)  # top-down: no flip
+    data_offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", data_offset + stride * h, 0, 0, data_offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    out = decode_bmp(header + info + rows.tobytes())
+    np.testing.assert_array_equal(out, rgb)
+
+
+def test_bmp_rejects_compressed_and_garbage():
+    with pytest.raises(ValueError):
+        decode_bmp(b"nonsense")
+    px = np.zeros((2, 2), dtype=np.uint8)
+    blob = bytearray(encode_bmp_gray8(px))
+    struct.pack_into("<I", blob, 30, 1)  # compression = BI_RLE8
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(blob))
+
+
+def test_wav_pcm16_round_trip_with_extra_chunk():
+    rng = np.random.default_rng(3)
+    samples = rng.integers(-32768, 32768, size=777).astype(np.int16)
+    blob = encode_wav_pcm16(samples, sample_rate=22050)
+    # splice an extra LIST chunk between fmt and data to exercise the walk
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = blob[:fmt_end] + extra + blob[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    out, rate = decode_wav(spliced)
+    assert rate == 22050
+    np.testing.assert_allclose(out, samples.astype(np.float32) / 32768.0)
+
+
+def test_wav_rejects_stereo_and_nonpcm():
+    samples = np.zeros(16, dtype=np.int16)
+    blob = bytearray(encode_wav_pcm16(samples))
+    struct.pack_into("<H", blob, 22, 2)  # channels = 2
+    with pytest.raises(ValueError):
+        decode_wav(bytes(blob))
+    blob = bytearray(encode_wav_pcm16(samples))
+    struct.pack_into("<H", blob, 20, 3)  # format = IEEE float
+    with pytest.raises(ValueError):
+        decode_wav(bytes(blob))
+
+
+def test_decode_image_stage_real_bmp_known_pixels():
+    from epichypersketch_jl_ray.stages.multimodal import DecodeImage, make_bmp_image_table
+
+    tbl = make_bmp_image_table(5, seed=7, side=8)
+    out = DecodeImage()(tbl)
+    # independently re-generate the pixel truth the fixture encoded
+    rng = np.random.default_rng(7)
+    arr = out["pixels"]
+    for i in range(5):
+        want = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+        got = np.asarray(arr[i].as_py(), dtype=np.float32)
+        np.testing.assert_allclose(got, want.astype(np.float32).ravel() / 255.0)
+
+
+def test_decode_image_stage_rejects_compressed_mime():
+    from epichypersketch_jl_ray.stages.multimodal import DecodeImage, make_bmp_image_table
+
+    tbl = make_bmp_image_table(1)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("mime"), "mime", pa.array(["image/png"], pa.string())
+    )
+    with pytest.raises(NotImplementedError):
+        DecodeImage()(tbl)
+
+
+def test_window_audio_stage_real_wav_known_samples():
+    from epichypersketch_jl_ray.stages.multimodal import WindowAudio, make_wav_audio_table
+
+    tbl = make_wav_audio_table(2, seed=17, samples=2048)
+    out = WindowAudio(window=512)(tbl)
+    assert len(out) == 2 * (2048 // 512)
+    rng = np.random.default_rng(17)
+    first_truth = rng.integers(-32768, 32768, size=2048).astype(np.int16)
+    got = np.asarray(out["pixels"][0].as_py(), dtype=np.float32)
+    np.testing.assert_allclose(got, first_truth[:512].astype(np.float32) / 32768.0)
+
+
+def test_frame_sample_video_real_raw(ray_session):
+    from epichypersketch_jl_ray.stages.multimodal import (
+        FrameSampleVideo,
+        make_raw_video_table,
+    )
+
+    tbl = make_raw_video_table(3, seed=13, side=4, frames=24)
+    out = FrameSampleVideo(stride=8)(tbl)  # no fake flag needed: real format
+    assert len(out) == 3 * 3  # frames 0, 8, 16 per video
+    assert out["frame_idx"].to_pylist() == [0, 8, 16] * 3
