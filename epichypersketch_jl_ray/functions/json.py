@@ -24,8 +24,9 @@ def json_int_field(arr: pa.Array | pa.ChunkedArray, field: str) -> pa.Array:
     is absent/non-integer. Matches DuckDB
     CAST(json_extract(props, '$.field') AS BIGINT) on flat objects."""
     # extract_regex requires a NAMED group; yields struct<v: string> with
-    # null on non-match
-    pattern = rf'"{re.escape(field)}"\s*:\s*(?P<v>-?\d+)'
+    # null on non-match. The [,}\s] terminator keeps a float like 1.5 from
+    # half-matching as integer 1 (RE2 has no lookahead).
+    pattern = rf'"{re.escape(field)}"\s*:\s*(?P<v>-?\d+)\s*[,}}]'
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     hit = pc.extract_regex(arr, pattern=pattern)

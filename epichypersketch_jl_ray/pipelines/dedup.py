@@ -307,6 +307,17 @@ def ngram_jaccard_pairs(
     from epichypersketch_jl_ray.state.spacesaving import SpaceSaving
 
     shingles = ds.map_batches(_shingle_table, batch_format="pyarrow").materialize()
+    if shingles.count() == 0:
+        # empty corpus: the SpaceSaving pass would have no partials to merge
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
 
     def add_shingles(ss: SpaceSaving, batch: pa.Table) -> None:
         arr = batch["shingles"]

@@ -196,13 +196,14 @@ def test_json_int_field_flat_and_missing():
             '{"other": 5}',     # absent -> null
             'not json',         # malformed -> null
             '{"k": "text"}',    # non-integer -> null
+            '{"k": 1.5}',       # float -> null (no half-match as 1)
         ]
     )
     out = json_int_field(arr, "k")
-    assert out.to_pylist() == [87, -3, 0, None, None, None]
+    assert out.to_pylist() == [87, -3, 0, None, None, None, None]
     vals, valid = json_int_field_numpy(arr, "k")
     assert vals[valid].tolist() == [87, -3, 0]
-    assert valid.tolist() == [True, True, True, False, False, False]
+    assert valid.tolist() == [True, True, True, False, False, False, False]
 
     s = json_string_field(pa.array(['{"lang": "en"}', '{"lang":""}', "{}"]), "lang")
     assert s.to_pylist() == ["en", "", None]
