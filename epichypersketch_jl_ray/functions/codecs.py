@@ -46,8 +46,9 @@ def encode_bmp_gray8(pixels: np.ndarray) -> bytes:
 def decode_bmp(payload: bytes | np.ndarray) -> np.ndarray:
     """BMP bytes -> (h, w) uint8 (8-bit) or (h, w, 3) uint8 RGB (24-bit)."""
     buf = np.frombuffer(payload, dtype=np.uint8) if not isinstance(payload, np.ndarray) else payload
-    raw = buf.tobytes()
-    if len(raw) < 54 or raw[:2] != b"BM":
+    # only the 54 header bytes are struct-parsed; pixel data slices from buf
+    raw = buf[:54].tobytes()
+    if len(buf) < 54 or raw[:2] != b"BM":
         raise ValueError("not a BMP payload")
     data_offset = struct.unpack_from("<I", raw, 10)[0]
     hdr_size, w, h_signed = struct.unpack_from("<Iii", raw, 14)

@@ -3,11 +3,14 @@
 Semi-structured event payloads (the events table's ``props`` column) are a
 standard web-telemetry shape. Extraction stays inside Arrow C++ kernels
 (pyarrow.compute.extract_regex) — no per-row Python json.loads in the hot
-path. Scope is deliberately FLAT scalar fields (string/int keys at the top
-level): that covers the telemetry-aggregation pattern and keeps the kernel
-a single regex; nested JSON would need a real parser and is out of scope
-(documented, not silently wrong — a row whose field is absent or non-flat
-yields null, same as SQL json_extract).
+path. Scope is deliberately FLAT objects (scalar keys, exactly one brace
+pair): that covers the telemetry-aggregation pattern and keeps the kernel
+a single regex; nested JSON would need a real parser and is out of scope.
+Out-of-scope rows degrade to NULL, never to a wrong value: a non-flat
+object (nested braces) yields null EVEN IF the key also exists at top
+level — a regex cannot tell the two apart, so null is the safe answer.
+For flat objects the result matches SQL
+TRY_CAST(json_extract_string(col, '$.field') AS <type>).
 """
 
 from __future__ import annotations
@@ -19,10 +22,17 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _flat_mask(arr: pa.Array) -> pa.Array:
+    """True where the row is a flat JSON object (exactly one '{'). Nested
+    objects are out of the regex's scope — masked to null, not mis-read."""
+    return pc.equal(pc.count_substring(arr, "{"), 1)
+
+
 def json_int_field(arr: pa.Array | pa.ChunkedArray, field: str) -> pa.Array:
-    """int64 value of a top-level integer JSON field; null where the field
-    is absent/non-integer. Matches DuckDB
-    CAST(json_extract(props, '$.field') AS BIGINT) on flat objects."""
+    """int64 value of an integer field of a FLAT JSON object; null where
+    the row is non-flat or the field is absent/non-integer. Matches DuckDB
+    TRY_CAST(json_extract_string(col, '$.field') AS BIGINT) on flat
+    objects."""
     # extract_regex requires a NAMED group; yields struct<v: string> with
     # null on non-match. The [,}\s] terminator keeps a float like 1.5 from
     # half-matching as integer 1 (RE2 has no lookahead).
@@ -30,17 +40,20 @@ def json_int_field(arr: pa.Array | pa.ChunkedArray, field: str) -> pa.Array:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     hit = pc.extract_regex(arr, pattern=pattern)
-    return pc.cast(pc.struct_field(hit, "v"), pa.int64())
+    out = pc.cast(pc.struct_field(hit, "v"), pa.int64())
+    return pc.if_else(_flat_mask(arr), out, pa.nulls(len(arr), pa.int64()))
 
 
 def json_string_field(arr: pa.Array | pa.ChunkedArray, field: str) -> pa.Array:
-    """string value of a top-level quoted JSON field; null where absent.
-    Escaped quotes inside the value are out of the flat-field scope."""
+    """string value of a quoted field of a FLAT JSON object; null where the
+    row is non-flat or the field is absent. Escaped quotes inside the value
+    are out of the flat-field scope."""
     pattern = rf'"{re.escape(field)}"\s*:\s*"(?P<v>[^"]*)"'
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     hit = pc.extract_regex(arr, pattern=pattern)
-    return pc.struct_field(hit, "v")
+    out = pc.struct_field(hit, "v")
+    return pc.if_else(_flat_mask(arr), out, pa.nulls(len(arr), pa.string()))
 
 
 def json_int_field_numpy(arr: pa.Array | pa.ChunkedArray, field: str) -> tuple[np.ndarray, np.ndarray]:

@@ -320,10 +320,10 @@ def ngram_jaccard_pairs(
         )
 
     def add_shingles(ss: SpaceSaving, batch: pa.Table) -> None:
-        arr = batch["shingles"]
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        ss.update_hashed(arr.flatten().to_numpy(zero_copy_only=False).view(np.uint64))
+        from epichypersketch_jl_ray.stages.dedup import _list_flat_lengths
+
+        flat, _lengths = _list_flat_lengths(batch["shingles"])
+        ss.update_hashed(flat)
 
     hot = sketch_dataset(
         shingles, lambda: SpaceSaving(capacity=hot_capacity), add_shingles, SpaceSaving

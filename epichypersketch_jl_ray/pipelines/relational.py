@@ -800,11 +800,17 @@ def event_props_by_type(sf_dir: str) -> ray.data.Dataset:
 
 
 def event_props_by_type_sql() -> str:
+    # TRY_CAST of the extracted STRING drops float/string-valued k the same
+    # way the pipeline's integer regex does (CAST('1.5' AS BIGINT) would
+    # error, json_extract without TRY_CAST would keep the row)
     return """
+WITH t AS (SELECT event_type,
+                  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM t WHERE k IS NOT NULL
 GROUP BY event_type
 """

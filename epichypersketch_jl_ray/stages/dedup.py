@@ -155,11 +155,7 @@ def prefix_filter_rows(
     Output: one row per prefix shingle — (shingle, shingle_bucket, doc_id,
     set_size); set_size feeds the length filter min >= t*max at pair time.
     """
-    arr = batch["shingles"]
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    flat = arr.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
-    lengths = np.asarray(arr.value_lengths(), dtype=np.int64)
+    flat, lengths = _list_flat_lengths(batch["shingles"])
     n = len(batch)
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     if len(flat) == 0:
@@ -169,6 +165,7 @@ def prefix_filter_rows(
                 "shingle_bucket": pa.array([], pa.int64()),
                 "doc_id": pa.array([], pa.int64()),
                 "set_size": pa.array([], pa.int64()),
+                "prefix_pos": pa.array([], pa.int64()),
             }
         )
     row_ids = np.repeat(np.arange(n, dtype=np.int64), lengths)

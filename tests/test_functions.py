@@ -207,3 +207,11 @@ def test_json_int_field_flat_and_missing():
 
     s = json_string_field(pa.array(['{"lang": "en"}', '{"lang":""}', "{}"]), "lang")
     assert s.to_pylist() == ["en", "", None]
+
+    # non-flat objects yield null, never a wrong value — even when the key
+    # exists nested or at top level alongside nesting
+    nested = pa.array(['{"a": {"k": 9}, "k": 2}', '{"nested": {"k": 5}}'])
+    assert json_int_field(nested, "k").to_pylist() == [None, None]
+    assert json_string_field(
+        pa.array(['{"a": {"lang": "de"}, "lang": "en"}']), "lang"
+    ).to_pylist() == [None]
