@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_only_user_hours": relational.click_only_user_hours,
         "customer_order_counts": relational.customer_order_counts,
         "event_props_by_type": relational.event_props_by_type,
+        "local_supplier_volume": relational.local_supplier_volume,
         # window-function analogues (grouped top-N / running total / rollup)
         "top_parts_per_brand": windowfns.top_parts_per_brand,
         "user_cumulative_spend": windowfns.user_cumulative_spend,
@@ -166,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "click_only_user_hours": relational.click_only_user_hours_sql(),
         "customer_order_counts": relational.customer_order_counts_sql(),
         "event_props_by_type": relational.event_props_by_type_sql(),
+        "local_supplier_volume": relational.local_supplier_volume_sql(),
         "top_parts_per_brand": windowfns.top_parts_per_brand_sql(),
         "user_cumulative_spend": windowfns.user_cumulative_spend_sql(),
         "user_purchase_gaps": windowfns.user_purchase_gaps_sql(),

@@ -814,3 +814,225 @@ SELECT event_type, COUNT(*) AS n,
 FROM t WHERE k IS NOT NULL
 GROUP BY event_type
 """
+
+
+def local_supplier_volume(
+    sf_dir: str,
+    *,
+    region: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    num_partitions: int = 8,
+    broadcast_threshold_rows: int = 1_000_000,
+) -> ray.data.Dataset:
+    """TPC-H Q5 analogue (local supplier volume): revenue per nation from
+    lineitems where the ordering customer and the supplier share a nation
+    inside ``region``, over one order-date year.
+
+    The join plan, by size class:
+    - region + nation (5 + 25 rows): resolved on the driver into the
+      region's nation-key set and a key->name map; always broadcast.
+    - customer / supplier (grow linearly): pre-FILTERED to the region's
+      nations (cuts ~4/5), then size-aware like revenue_by_nation —
+      broadcast lookup arrays below ``broadcast_threshold_rows``, native
+      hash join above (threshold=0 oracle test pins both paths equal).
+    - orders (date-filtered at scan time) ⋈ lineitem on orderkey: the one
+      genuinely corpus-scale join — ALWAYS the native hash-partitioned
+      join, never a broadcast. Both inputs are pre-reduced to the minimal
+      (key, nation[, cents]) columns before the shuffle.
+    """
+    import pyarrow.compute as pc
+
+    from epichypersketch_jl_ray.sources.tables import table_rows
+
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    if len(rkey) == 0:
+        raise ValueError(f"unknown region {region!r}")
+    in_region = nation[nation["n_regionkey"] == int(rkey.iloc[0])].sort_values("n_nationkey")
+    region_nat_keys = in_region["n_nationkey"].to_numpy()
+    nat_ref = ray.put((region_nat_keys, in_region["n_name"].to_numpy()))
+
+    def _keyed_dim(table: str, key_col: str, nat_col: str):
+        """(sorted keys, nationkeys) of the dim rows whose nation is in the
+        region — broadcast path."""
+        df = read_table(sf_dir, table, columns=[key_col, nat_col]).to_pandas()
+        df = df[np.isin(df[nat_col].to_numpy(), region_nat_keys)].sort_values(key_col)
+        return ray.put((df[key_col].to_numpy(), df[nat_col].to_numpy()))
+
+    def _attach(ref, key_np: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(hit mask, nationkey per hit) via the broadcast lookup."""
+        keys, nats = ray.get(ref)
+        pos = np.searchsorted(keys, key_np)
+        pos = np.minimum(pos, max(len(keys) - 1, 0))
+        hit = (keys[pos] == key_np) if len(keys) else np.zeros(len(key_np), bool)
+        return hit, nats[pos]
+
+    lo = pa.scalar(np.datetime64(date_from, "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"), pa.timestamp("us"))
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    lineitem = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    small_dims = table_rows(sf_dir, "customer") <= broadcast_threshold_rows
+
+    if small_dims:
+        cust_ref = _keyed_dim("customer", "c_custkey", "c_nationkey")
+        supp_ref = _keyed_dim("supplier", "s_suppkey", "s_nationkey")
+
+        def orders_keyed(batch: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.greater_equal(batch["o_orderdate"], lo), pc.less(batch["o_orderdate"], hi)
+            )
+            sub = batch.filter(m)
+            hit, nk = _attach(cust_ref, sub["o_custkey"].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "o_orderkey": sub["o_orderkey"].filter(pa.array(hit)),
+                    "cust_nat": pa.array(nk[hit], pa.int64()),
+                }
+            )
+
+        def lineitem_keyed(batch: pa.Table) -> pa.Table:
+            hit, nk = _attach(supp_ref, batch["l_suppkey"].to_numpy(zero_copy_only=False))
+            price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[hit]
+            disc = batch["l_discount"].to_numpy(zero_copy_only=False)[hit]
+            return pa.table(
+                {
+                    "l_orderkey": batch["l_orderkey"].filter(pa.array(hit)),
+                    "supp_nat": pa.array(nk[hit], pa.int64()),
+                    "revenue_cents": pa.array(_cents(price * (1.0 - disc)), pa.int64()),
+                }
+            )
+
+        o_side = orders.map_batches(orders_keyed, batch_format="pyarrow")
+        l_side = lineitem.map_batches(lineitem_keyed, batch_format="pyarrow")
+    else:
+        # native-join path for corpus-scale dims. The dim joins use our
+        # bucketed_hash_join, not Dataset.join: the region filter makes the
+        # dim side SPARSE, and Ray's native join can fail when a shuffle
+        # partition arrives schema-less ("No match or multiple matches for
+        # key field" — the known empty-partition bug, NOTES_r3); the
+        # union+groupby shape is robust to empty buckets.
+        from epichypersketch_jl_ray.stages.join import bucketed_hash_join
+
+        nat_keys_ref = ray.put(region_nat_keys)
+
+        def date_filter(batch: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.greater_equal(batch["o_orderdate"], lo), pc.less(batch["o_orderdate"], hi)
+            )
+            return batch.filter(m).select(["o_orderkey", "o_custkey"])
+
+        def region_dim(nat_col: str):
+            def fn(batch: pa.Table) -> pa.Table:
+                keep = np.isin(
+                    batch[nat_col].to_numpy(zero_copy_only=False), ray.get(nat_keys_ref)
+                )
+                return batch.filter(pa.array(keep))
+
+            return fn
+
+        cust_ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+            region_dim("c_nationkey"), batch_format="pyarrow"
+        )
+        supp_ds = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).map_batches(
+            region_dim("s_nationkey"), batch_format="pyarrow"
+        )
+        o_side = bucketed_hash_join(
+            orders.map_batches(date_filter, batch_format="pyarrow"),
+            cust_ds,
+            left_on="o_custkey",
+            right_on="c_custkey",
+            size_hint_rows=table_rows(sf_dir, "orders"),
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                    "cust_nat": b["c_nationkey"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def li_prep(batch: pa.Table) -> pa.Table:
+            price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "l_orderkey": batch["l_orderkey"],
+                    "l_suppkey": batch["l_suppkey"],
+                    "revenue_cents": pa.array(_cents(price * (1.0 - disc)), pa.int64()),
+                }
+            )
+
+        l_side = bucketed_hash_join(
+            lineitem.map_batches(li_prep, batch_format="pyarrow"),
+            supp_ds,
+            left_on="l_suppkey",
+            right_on="s_suppkey",
+            size_hint_rows=table_rows(sf_dir, "lineitem"),
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"].cast(pa.int64()),
+                    "supp_nat": b["s_nationkey"].cast(pa.int64()),
+                    "revenue_cents": b["revenue_cents"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    joined = l_side.join(
+        o_side,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def local_only(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["cust_nat"], batch["supp_nat"])
+        sub = batch.filter(keep)
+        return pa.table(
+            {"nat": sub["supp_nat"], "revenue_cents": sub["revenue_cents"]}
+        )
+
+    agg = (
+        joined.map_batches(local_only, batch_format="pyarrow")
+        .groupby("nat")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+    def name_of(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(nat_ref)
+        nk = batch["nat"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, nk)
+        pos = np.minimum(pos, max(len(keys) - 1, 0))
+        return pa.table(
+            {"n_name": pa.array(names[pos], pa.string()), "revenue_cents": batch["revenue_cents"]}
+        )
+
+    return agg.map_batches(name_of, batch_format="pyarrow").sort("revenue_cents", descending=True)
+
+
+def local_supplier_volume_sql(
+    region: str = "ASIA", date_from: str = "1996-01-01", date_to: str = "1997-01-01"
+) -> str:
+    return f"""
+SELECT n_name,
+       CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{region}'
+  AND o_orderdate >= TIMESTAMP '{date_from}'
+  AND o_orderdate <  TIMESTAMP '{date_to}'
+GROUP BY n_name
+ORDER BY revenue_cents DESC
+"""

@@ -31,3 +31,17 @@ def test_top_parts_per_brand_both_paths_match_oracle(ray_session, sf_dir):
     joined = to_pandas(top_parts_per_brand(sf_dir, broadcast_threshold_rows=0))
     assert not compare("top_parts_per_brand[broadcast]", bcast, want)
     assert not compare("top_parts_per_brand[join]", joined, want)
+
+
+def test_local_supplier_volume_both_paths_match_oracle(ray_session, sf_dir):
+    from epichypersketch_jl_ray.pipelines.relational import (
+        local_supplier_volume,
+        local_supplier_volume_sql,
+    )
+
+    con = duck_con(sf_dir)
+    want = con.sql(local_supplier_volume_sql()).df()
+    bcast = to_pandas(local_supplier_volume(sf_dir))
+    joined = to_pandas(local_supplier_volume(sf_dir, broadcast_threshold_rows=0))
+    assert not compare("local_supplier_volume[broadcast]", bcast, want)
+    assert not compare("local_supplier_volume[join]", joined, want)
