@@ -45,6 +45,10 @@ def __getattr__(name):
         from epichypersketch_jl_ray.stages.cc import connected_components
 
         return connected_components
+    if name in ("minhash_pairs", "ngram_jaccard_pairs"):
+        from epichypersketch_jl_ray.pipelines import dedup
+
+        return getattr(dedup, name)
     if name == "build_checkpointed":
         from epichypersketch_jl_ray.checkpoint import build_checkpointed
 
@@ -71,6 +75,11 @@ __all__ = [
     "GroupedSketch",
     "ThetaSketch",
     "FrequentDirections",
+    "CountSketch",
+    "TupleState",
+    "connected_components",
+    "minhash_pairs",
+    "ngram_jaccard_pairs",
     "build_checkpointed",
     "__version__",
 ]
