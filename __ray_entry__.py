@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles_dd": sketches.doc_length_quantiles_dd,
         "user_membership_bloom": sketches.user_membership_bloom,
         "top_ngrams_spacesaving": sketches.top_ngrams_spacesaving,
+        "top_ngrams_by_lang_spacesaving": sketches.top_ngrams_by_lang_spacesaving,
         "top_suppliers_spacesaving": sketches.top_suppliers_spacesaving,
         "top_suppliers_countsketch": sketches.top_suppliers_countsketch,
         "doc_sample": sketches.doc_sample,
@@ -80,7 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": ann.ann_lsh_topk,
         "ann_ivf_topk": ann.ann_ivf_topk,
         "embedding_principal_components": ann.embedding_principal_components,
-        # multimodal (stubbed decode, real plumbing)
+        # multimodal (REAL decode: bmp / wav-pcm / raw video; compressed
+        # formats remain documented codec seams)
         "image_features": multimodal.image_features,
         "video_frame_features": multimodal.video_frame_features,
         "audio_window_features": multimodal.audio_window_features,
@@ -142,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_quantiles_by_lang": sketches.doc_length_quantiles_by_lang_sql(),
         "user_membership_bloom": sketches.user_membership_bloom_sql(),
         "top_ngrams_spacesaving": sketches.top_ngrams_spacesaving_sql(),
+        "top_ngrams_by_lang_spacesaving": sketches.top_ngrams_by_lang_spacesaving_sql(),
         "top_suppliers_spacesaving": sketches.top_suppliers_spacesaving_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh_sql(),

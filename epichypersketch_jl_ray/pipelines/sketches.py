@@ -448,3 +448,93 @@ def top_suppliers_countsketch(
             "revenue_cents_est": est[order].astype(np.int64),
         }
     )
+
+
+def top_ngrams_by_lang_spacesaving(
+    sf_dir: str, *, min_count: int = 3, capacity: int = 32768
+) -> pd.DataFrame:
+    """GROUPED heavy hitters in one scan: one SpaceSaving per lang
+    (state/grouped.GroupedSketch), per-block partial dicts merging key-wise
+    — per-lang heavy trigrams WITHOUT shuffling the corpus (the exact
+    groupby alternative, heavy_ngrams_by_lang via CMS, pays a second scan;
+    the engine-groupby alternative pays a corpus shuffle). Exact when
+    capacity >= per-lang distinct-trigram count (true at gate scale —
+    oracle hash-matches); at web scale capacity bounds the per-lang state
+    and the (est - err >= min_count) guarantee applies per key. Bounded
+    key cardinality only (lang), per GroupedSketch's contract.
+    """
+    from functools import partial as _partial
+
+    from epichypersketch_jl_ray.functions.text import ngram_hashes, token_hashes
+    from epichypersketch_jl_ray.state.grouped import GroupedSketch, grouped_update
+    from epichypersketch_jl_ray.state.spacesaving import SpaceSaving
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    factory = _partial(SpaceSaving, capacity=capacity)
+
+    def update(g: GroupedSketch, batch: pa.Table) -> None:
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        flat, off = token_hashes(batch["text"])
+        ng, ng_off = ngram_hashes(flat, off, 3)
+        lang_per_ngram = np.repeat(langs, np.diff(ng_off))
+        grouped_update(g, lang_per_ngram, ng, lambda sk, v: sk.update_hashed(v))
+
+    grouped = sketch_dataset(ds, lambda: GroupedSketch(factory), update, GroupedSketch)
+    per_lang = {
+        lang: grouped.parts[lang].heavy_hitters(min_count=min_count)
+        for lang in grouped.keys()
+    }
+    wanted = np.unique(
+        np.concatenate(
+            [np.array([k for k, _, _ in hh], dtype=np.uint64) for hh in per_lang.values()]
+            or [np.empty(0, np.uint64)]
+        )
+    )
+    if len(wanted) == 0:
+        return pd.DataFrame({"lang": [], "ngram": [], "estimate": []}).astype(
+            {"estimate": "int64"}
+        )
+
+    # one string-resolve pass over the union of surviving hashes (hash ->
+    # trigram string is lang-independent), survivor-scale rows to the driver
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    wanted_ref = _ray.put(wanted)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        from epichypersketch_jl_ray.functions.text import ngram_tokens
+
+        w = _ray.get(wanted_ref)
+        toks, _row_ids, starts = ngram_tokens(batch["text"], 3)
+        flat, off = token_hashes(batch["text"])
+        ng, _ = ngram_hashes(flat, off, 3)
+        hit = np.isin(ng, w)
+        if not hit.any():
+            return pa.table({"key": pa.array([], pa.int64()), "ngram": pa.array([], pa.string())})
+        flat_tokens = toks.flatten()
+        sel = np.flatnonzero(hit)
+        _, first = np.unique(ng[sel], return_index=True)
+        sel = sel[first]
+        parts = [pc.take(flat_tokens, pa.array(starts[sel] + j)) for j in range(3)]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = pc.binary_join_element_wise(joined, p, " ")
+        return pa.table({"key": pa.array(ng[sel].view(np.int64), pa.int64()), "ngram": joined})
+
+    resolved = ds.map_batches(resolve, batch_format="pyarrow").to_pandas().drop_duplicates("key")
+    name_of = dict(zip(resolved["key"].to_numpy().view(np.uint64), resolved["ngram"]))
+    rows = [
+        (lang, name_of[k], est)
+        for lang, hh in per_lang.items()
+        for k, est, _err in hh
+    ]
+    out = pd.DataFrame(rows, columns=["lang", "ngram", "estimate"]).astype({"estimate": "int64"})
+    return out.sort_values(["lang", "ngram"]).reset_index(drop=True)
+
+
+def top_ngrams_by_lang_spacesaving_sql(min_count: int = 3) -> str:
+    from epichypersketch_jl_ray.pipelines.ngrams import heavy_ngrams_by_lang_sql
+
+    return heavy_ngrams_by_lang_sql(3, min_count)
