@@ -186,23 +186,33 @@ def _verify_jaccard_pairs(
         )
     cap = max(1 << 14, 2 * n_pairs)
 
-    def add_pair_docs(b: BloomFilter, batch: pa.Table) -> None:
-        b.add_hashed(hash_int64(batch["doc_a"].to_numpy(zero_copy_only=False), seed=55))
-        b.add_hashed(hash_int64(batch["doc_b"].to_numpy(zero_copy_only=False), seed=55))
+    # the semi-join prune only pays when candidates are SPARSE relative to
+    # the corpus (near-dups rare: the common web case). When the candidate
+    # count rivals the doc count — dense similarity structure, or an
+    # adversarially uniform shingle distribution — nearly every doc is in
+    # some pair and the Bloom pass is two stages of pure overhead: attach
+    # from the full shingle table instead.
+    n_docs = shingles.count()
+    if n_pairs < n_docs:
+        def add_pair_docs(b: BloomFilter, batch: pa.Table) -> None:
+            b.add_hashed(hash_int64(batch["doc_a"].to_numpy(zero_copy_only=False), seed=55))
+            b.add_hashed(hash_int64(batch["doc_b"].to_numpy(zero_copy_only=False), seed=55))
 
-    bloom = sketch_dataset(
-        cand, lambda: BloomFilter(capacity=cap, p=1e-4, seed=55), add_pair_docs, BloomFilter
-    )
-    bloom_ref = ray.put(bloom)
-
-    def prune(batch: pa.Table) -> pa.Table:
-        bf: BloomFilter = ray.get(bloom_ref)
-        hit = bf.contains_hashed(
-            hash_int64(batch["doc_id"].to_numpy(zero_copy_only=False), seed=55)
+        bloom = sketch_dataset(
+            cand, lambda: BloomFilter(capacity=cap, p=1e-4, seed=55), add_pair_docs, BloomFilter
         )
-        return batch.filter(pa.array(hit))
+        bloom_ref = ray.put(bloom)
 
-    cand_shingles = shingles.map_batches(prune, batch_format="pyarrow").materialize()
+        def prune(batch: pa.Table) -> pa.Table:
+            bf: BloomFilter = ray.get(bloom_ref)
+            hit = bf.contains_hashed(
+                hash_int64(batch["doc_id"].to_numpy(zero_copy_only=False), seed=55)
+            )
+            return batch.filter(pa.array(hit))
+
+        cand_shingles = shingles.map_batches(prune, batch_format="pyarrow").materialize()
+    else:
+        cand_shingles = shingles
 
     # explicit schemas: probing with_a.schema() would execute the first
     # attach shuffle a second time (lazy-plan schema inference)
