@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_cumulative_spend": windowfns.user_cumulative_spend,
         "user_purchase_gaps": windowfns.user_purchase_gaps,
         "user_spend_quartile": windowfns.user_spend_quartile,
+        "user_spend_percentile": windowfns.user_spend_percentile,
         "revenue_rollup": windowfns.revenue_rollup,
     }
 
@@ -175,5 +176,6 @@ def oracle_sql() -> dict[str, str]:
         "user_cumulative_spend": windowfns.user_cumulative_spend_sql(),
         "user_purchase_gaps": windowfns.user_purchase_gaps_sql(),
         "user_spend_quartile": windowfns.user_spend_quartile_sql(),
+        "user_spend_percentile": windowfns.user_spend_percentile_sql(),
         "revenue_rollup": windowfns.revenue_rollup_sql(),
     }

@@ -297,6 +297,32 @@ def user_spend_quartile(sf_dir: str, *, tiles: int = 4, shift: int = 16) -> ray.
     Ties in total_cents never straddle buckets (equal cents => equal
     bucket), so local ordering is globally correct.
     """
+    bucketed, off_ref, n_total = _spend_rank_parts(sf_dir, shift)
+    q, m = divmod(n_total, tiles)
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        u, c, r = _bucket_ranks(group, off_ref, shift)
+        if q == 0:
+            tile = r + 1
+        else:
+            first = r < (q + 1) * m
+            tile = np.where(first, r // (q + 1), m + (r - m * (q + 1)) // q) + 1
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "total_cents": pa.array(c, pa.int64()),
+                "quartile": pa.array(tile.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return bucketed.groupby("cbucket").map_groups(rank_bucket, batch_format="pyarrow")
+
+
+def _spend_rank_parts(sf_dir: str, shift: int):
+    """Shared machinery for global-rank windows over per-user spend:
+    (bucketed totals dataset, broadcast (bucket -> starting rank DESC)
+    lookup, total user count). The histogram is bounded by the VALUE RANGE
+    (cents >> shift), independent of user count."""
     import pyarrow.compute as pc
 
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
@@ -329,33 +355,53 @@ def user_spend_quartile(sf_dir: str, *, tiles: int = 4, shift: int = 16) -> ray.
     counts = hist["n"].to_numpy(np.int64)
     offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
     n_total = int(counts.sum())
-    off_ref = ray.put(
-        (hist["cbucket"].to_numpy(np.int64), offsets)
-    )
-    q, m = divmod(n_total, tiles)
+    off_ref = ray.put((hist["cbucket"].to_numpy(np.int64), offsets))
+    return bucketed, off_ref, n_total
+
+
+def _bucket_ranks(group: pa.Table, off_ref, shift: int):
+    """(user_ids, cents, 0-based global rank) for one cbucket group, ordered
+    (total_cents DESC, user_id). Cents ties never straddle buckets, so the
+    local order plus the bucket's starting rank is globally exact."""
+    keys, offs = ray.get(off_ref)
+    c = group["total_cents"].to_numpy(zero_copy_only=False)
+    u = group["user_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((u, -c))
+    c, u = c[order], u[order]
+    base = offs[np.searchsorted(-keys, -int(c[0] >> shift))]
+    return u, c, base + np.arange(len(c), dtype=np.int64)
+
+
+def user_spend_percentile(sf_dir: str, *, shift: int = 16) -> ray.data.Dataset:
+    """PERCENT_RANK() OVER (ORDER BY total_spend DESC, user_id) — same
+    exact-histogram global ranking as user_spend_quartile (the ordering key
+    is unique, so RANK == ROW_NUMBER and percent_rank = rank/(N-1)); values
+    rounded to 12 places for hash-stable float compare."""
+    bucketed, off_ref, n_total = _spend_rank_parts(sf_dir, shift)
+    denom = float(max(n_total - 1, 1))
 
     def rank_bucket(group: pa.Table) -> pa.Table:
-        keys, offs = ray.get(off_ref)
-        c = group["total_cents"].to_numpy(zero_copy_only=False)
-        u = group["user_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((u, -c))
-        c, u = c[order], u[order]
-        base = offs[np.searchsorted(-keys, -int(c[0] >> shift))]
-        r = base + np.arange(len(c), dtype=np.int64)  # 0-based global rank
-        if q == 0:
-            tile = r + 1
-        else:
-            first = r < (q + 1) * m
-            tile = np.where(first, r // (q + 1), m + (r - m * (q + 1)) // q) + 1
+        u, c, r = _bucket_ranks(group, off_ref, shift)
         return pa.table(
             {
                 "user_id": pa.array(u, pa.int64()),
                 "total_cents": pa.array(c, pa.int64()),
-                "quartile": pa.array(tile.astype(np.int64), pa.int64()),
+                "pct_rank": pa.array(np.round(r / denom, 12), pa.float64()),
             }
         )
 
     return bucketed.groupby("cbucket").map_groups(rank_bucket, batch_format="pyarrow")
+
+
+def user_spend_percentile_sql() -> str:
+    return """
+WITH t AS (SELECT user_id,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT user_id, total_cents,
+       round(PERCENT_RANK() OVER (ORDER BY total_cents DESC, user_id), 12) AS pct_rank
+FROM t
+"""
 
 
 def user_spend_quartile_sql(tiles: int = 4) -> str:
