@@ -124,3 +124,31 @@ def test_frame_sample_video_real_raw(ray_session):
     out = FrameSampleVideo(stride=8)(tbl)  # no fake flag needed: real format
     assert len(out) == 3 * 3  # frames 0, 8, 16 per video
     assert out["frame_idx"].to_pylist() == [0, 8, 16] * 3
+
+
+def test_bmp_wav_round_trip_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 33),
+        h=st.integers(1, 17),
+        seed=st.integers(0, 2**16),
+    )
+    def bmp_case(w, h, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_bmp(encode_bmp_gray8(px)), px)
+
+    @settings(max_examples=40, deadline=None)
+    @given(n=st.integers(0, 2048), rate=st.sampled_from([8000, 16000, 44100]), seed=st.integers(0, 2**16))
+    def wav_case(n, rate, seed):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        out, r = decode_wav(encode_wav_pcm16(s, sample_rate=rate))
+        assert r == rate
+        np.testing.assert_allclose(out, s.astype(np.float32) / 32768.0)
+
+    bmp_case()
+    wav_case()

@@ -348,3 +348,52 @@ def test_prefix_filter_no_false_negatives_property(threshold):
                 found_qualifying += 1
                 assert (i, j) in cand_set, (i, j, jac)
     assert found_qualifying > 0  # the fixture actually exercises the claim
+
+
+def test_ngram_jaccard_at_10x_planted_families(ray_session, tmp_path):
+    """Prefix-filter pipeline on the same 40-family planted corpus the
+    minhash 10x test uses: EXACT equality with brute-force SQL — the
+    no-false-negative guarantee is structural here, not probabilistic."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from epichypersketch_jl_ray.pipelines.dedup import (
+        dedup_ngram_jaccard,
+        dedup_ngram_jaccard_sql,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(500)]
+    docs, ids = [], []
+    doc_id = 0
+    for fam in range(40):
+        base = list(rng.choice(vocab, size=30))
+        for member in range(8):
+            words = list(base)
+            for _ in range(int(rng.integers(0, 4))):
+                words[int(rng.integers(0, len(words)))] = str(rng.choice(vocab))
+            docs.append(" ".join(words))
+            ids.append(doc_id)
+            doc_id += 1
+    for _ in range(100):
+        docs.append(" ".join(rng.choice(vocab, size=25)))
+        ids.append(doc_id)
+        doc_id += 1
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(docs, pa.string())}),
+        sf / "documents.parquet",
+    )
+    out = dedup_ngram_jaccard(str(sf)).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    truth = con.sql(dedup_ngram_jaccard_sql()).df()
+    assert len(truth) > 250
+    got = set(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)))
+    want = set(zip(truth["doc_a"].astype(int), truth["doc_b"].astype(int)))
+    assert got == want
+    jac = dict(zip(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)), out["jaccard"]))
+    tru = dict(zip(zip(truth["doc_a"].astype(int), truth["doc_b"].astype(int)), truth["jaccard"]))
+    assert all(abs(jac[k] - tru[k]) < 1e-12 for k in want)
