@@ -186,22 +186,36 @@ def _verify_jaccard_pairs(
         )
     cap = max(1 << 14, 2 * n_pairs)
 
-    # the semi-join prune only pays when candidates are SPARSE relative to
-    # the corpus (near-dups rare: the common web case). When the candidate
-    # count rivals the doc count — dense similarity structure, or an
-    # adversarially uniform shingle distribution — nearly every doc is in
-    # some pair and the Bloom pass is two stages of pure overhead: attach
-    # from the full shingle table instead.
-    n_docs = shingles.count()
-    if n_pairs < n_docs:
-        def add_pair_docs(b: BloomFilter, batch: pa.Table) -> None:
-            b.add_hashed(hash_int64(batch["doc_a"].to_numpy(zero_copy_only=False), seed=55))
-            b.add_hashed(hash_int64(batch["doc_b"].to_numpy(zero_copy_only=False), seed=55))
+    # the semi-join prune only pays when the CANDIDATE DOCS are sparse
+    # relative to the corpus (near-dups rare: the common web case). One
+    # candidate-scale scan builds BOTH the distinct-candidate-doc estimator
+    # (HLL — robust to the duplicate pairs the dedupe_in_attach path still
+    # carries; a raw pair count would be inflated by the collision factor)
+    # and the membership Bloom; the HLL decides whether pruning pays, and
+    # with dense candidate structure the Bloom is simply discarded and the
+    # attach reads the full shingle table.
+    from epichypersketch_jl_ray.state.hll import HyperLogLog
+    from epichypersketch_jl_ray.state.tuplestate import TupleState
 
-        bloom = sketch_dataset(
-            cand, lambda: BloomFilter(capacity=cap, p=1e-4, seed=55), add_pair_docs, BloomFilter
-        )
-        bloom_ref = ray.put(bloom)
+    n_docs = shingles.count()
+
+    def add_pair_docs(t: TupleState, batch: pa.Table) -> None:
+        ha = hash_int64(batch["doc_a"].to_numpy(zero_copy_only=False), seed=55)
+        hb = hash_int64(batch["doc_b"].to_numpy(zero_copy_only=False), seed=55)
+        hll, bf = t.parts
+        hll.update_hashed(ha)
+        hll.update_hashed(hb)
+        bf.add_hashed(ha)
+        bf.add_hashed(hb)
+
+    ts = sketch_dataset(
+        cand,
+        lambda: TupleState((HyperLogLog(p=12), BloomFilter(capacity=cap, p=1e-4, seed=55))),
+        add_pair_docs,
+        TupleState,
+    )
+    if ts.parts[0].estimate() < 0.5 * n_docs:
+        bloom_ref = ray.put(ts.parts[1])
 
         def prune(batch: pa.Table) -> pa.Table:
             bf: BloomFilter = ray.get(bloom_ref)

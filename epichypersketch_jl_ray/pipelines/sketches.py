@@ -197,44 +197,61 @@ def top_ngrams_spacesaving(
         ng, _ = ngram_hashes(flat, off, 3)
         s.update_hashed(ng)
 
+    if ds.count() == 0:
+        return pd.DataFrame({"ngram": [], "estimate": []}).astype({"estimate": "int64"})
     ss = sketch_dataset(ds, lambda: SpaceSaving(capacity=capacity), update, SpaceSaving)
     hh = ss.heavy_hitters(min_count=min_count)
     if not hh:
         return pd.DataFrame({"ngram": [], "estimate": []}).astype({"estimate": "int64"})
     wanted = np.array(sorted(k for k, _, _ in hh), dtype=np.uint64)
     est_by_key = {k: c for k, c, _ in hh}
+    name_of = _resolve_ngram_strings(ds, wanted)
+    rows = pd.DataFrame(
+        {
+            "ngram": [name_of[k] for k in wanted],
+            "estimate": [est_by_key[k] for k in wanted],
+        }
+    ).astype({"estimate": "int64"})
+    return rows.sort_values("ngram").reset_index(drop=True)
 
-    # tiny second pass resolving the surviving hashes to strings
+
+def _resolve_ngram_strings(
+    ds, wanted: np.ndarray, *, n: int = 3
+) -> dict[np.uint64, str]:
+    """hash -> trigram-string map for the (survivor-scale) ``wanted``
+    hashes: one corpus scan with ONE tokenization per batch (token hashes
+    are computed from the already-split token array, not by re-splitting
+    the text). Shared by every SpaceSaving n-gram pipeline."""
     import pyarrow.compute as pc
 
     import ray as _ray
 
-    wanted_ref = _ray.put(wanted)
+    wanted_ref = _ray.put(np.sort(np.asarray(wanted, dtype=np.uint64)))
 
     def resolve(batch: pa.Table) -> pa.Table:
-        from epichypersketch_jl_ray.functions.text import ngram_tokens
+        from epichypersketch_jl_ray.functions.hashing import hash_strings_fast
+        from epichypersketch_jl_ray.functions.text import ngram_hashes, ngram_tokens
 
         w = _ray.get(wanted_ref)
-        toks, row_ids, starts = ngram_tokens(batch["text"], 3)
-        flat, off = token_hashes(batch["text"])
-        ng, _ = ngram_hashes(flat, off, 3)
+        toks, _row_ids, starts = ngram_tokens(batch["text"], n)
+        flat_tokens = toks.flatten()
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        ng, _ = ngram_hashes(hash_strings_fast(flat_tokens), offsets, n)
         hit = np.isin(ng, w)
         if not hit.any():
             return pa.table({"key": pa.array([], pa.int64()), "ngram": pa.array([], pa.string())})
-        flat_tokens = toks.flatten()
         sel = np.flatnonzero(hit)
         # dedupe keys within batch
         _, first = np.unique(ng[sel], return_index=True)
         sel = sel[first]
-        parts = [pc.take(flat_tokens, pa.array(starts[sel] + j)) for j in range(3)]
+        parts = [pc.take(flat_tokens, pa.array(starts[sel] + j)) for j in range(n)]
         joined = parts[0]
         for p in parts[1:]:
             joined = pc.binary_join_element_wise(joined, p, " ")
         return pa.table({"key": pa.array(ng[sel].view(np.int64), pa.int64()), "ngram": joined})
 
     rows = ds.map_batches(resolve, batch_format="pyarrow").to_pandas().drop_duplicates("key")
-    rows["estimate"] = [est_by_key[np.uint64(k)] for k in rows["key"].to_numpy().view(np.uint64)]
-    return rows[["ngram", "estimate"]].sort_values("ngram").reset_index(drop=True)
+    return dict(zip(rows["key"].to_numpy().view(np.uint64), rows["ngram"]))
 
 
 def top_ngrams_spacesaving_sql(min_count: int = 3) -> str:
@@ -470,6 +487,11 @@ def top_ngrams_by_lang_spacesaving(
     from epichypersketch_jl_ray.state.spacesaving import SpaceSaving
 
     ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    empty = pd.DataFrame({"lang": [], "ngram": [], "estimate": []}).astype(
+        {"estimate": "int64"}
+    )
+    if ds.count() == 0:
+        return empty
     factory = _partial(SpaceSaving, capacity=capacity)
 
     def update(g: GroupedSketch, batch: pa.Table) -> None:
@@ -491,40 +513,11 @@ def top_ngrams_by_lang_spacesaving(
         )
     )
     if len(wanted) == 0:
-        return pd.DataFrame({"lang": [], "ngram": [], "estimate": []}).astype(
-            {"estimate": "int64"}
-        )
+        return empty
 
     # one string-resolve pass over the union of surviving hashes (hash ->
     # trigram string is lang-independent), survivor-scale rows to the driver
-    import pyarrow.compute as pc
-
-    import ray as _ray
-
-    wanted_ref = _ray.put(wanted)
-
-    def resolve(batch: pa.Table) -> pa.Table:
-        from epichypersketch_jl_ray.functions.text import ngram_tokens
-
-        w = _ray.get(wanted_ref)
-        toks, _row_ids, starts = ngram_tokens(batch["text"], 3)
-        flat, off = token_hashes(batch["text"])
-        ng, _ = ngram_hashes(flat, off, 3)
-        hit = np.isin(ng, w)
-        if not hit.any():
-            return pa.table({"key": pa.array([], pa.int64()), "ngram": pa.array([], pa.string())})
-        flat_tokens = toks.flatten()
-        sel = np.flatnonzero(hit)
-        _, first = np.unique(ng[sel], return_index=True)
-        sel = sel[first]
-        parts = [pc.take(flat_tokens, pa.array(starts[sel] + j)) for j in range(3)]
-        joined = parts[0]
-        for p in parts[1:]:
-            joined = pc.binary_join_element_wise(joined, p, " ")
-        return pa.table({"key": pa.array(ng[sel].view(np.int64), pa.int64()), "ngram": joined})
-
-    resolved = ds.map_batches(resolve, batch_format="pyarrow").to_pandas().drop_duplicates("key")
-    name_of = dict(zip(resolved["key"].to_numpy().view(np.uint64), resolved["ngram"]))
+    name_of = _resolve_ngram_strings(ds, wanted)
     rows = [
         (lang, name_of[k], est)
         for lang, hh in per_lang.items()
