@@ -38,13 +38,29 @@ def auto_bucket_count(
     size_hint_rows: int | None,
     *,
     target_rows_per_bucket: int = _TARGET_ROWS_PER_BUCKET,
-    lo: int = 16,
+    lo: int | None = None,
     hi: int = 4096,
 ) -> int:
     """Bucket count that grows with input size: ~target rows per bucket,
     clamped to [lo, hi]. None hint (no cheap row count available) falls back
     to ``lo`` — callers with parquet inputs should pass a footer count
-    (sources.tables.table_rows)."""
+    (sources.tables.table_rows).
+
+    The default floor is the session's CPU count (min 16): buckets are the
+    parallelism of every downstream map_groups, and a row-derived count
+    below the core count would idle workers on mid-size inputs (a 330k-row
+    candidate set computing 16 buckets on a 32-core node ran the verify
+    stage at half occupancy). Row-targeted sizing still dominates for big
+    inputs; the explicit ``lo`` override remains for tests."""
+    if lo is None:
+        lo = 16
+        try:
+            import ray as _ray
+
+            if _ray.is_initialized():
+                lo = max(16, int(_ray.cluster_resources().get("CPU", 16)))
+        except Exception:
+            pass
     if size_hint_rows is None:
         return lo
     return max(lo, min(hi, -(-int(size_hint_rows) // target_rows_per_bucket)))
