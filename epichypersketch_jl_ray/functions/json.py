@@ -23,9 +23,16 @@ import pyarrow.compute as pc
 
 
 def _flat_mask(arr: pa.Array) -> pa.Array:
-    """True where the row is a flat JSON object (exactly one '{'). Nested
-    objects are out of the regex's scope — masked to null, not mis-read."""
-    return pc.equal(pc.count_substring(arr, "{"), 1)
+    """True where the row is in the regex's scope: a flat JSON object
+    (exactly one '{') with NO backslash escapes anywhere. Nested objects are
+    un-parseable by regex; an escaped quote inside a string value (e.g.
+    ``{"msg": "x \\"k\\": 42", "k": 7}``) could make the field pattern match
+    INSIDE the value and return a wrong answer — so both degrade to null,
+    never to a wrong value."""
+    return pc.and_(
+        pc.equal(pc.count_substring(arr, "{"), 1),
+        pc.equal(pc.count_substring(arr, "\\"), 0),
+    )
 
 
 def json_int_field(arr: pa.Array | pa.ChunkedArray, field: str) -> pa.Array:

@@ -127,8 +127,10 @@ def revenue_by_nation(
         )
 
     def _nation_of(nk: np.ndarray) -> np.ndarray:
+        if len(nat_keys) == 0 and len(nk):
+            raise ValueError("customer references missing nation")
         pos = np.searchsorted(nat_keys, nk)
-        pos = np.minimum(pos, len(nat_keys) - 1)
+        pos = np.minimum(pos, max(len(nat_keys) - 1, 0))
         if not (nat_keys[pos] == nk).all():
             raise ValueError("customer references missing nation")
         return nat_names[pos]
@@ -144,11 +146,13 @@ def revenue_by_nation(
             keys, names = ray.get(lookup_ref)
             ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
             pos = np.searchsorted(keys, ck)
-            pos = np.minimum(pos, len(keys) - 1)
+            # max(...,0) guards the empty-dim case: len(keys)-1 == -1 would
+            # index keys[-1] on a zero-length array
+            pos = np.minimum(pos, max(len(keys) - 1, 0))
             # inner-join semantics, matching the native-join path AND the
             # SQL oracle: orders referencing a missing customer DROP
             # (raising here would make the two paths diverge on dirty data)
-            hit = keys[pos] == ck
+            hit = (keys[pos] == ck) if len(keys) else np.zeros(len(ck), bool)
             return pa.table(
                 {
                     "n_name": pa.array(names[pos][hit], pa.string()),
@@ -176,8 +180,10 @@ def revenue_by_nation(
         def resolve_nation(batch: pa.Table) -> pa.Table:
             keys, names = ray.get(nat_ref)
             nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+            if len(keys) == 0 and len(nk):
+                raise ValueError("customer references missing nation")
             pos = np.searchsorted(keys, nk)
-            pos = np.minimum(pos, len(keys) - 1)
+            pos = np.minimum(pos, max(len(keys) - 1, 0))
             if not (keys[pos] == nk).all():
                 raise ValueError("customer references missing nation")
             return pa.table(

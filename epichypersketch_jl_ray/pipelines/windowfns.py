@@ -68,10 +68,11 @@ def top_parts_per_brand(
             keys, brands = ray.get(map_ref)
             pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
             pos = np.searchsorted(keys, pk)
-            pos = np.minimum(pos, len(keys) - 1)
+            # max(...,0): an empty part table must not index keys[-1]
+            pos = np.minimum(pos, max(len(keys) - 1, 0))
             # inner-join semantics (match the native-join path and oracle):
             # lineitems referencing a missing part drop instead of raising
-            hit = keys[pos] == pk
+            hit = (keys[pos] == pk) if len(keys) else np.zeros(len(pk), bool)
             return batch.filter(pa.array(hit)).append_column(
                 "p_brand", pa.array(brands[pos][hit], pa.string())
             )

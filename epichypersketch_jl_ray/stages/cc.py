@@ -112,7 +112,10 @@ def _star_pass(
     )
 
 
-_FP_MOD = np.uint64(1 << 40)  # 40-bit terms: 2^24 edges sum within int64
+# 40-bit terms: up to 2^23 edges sum within int64 (2^63); beyond that the
+# sum wraps mod 2^64 — deterministic and order-insensitive, so fingerprint
+# EQUALITY (the only use) stays sound at any edge count.
+_FP_MOD = np.uint64(1 << 40)
 
 
 def _fingerprint(edges: ray.data.Dataset) -> tuple[int, int, int]:
@@ -218,6 +221,10 @@ def connected_components(
         edges = _star_pass(edges, large=True, num_buckets=num_buckets, dedupe=False)
         edges = _star_pass(edges, large=False, num_buckets=num_buckets).materialize()
         new_fp = _fingerprint(edges)
+        # probabilistic fixpoint test: equal count + two independent 40-bit
+        # hash sums. A collision (different edge multisets, same triple;
+        # ~2^-80 per round) would stop early and emit wrong components —
+        # accepted trade for never shipping the edge set to the driver.
         if new_fp == fp:
             break
         fp = new_fp

@@ -100,23 +100,73 @@ def make_merge_fn(cls: type[MergeableSketch]):
     return merge_states
 
 
+def _fold_table_into(acc: MergeableSketch | None, tbl: pa.Table, cls: type[MergeableSketch]):
+    """Fold every serialized state row of ``tbl`` into ``acc`` one at a time
+    (never materializes the whole row set as sketch objects)."""
+    col = tbl["state"]
+    for i in range(len(col)):
+        sk = cls.from_bytes(col[i].as_py())
+        if acc is None:
+            acc = sk
+        else:
+            acc.merge(sk)
+    return acc
+
+
 def tree_merge(
     states_ds,
     cls: type[MergeableSketch],
     *,
     fanout: int = 8,
-    levels: int = 0,
+    levels: int | None = None,
 ) -> MergeableSketch:
     """Merge a Dataset of serialized partial states into one sketch.
 
-    Chains ``levels`` lazy map_batches merge stages (each reduces the state
-    count by ``fanout``×) onto the pipeline — still ONE streaming execution,
-    no mid-pipeline materialization — then finishes the remainder with one
-    k-way merge_many on the driver. ``levels=0`` (driver-only k-way) is
-    fastest up to a few hundred partials; a 100 TB run with millions of
-    blocks passes ``levels=ceil(log_fanout(blocks/few-hundred))`` so state
-    traffic stays off the driver.
+    ``levels=None`` (default) is the AUTO path, sized from the actual block
+    count so the 100 TB case needs no manual tuning: the dataset streams
+    once, the driver collects only object REFS to the state blocks
+    (``iter_internal_ref_bundles`` — bytes stay in the object store), and
+    while more than ``fanout**2`` blocks remain they are reduced by remote
+    ``fanout``-way merge tasks (each emits one 1-row block). The remainder
+    is folded on the driver one block at a time, so the driver deserializes
+    at most ``fanout**2`` merged states plus one leaf block's rows — bounded
+    regardless of input size (asserted by a forced-10k-partial unit test).
+
+    An explicit ``levels`` keeps the legacy shape: that many lazy map_batches
+    merge stages (each reduces the state count ``fanout``×) chained onto the
+    pipeline, then one k-way merge_many of the remainder on the driver.
     """
+    if levels is None:
+        import ray
+
+        @ray.remote
+        def _merge_blocks(*blocks) -> pa.Table:
+            acc = None
+            for blk in blocks:
+                if not isinstance(blk, pa.Table):  # pandas/simple-block fallback
+                    blk = pa.Table.from_pandas(blk)
+                acc = _fold_table_into(acc, blk, cls)
+            out = [] if acc is None else [acc.to_bytes()]  # all-empty blocks
+            return pa.table({"state": pa.array(out, type=pa.large_binary())})
+
+        refs = [
+            ref
+            for bundle in states_ds.iter_internal_ref_bundles()
+            for ref in bundle.block_refs
+        ]
+        driver_cap = fanout * fanout
+        while len(refs) > driver_cap:
+            refs = [
+                _merge_blocks.remote(*refs[i : i + fanout])
+                for i in range(0, len(refs), fanout)
+            ]
+        acc = None
+        for ref in refs:
+            acc = _fold_table_into(acc, ray.get(ref), cls)
+        if acc is None:
+            raise ValueError("no partial states to merge (empty input dataset?)")
+        return acc
+
     merge_fn = make_merge_fn(cls)
     states = states_ds
     for _ in range(max(levels, 0)):

@@ -71,11 +71,51 @@ def test_tree_merge_levels_equivalent(ray_session):
 
     partial = make_partial_fn(lambda: HyperLogLog(p=10), update)
     digests = set()
-    for levels, fanout in ((0, 8), (1, 8), (2, 4)):
+    for levels, fanout in ((0, 8), (1, 8), (2, 4), (None, 8)):
         states = ds.map_batches(partial, batch_format="pyarrow", batch_size=2048)
         merged = tree_merge(states, HyperLogLog, fanout=fanout, levels=levels)
         digests.add(merged.digest())
     assert len(digests) == 1
+
+
+def test_tree_merge_auto_bounds_driver_states(ray_session, monkeypatch):
+    """AUTO tree_merge (levels=None, the default) with a forced 10k-partial
+    run: the driver must deserialize at most fanout**2 states — everything
+    else is pre-merged by remote tasks over object-store block refs. The
+    counter is a driver-process monkeypatch; remote workers import the
+    library fresh, so only driver-side from_bytes calls are counted."""
+    import pyarrow as pa
+    import ray.data
+
+    from epichypersketch_jl_ray.functions.hashing import hash_int64
+    from epichypersketch_jl_ray.stages.udaf import tree_merge
+
+    n_partials, per_block, fanout = 10_000, 10, 8
+    partial_bytes = []
+    reference = HyperLogLog(p=4)
+    for i in range(n_partials):
+        h = HyperLogLog(p=4)
+        keys = hash_int64(np.arange(i * 3, i * 3 + 3), seed=9)
+        h.update_hashed(keys)
+        reference.update_hashed(keys)
+        partial_bytes.append(h.to_bytes())
+    tables = [
+        pa.table({"state": pa.array(partial_bytes[i : i + per_block], pa.large_binary())})
+        for i in range(0, n_partials, per_block)
+    ]
+    states = ray.data.from_arrow(tables)  # 1000 blocks x 10 states
+
+    calls = {"n": 0}
+    orig = HyperLogLog.from_bytes.__func__
+
+    def counting_from_bytes(cls, data):
+        calls["n"] += 1
+        return orig(cls, data)
+
+    monkeypatch.setattr(HyperLogLog, "from_bytes", classmethod(counting_from_bytes))
+    merged = tree_merge(states, HyperLogLog, fanout=fanout)
+    assert calls["n"] <= fanout * fanout, calls["n"]
+    assert merged.digest() == reference.digest()
 
 
 def test_motif_k2(ray_session):
