@@ -258,20 +258,84 @@ def sessionize(
     )
 
 
-def parts_never_discounted(sf_dir: str, *, min_discount: float = 0.09) -> ray.data.Dataset:
-    """Anti-join via broadcast Bloom + exact verify (SCALE.md semi/anti
-    pattern): parts that never appear in a heavily-discounted lineitem.
+def _anti_join_union_groupby(
+    parts_ds: ray.data.Dataset, keys_ds: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Exact anti-join in 2 stages: union the part rows (discounted=0) with
+    the discounted-key stream (discounted=1), one groupby(partkey) Max —
+    parts whose group never saw a key survive. The Max combiner
+    pre-aggregates per block, so the shuffle carries ~distinct keys, not the
+    raw key stream."""
+    import pyarrow.compute as pc
 
-    The Bloom filter over the right-side keys is built distributed (UDAF
-    harness) and broadcast; a Bloom MISS is a definite non-member, so those
-    left rows pass the anti-join exactly. Bloom HITS may be false positives,
-    so only they are verified against the exact key set — at 100 TB the
-    exact set covers only the hit subset (here it is broadcast whole, being
-    tiny). Output is exact either way.
+    from ray.data.aggregate import Max
+
+    def tag_parts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"].cast(pa.int64()),
+                "p_brand": batch["p_brand"],
+                "discounted": pa.array(np.zeros(len(batch), np.int64), pa.int64()),
+            }
+        )
+
+    def tag_keys(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": batch["l_partkey"].cast(pa.int64()),
+                "p_brand": pa.nulls(len(batch), pa.string()),
+                "discounted": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+            }
+        )
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["discounted"], 0)).select(["p_partkey", "p_brand"])
+
+    return (
+        parts_ds.map_batches(tag_parts, batch_format="pyarrow")
+        .union(keys_ds.map_batches(tag_keys, batch_format="pyarrow"))
+        .groupby("p_partkey")
+        .aggregate(
+            Max("discounted", alias_name="discounted"), Max("p_brand", alias_name="p_brand")
+        )
+        .map_batches(keep_clean, batch_format="pyarrow")
+    )
+
+
+def parts_never_discounted(
+    sf_dir: str,
+    *,
+    min_discount: float = 0.09,
+    broadcast_threshold_rows: int = 1_000_000,
+    dense_keys_per_part: float = 4.0,
+    sparse_hit_rate: float = 0.5,
+) -> ray.data.Dataset:
+    """Anti-join: parts that never appear in a heavily-discounted lineitem.
+    Selectivity-aware plan, chosen from measured counts, not hope:
+
+    - BROADCAST-SET (part is dim-scale, ≤ ``broadcast_threshold_rows``): the
+      distinct discounted partkeys are a subset of the part table's keys, so
+      the EXACT key set is broadcast-scale no matter how many lineitems
+      exist. One UDAF pass builds it (per-block unique → tree merge), one
+      shuffle-free map filters parts against it. No Aggregate exchange at
+      all — the round-3 always-Bloom plan spent ~6 stage overheads (5.0 s at
+      sf0.1) on what this does in 2.
+    - DENSE fallback (giant part table, keys ≥ ``dense_keys_per_part`` ×
+      parts): plain 2-stage union+groupby anti-join — most parts are
+      discounted, so a Bloom miss-shortcut would buy a near-empty split.
+    - SPARSE fallback: broadcast Bloom over the discounted keys; misses pass
+      with no shuffle; only hits are verified. If hits are themselves sparse
+      (< ``sparse_hit_rate`` × parts), a second Bloom over the hit keys
+      prunes the corpus-scale key stream to hit scale before the verify
+      groupby; otherwise the prune would pass ~everything and is skipped.
+
+    Output is exact on every path (threshold tests pin them all equal).
     """
     from epichypersketch_jl_ray.functions.hashing import hash_int64
+    from epichypersketch_jl_ray.sources.tables import table_rows
     from epichypersketch_jl_ray.stages.udaf import sketch_dataset
     from epichypersketch_jl_ray.state.bloom import BloomFilter
+    from epichypersketch_jl_ray.state.keyset import Int64Set
 
     li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_discount"])
 
@@ -282,27 +346,53 @@ def parts_never_discounted(sf_dir: str, *, min_discount: float = 0.09) -> ray.da
             ["l_partkey"]
         )
 
-    # materialized: consumed twice (Bloom build + hit-scale prune) — one
-    # lineitem scan instead of two, blocks live in the object store (spill,
-    # not driver memory)
-    keys_ds = li.map_batches(discounted, batch_format="pyarrow").materialize()
+    keys_stream = li.map_batches(discounted, batch_format="pyarrow")
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    n_part = max(table_rows(sf_dir, "part"), 1)
+
+    if n_part <= broadcast_threshold_rows:
+        # cap = 2x the part count + slack: distinct FK values are bounded by
+        # the dim cardinality; the slack tolerates dangling keys, the raise
+        # surfaces a genuinely unbounded domain instead of silently growing
+        def upd(s: Int64Set, batch: pa.Table) -> None:
+            s.update(batch["l_partkey"].to_numpy(zero_copy_only=False))
+
+        keyset = sketch_dataset(
+            keys_stream, lambda: Int64Set(cap=2 * n_part + 1024), upd, Int64Set
+        )
+        keys_ref = ray.put(keyset.keys)
+
+        def keep_misses(batch: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            pk = batch["p_partkey"].to_numpy(zero_copy_only=False)
+            if len(keys) == 0:
+                return batch
+            pos = np.minimum(np.searchsorted(keys, pk), len(keys) - 1)
+            return batch.filter(pa.array(keys[pos] != pk))
+
+        return part.map_batches(keep_misses, batch_format="pyarrow")
+
+    # materialized: consumed 2-3 times (count + Bloom build + verify) — one
+    # lineitem scan instead of several, blocks live in the object store
+    # (spill, not driver memory)
+    keys_ds = keys_stream.materialize()
+    n_keys = keys_ds.count()
+
+    if n_keys >= dense_keys_per_part * n_part:
+        return _anti_join_union_groupby(part, keys_ds)
 
     def update(b: BloomFilter, batch: pa.Table) -> None:
         b.add_hashed(hash_int64(batch["l_partkey"].to_numpy(zero_copy_only=False), seed=77))
 
-    from epichypersketch_jl_ray.sources.tables import table_rows
-
     # hoisted: the factory runs once per block — footer scans belong outside
-    n_part = max(1 << 16, table_rows(sf_dir, "part"))
+    cap = max(1 << 16, n_part)
     bloom = sketch_dataset(
         keys_ds,
-        lambda: BloomFilter(capacity=n_part, p=1e-6, seed=77),
+        lambda: BloomFilter(capacity=cap, p=1e-6, seed=77),
         update,
         BloomFilter,
     )
     bloom_ref = ray.put(bloom)
-
-    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
 
     def split(want_hits: bool):
         def fn(batch: pa.Table) -> pa.Table:
@@ -318,19 +408,22 @@ def parts_never_discounted(sf_dir: str, *, min_discount: float = 0.09) -> ray.da
     misses = part.map_batches(split(False), batch_format="pyarrow")
 
     # Bloom HITS (true members + false positives) are verified with a
-    # DISTRIBUTED semi-join: a second Bloom over the hit partkeys prunes the
-    # (corpus-scale) discounted-key stream down to hit-scale, then one
-    # hit-scale groupby decides membership exactly. No driver-side key array
-    # anywhere — the round-2 version collected every distinct discounted
-    # partkey onto the driver, which grows linearly with the corpus.
+    # DISTRIBUTED semi-join — no driver-side key array anywhere (the round-2
+    # version collected every distinct discounted partkey onto the driver).
     hits = part.map_batches(split(True), batch_format="pyarrow").materialize()
-
-    def update_hits(b: BloomFilter, batch: pa.Table) -> None:
-        b.add_hashed(hash_int64(batch["p_partkey"].to_numpy(zero_copy_only=False), seed=78))
-
     n_hits = hits.count()
     if n_hits == 0:
         return misses
+    if n_hits >= sparse_hit_rate * n_part:
+        # hits cover most parts: a hit-Bloom prune of the key stream would
+        # pass ~everything — verify directly
+        return misses.union(_anti_join_union_groupby(hits, keys_ds))
+
+    # hits are rare: a second Bloom over the hit partkeys prunes the
+    # (corpus-scale) discounted-key stream down to hit scale first
+    def update_hits(b: BloomFilter, batch: pa.Table) -> None:
+        b.add_hashed(hash_int64(batch["p_partkey"].to_numpy(zero_copy_only=False), seed=78))
+
     hit_bloom = sketch_dataset(
         hits,
         lambda: BloomFilter(capacity=max(1 << 14, 2 * n_hits), p=1e-4, seed=78),
@@ -342,41 +435,10 @@ def parts_never_discounted(sf_dir: str, *, min_discount: float = 0.09) -> ray.da
     def prune_keys(batch: pa.Table) -> pa.Table:
         bf: BloomFilter = ray.get(hit_bloom_ref)
         pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
-        sub = batch.filter(pa.array(bf.contains_hashed(hash_int64(pk, seed=78))))
-        return pa.table(
-            {
-                "p_partkey": sub["l_partkey"].cast(pa.int64()),
-                "p_brand": pa.nulls(len(sub), pa.string()),
-                "discounted": pa.array(np.ones(len(sub), np.int64), pa.int64()),
-            }
-        )
+        return batch.filter(pa.array(bf.contains_hashed(hash_int64(pk, seed=78))))
 
-    def tag_hits(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "p_partkey": batch["p_partkey"].cast(pa.int64()),
-                "p_brand": batch["p_brand"],
-                "discounted": pa.array(np.zeros(len(batch), np.int64), pa.int64()),
-            }
-        )
-
-    from ray.data.aggregate import Max
-
-    verified = (
-        hits.map_batches(tag_hits, batch_format="pyarrow")
-        .union(keys_ds.map_batches(prune_keys, batch_format="pyarrow"))
-        .groupby("p_partkey")
-        .aggregate(
-            Max("discounted", alias_name="discounted"), Max("p_brand", alias_name="p_brand")
-        )
-    )
-
-    import pyarrow.compute as pc
-
-    def keep_clean(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.equal(batch["discounted"], 0)).select(["p_partkey", "p_brand"])
-
-    return misses.union(verified.map_batches(keep_clean, batch_format="pyarrow"))
+    pruned = keys_ds.map_batches(prune_keys, batch_format="pyarrow")
+    return misses.union(_anti_join_union_groupby(hits, pruned))
 
 
 def parts_never_discounted_sql(min_discount: float = 0.09) -> str:

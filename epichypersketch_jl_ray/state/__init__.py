@@ -22,6 +22,7 @@ from epichypersketch_jl_ray.state.theta import ThetaSketch
 from epichypersketch_jl_ray.state.frequentdirections import FrequentDirections
 from epichypersketch_jl_ray.state.countsketch import CountSketch
 from epichypersketch_jl_ray.state.tuplestate import TupleState
+from epichypersketch_jl_ray.state.keyset import Int64Set
 
 __all__ = [
     "MergeableSketch",
@@ -40,4 +41,5 @@ __all__ = [
     "FrequentDirections",
     "CountSketch",
     "TupleState",
+    "Int64Set",
 ]

@@ -33,6 +33,38 @@ def test_top_parts_per_brand_both_paths_match_oracle(ray_session, sf_dir):
     assert not compare("top_parts_per_brand[join]", joined, want)
 
 
+def test_parts_never_discounted_all_paths_match_oracle(ray_session, sf_dir):
+    """The selectivity-aware anti-join has four plans (broadcast exact key
+    set; dense union+groupby; sparse Bloom-miss + direct verify; very-sparse
+    Bloom-miss + hit-Bloom pruned verify) — forced via the thresholds, all
+    must equal the oracle."""
+    from epichypersketch_jl_ray.pipelines.relational import (
+        parts_never_discounted,
+        parts_never_discounted_sql,
+    )
+
+    con = duck_con(sf_dir)
+    want = con.sql(parts_never_discounted_sql()).df()
+    bset = to_pandas(parts_never_discounted(sf_dir))  # default: broadcast set
+    dense = to_pandas(
+        parts_never_discounted(sf_dir, broadcast_threshold_rows=0, dense_keys_per_part=0.0)
+    )
+    direct = to_pandas(
+        parts_never_discounted(
+            sf_dir, broadcast_threshold_rows=0, dense_keys_per_part=1e18, sparse_hit_rate=0.0
+        )
+    )
+    pruned = to_pandas(
+        parts_never_discounted(
+            sf_dir, broadcast_threshold_rows=0, dense_keys_per_part=1e18, sparse_hit_rate=2.0
+        )
+    )
+    assert not compare("parts_never_discounted[broadcast-set]", bset, want)
+    assert not compare("parts_never_discounted[dense]", dense, want)
+    assert not compare("parts_never_discounted[direct-verify]", direct, want)
+    assert not compare("parts_never_discounted[bloom-pruned]", pruned, want)
+
+
 def test_local_supplier_volume_both_paths_match_oracle(ray_session, sf_dir):
     from epichypersketch_jl_ray.pipelines.relational import (
         local_supplier_volume,

@@ -93,3 +93,26 @@ def test_spacesaving_no_false_positives(xs):
     for k, est, err in ss.heavy_hitters(min_count=3):
         assert true[k] >= 3
         assert est - err <= true[k] <= est
+
+
+@settings(max_examples=30, deadline=None)
+@given(ints, st.integers(min_value=2, max_value=5))
+def test_int64set_split_merge_equals_whole(xs, k):
+    from epichypersketch_jl_ray.state.keyset import Int64Set
+
+    arr = np.array(xs, dtype=np.int64)
+    whole = Int64Set().update(arr)
+    parts = [Int64Set().update(c) for c in np.array_split(arr, k)]
+    merged = parts[0].merge_many(parts[1:])
+    assert merged.digest() == whole.digest()
+    assert merged.contains(arr).all()
+    assert not merged.contains(arr.max() + 1 + np.arange(3)).any()
+
+
+def test_int64set_cap_raises():
+    from epichypersketch_jl_ray.state.keyset import Int64Set
+    import pytest
+
+    s = Int64Set(cap=10)
+    with pytest.raises(ValueError, match="exceeded cap"):
+        s.update(np.arange(11, dtype=np.int64))
