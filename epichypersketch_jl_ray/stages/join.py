@@ -178,15 +178,23 @@ def bucketed_hash_join(
     rt = _tag_and_bucket(right, right_on, 1, bucket_count, seed, hot_keys, salt)
     both = _union_padded(lt, rt)
 
-    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        l = df.loc[df["_side"] == 0, l_cols]
-        r = df.loc[df["_side"] == 1, r_cols]
-        if len(l) == 0 or len(r) == 0:
-            return pd.DataFrame()
-        out = l.merge(r, left_on=left_on, right_on=right_on, how="inner")
-        return out
+    def join_bucket(grp: pa.Table) -> pa.Table:
+        # Arrow-native bucket body: pa.Table.join (Acero hash join) — no
+        # Arrow<->pandas conversion per bucket. Acero omits the right key
+        # column; it is re-appended (inner equi-join: values equal the left
+        # key) to keep pandas-merge-compatible output schema.
+        import pyarrow.compute as pc
 
-    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+        l = grp.filter(pc.equal(grp["_side"], 0)).select(l_cols)
+        r = grp.filter(pc.equal(grp["_side"], 1)).select(r_cols)
+        out = l.join(r, keys=[left_on], right_keys=[right_on], join_type="inner")
+        if left_on != right_on:
+            rtype = r.schema.field(right_on).type
+            out = out.append_column(right_on, out[left_on].cast(rtype))
+            return out.select(l_cols + r_cols)
+        return out.select(l_cols + [c for c in r_cols if c != right_on])
+
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def bucketed_range_count_join(
