@@ -9,9 +9,19 @@ Compactor-stack implementation over float64 values:
   compacted: sort, keep every other item (random even/odd offset), promote.
 - level capacities follow k * c^(depth - level) with c = 2/3 (floored at 2).
 
-Determinism: the even/odd coin uses a counter-based PCG stream seeded from
-``seed``, so a fixed input partitioning yields identical states; merge is
-associative in distribution and exact rank error stays within the KLL bound.
+Determinism / merge-order canonicality: every nondeterministic or
+arrival-dependent choice is keyed on CONTENT, not history —
+- the even/odd coin is a hash of (seed, level, the level's sorted items), so
+  a compaction's outcome is a pure function of what is being compacted
+  (substituting a content hash for KLL's independent coins; the rank bound
+  holds in practice, asserted by the bound tests);
+- merge() only concatenates (levels kept sorted) and DEFERS compaction;
+  compaction runs canonically at query / serialization time (or past a
+  16x-capacity safety cap that bounds state in long merge chains).
+Consequently merging a fixed set of partials yields BYTE-IDENTICAL state for
+every merge order whose running size stays under the safety cap (a fanout-8
+tree merge node always does) — asserted by randomized merge-order tests in
+the compressed (lossy) regime, not just the exact one.
 When ``capacity >= n`` no compaction ever happens and quantiles are exact —
 pipelines exploit this for the DuckDB oracle parity checks.
 
@@ -30,7 +40,7 @@ _C = 2.0 / 3.0
 
 
 class KLL(MergeableSketch):
-    __slots__ = ("k", "seed", "levels", "n", "_rng_counter")
+    __slots__ = ("k", "seed", "levels", "n")
 
     def __init__(self, k: int = 200, *, seed: int = 1234) -> None:
         if k < 8:
@@ -39,7 +49,6 @@ class KLL(MergeableSketch):
         self.seed = int(seed)
         self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
         self.n = 0
-        self._rng_counter = 0
 
     # --- internals ---------------------------------------------------------
 
@@ -50,11 +59,22 @@ class KLL(MergeableSketch):
     def _size(self) -> int:
         return sum(len(lv) for lv in self.levels)
 
-    def _coin(self) -> int:
-        # counter-based deterministic coin; independent of numpy global state
-        rng = np.random.default_rng((self.seed, self._rng_counter))
-        self._rng_counter += 1
-        return int(rng.integers(0, 2))
+    def _merge_cap(self) -> int:
+        # safety bound on deferred-merge state; total capacity ~ k/(1-c) = 3k
+        return 16 * 3 * self.k
+
+    def _coin(self, level: int, items: np.ndarray) -> int:
+        # CONTENT-keyed coin: a pure function of (seed, level, the sorted
+        # items being compacted) — merge order cannot reach it
+        import hashlib
+        import struct
+
+        h = hashlib.blake2b(
+            np.ascontiguousarray(items).tobytes(),
+            digest_size=1,
+            key=struct.pack("<qq", self.seed & 0x7FFFFFFF, level),
+        )
+        return h.digest()[0] & 1
 
     def _compress(self) -> None:
         while self._size() > sum(self._cap(i) for i in range(len(self.levels))):
@@ -71,11 +91,11 @@ class KLL(MergeableSketch):
                 # total weight exact; which end stays is weight-neutral)
                 keep = lv[-1:]
                 lv = lv[:-1]
-            promoted = lv[self._coin() :: 2]
+            promoted = lv[self._coin(i, lv) :: 2]
             self.levels[i] = keep
             if i + 1 == len(self.levels):
                 self.levels.append(np.empty(0, dtype=np.float64))
-            self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
+            self.levels[i + 1] = np.sort(np.concatenate([self.levels[i + 1], promoted]))
 
     # --- updates -----------------------------------------------------------
 
@@ -84,23 +104,28 @@ class KLL(MergeableSketch):
         v = v[~np.isnan(v)]
         if v.size == 0:
             return self
-        self.levels[0] = np.concatenate([self.levels[0], v])
+        self.levels[0] = np.sort(np.concatenate([self.levels[0], v]))
         self.n += int(v.size)
         self._compress()
         return self
 
     def merge(self, other: "KLL") -> "KLL":
+        """Concatenate level-wise (kept sorted) and DEFER compaction: the
+        pending state is then a pure multiset union, identical for every
+        merge order, and the eventual compaction (at query/serialize time or
+        past the safety cap) is content-keyed — so the final bytes are
+        merge-order canonical as long as the running size stays under the
+        cap (a fanout-bounded tree-merge node always does)."""
         if self.k != other.k:
             raise ValueError("cannot merge KLL sketches with different k")
         while len(self.levels) < len(other.levels):
             self.levels.append(np.empty(0, dtype=np.float64))
         for i, lv in enumerate(other.levels):
             if len(lv):
-                self.levels[i] = np.concatenate([self.levels[i], lv])
+                self.levels[i] = np.sort(np.concatenate([self.levels[i], lv]))
         self.n += other.n
-        # combine rng counters so post-merge coins differ between replicas
-        self._rng_counter = max(self._rng_counter, other._rng_counter) + 1
-        self._compress()
+        if self._size() > self._merge_cap():
+            self._compress()
         return self
 
     # --- queries -----------------------------------------------------------
@@ -139,7 +164,15 @@ class KLL(MergeableSketch):
         idx = int(np.searchsorted(it, value, side="right"))
         return float(cw[idx - 1] / cw[-1]) if idx > 0 else 0.0
 
+    def to_bytes(self) -> bytes:
+        # seal canonically: compaction (content-keyed) happens before bytes
+        # leave this process, so serialized state is a pure function of the
+        # merged multiset (levels are maintained sorted)
+        self._compress()
+        return super().to_bytes()
+
     def _state_arrays(self) -> tuple:
+        self._compress()
         out = [("k", self.k), ("n", self.n)]
         for i, lv in enumerate(self.levels):
             out.append((f"level{i}", np.sort(lv)))

@@ -6,9 +6,15 @@ Absent from the reference; mandated by the north_rule (SURVEY.md §2.4 A4).
 Implements the buffer-and-merge variant: incoming values accumulate in a
 buffer; compression sorts (centroid, buffer) together and greedily merges
 adjacent clusters while the merged cluster stays within the k1 scale
-function's size limit (delta = ``compression``). Merge of two digests =
-concatenate centroids + compress (associative in distribution; rank error is
-bounded regardless of merge order).
+function's size limit (delta = ``compression``).
+
+Merge-order canonicality: ``merge`` only CONCATENATES centroid lists and
+defers compression to query/serialization time (or past a 16x safety cap),
+and compression canonicalizes its input order with a (mean, weight) lexsort
+— so merging a fixed set of sealed partials yields byte-identical state for
+every merge order whose running size stays under the cap (a fanout-bounded
+tree-merge node always does). Asserted by randomized merge-order tests in
+the lossy regime. Rank error stays bounded regardless of merge order.
 """
 
 from __future__ import annotations
@@ -42,7 +48,10 @@ class TDigest(MergeableSketch):
             m, w = self.means, self.weights
         if len(m) == 0:
             return
-        order = np.argsort(m, kind="stable")
+        # lexsort on (mean, weight): ties between equal means with different
+        # weights order canonically, so the compressed result is a pure
+        # function of the (mean, weight) multiset — not of arrival order
+        order = np.lexsort((w, m))
         m, w = m[order], w[order]
         total = w.sum()
         # vectorized k1-scale binning (Dunning's merging digest): cluster i
@@ -75,6 +84,10 @@ class TDigest(MergeableSketch):
         return self
 
     def merge(self, other: "TDigest") -> "TDigest":
+        """Concatenate sealed centroids and DEFER compression: the pending
+        centroid multiset is identical for every merge order, and the
+        eventual compression (query/serialize time, or past the safety cap)
+        canonicalizes order — merge-order byte-canonical under the cap."""
         if self.compression != other.compression:
             raise ValueError("cannot merge t-digests with different compression")
         other._compress()
@@ -82,7 +95,9 @@ class TDigest(MergeableSketch):
         self._max = max(self._max, other._max)
         self.means = np.concatenate([self.means, other.means])
         self.weights = np.concatenate([self.weights, other.weights])
-        self._compress()
+        self.n = float(self.n) + float(other.n)
+        if len(self.means) + sum(len(b) for b in self._buf) > 16 * 2 * self.compression:
+            self._compress()
         return self
 
     # --- queries -----------------------------------------------------------
@@ -110,6 +125,11 @@ class TDigest(MergeableSketch):
 
     def quantiles(self, qs) -> np.ndarray:
         return np.array([self.quantile(q) for q in qs])
+
+    def to_bytes(self) -> bytes:
+        # seal canonically before bytes leave this process
+        self._compress()
+        return super().to_bytes()
 
     def _state_arrays(self) -> tuple:
         self._compress()

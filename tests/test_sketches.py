@@ -360,3 +360,61 @@ def test_theta_sketch_integer_domain_no_mantissa_collisions():
     # estimate path still works and theta is in (0, 1]
     assert 0.0 < t.theta <= 1.0
     assert t.estimate() > 0
+
+
+def test_kll_merge_order_byte_canonical_lossy_regime():
+    """Merging a fixed set of COMPRESSED (lossy, n >> capacity) KLL partials
+    must give byte-identical state and bytes for every merge order — the
+    coin is content-keyed and merge defers compaction, so order cannot leak
+    into the state."""
+    import random
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(size=40_000)
+    partial_bytes = [
+        KLL(k=64, seed=5).update(c).to_bytes() for c in np.array_split(vals, 12)
+    ]
+    digests, blobs = set(), set()
+    for order_seed in range(6):
+        idx = list(range(len(partial_bytes)))
+        random.Random(order_seed).shuffle(idx)
+        acc = KLL.from_bytes(partial_bytes[idx[0]])
+        for i in idx[1:]:
+            acc.merge(KLL.from_bytes(partial_bytes[i]))
+        digests.add(acc.digest())
+        blobs.add(acc.to_bytes())
+    assert len(digests) == 1
+    assert len(blobs) == 1
+    # and the merged sketch still answers within the KLL bound
+    acc = KLL.from_bytes(next(iter(blobs)))
+    s = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        est = acc.quantile(q)
+        r = np.searchsorted(s, est) / len(s)
+        assert abs(r - q) < 0.15
+
+
+def test_tdigest_merge_order_byte_canonical_lossy_regime():
+    """Same property for t-digest: concatenate-deferred merge + lexsorted
+    canonical compression -> byte-identical merged digests per order."""
+    import random
+
+    rng = np.random.default_rng(12)
+    vals = rng.exponential(size=30_000)
+    partial_bytes = [
+        TDigest(compression=50).update(c).to_bytes() for c in np.array_split(vals, 10)
+    ]
+    digests, blobs, q50 = set(), set(), set()
+    for order_seed in range(6):
+        idx = list(range(len(partial_bytes)))
+        random.Random(order_seed).shuffle(idx)
+        acc = TDigest.from_bytes(partial_bytes[idx[0]])
+        for i in idx[1:]:
+            acc.merge(TDigest.from_bytes(partial_bytes[i]))
+        digests.add(acc.digest())
+        blobs.add(acc.to_bytes())
+        q50.add(acc.quantile(0.5))
+    assert len(digests) == 1
+    assert len(blobs) == 1
+    assert len(q50) == 1
+    assert abs(next(iter(q50)) - np.quantile(vals, 0.5)) < 0.05
