@@ -21,21 +21,22 @@ from epichypersketch_jl_ray.stages.multimodal import (
     FeaturizeImage,
     FrameSampleVideo,
     WindowAudio,
-    make_bmp_image_table,
+    make_mixed_image_table,
     make_raw_video_table,
     make_wav_audio_table,
 )
 
 
 def image_features(sf_dir: str, *, n: int = 512, dim: int = 16) -> pd.DataFrame:
-    """Deterministic BMP corpus → REAL decode (pure-numpy BI_RGB parser,
+    """Deterministic mixed BMP+PNG corpus → REAL decode (pure-numpy BI_RGB
+    parser; stdlib-zlib + numpy-unfilter PNG across all five row filters;
     actor pool) → feature vectors.
 
     ``sf_dir`` only scales the corpus (the multimodal fixture is generated,
     not read from the sf tables).
     """
     scale = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 8}.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 1)
-    tbl = make_bmp_image_table(n * scale)
+    tbl = make_mixed_image_table(n * scale)
     ds = ray.data.from_arrow(tbl)
     decoded = ds.map_batches(
         DecodeImage,

@@ -2,10 +2,11 @@
 with typed metadata, processed by actor-pool map_batches stages.
 
 Decode dispatches on the row's ``mime``:
-- UNCOMPRESSED formats decode FOR REAL with the pure-numpy codecs in
-  functions/codecs.py — image/bmp (BI_RGB 8/24-bit), audio/wav (PCM mono),
+- REAL decodes with the pure-numpy codecs in functions/codecs.py —
+  image/bmp (BI_RGB 8/24-bit), image/png (stdlib-zlib DEFLATE + numpy
+  unfiltering, 8-bit gray/RGB, all five row filters), audio/wav (PCM mono),
   video/raw-gray8 (concatenated raw frames, ffmpeg's rawvideo layout).
-- COMPRESSED formats (JPEG/PNG/MP3/H.264) remain honest
+- Remaining COMPRESSED formats (JPEG/MP3/H.264) are honest
   NotImplementedError seams — their codec libraries are absent from this
   container; a real deployment loads the codec once per actor in
   ``__init__`` (the reason these stages are callable classes).
@@ -94,6 +95,34 @@ def make_bmp_image_table(n: int, *, seed: int = 7, side: int = 8) -> pa.Table:
     )
 
 
+def make_mixed_image_table(n: int, *, seed: int = 7, side: int = 8) -> pa.Table:
+    """Deterministic REAL-format fixture mixing formats the way a scraped
+    corpus would: even ids are 8-bit grayscale BMP, odd ids are PNG (cycling
+    through all five row filters so the decoder's every unfilter path runs
+    in production queries, not just unit tests)."""
+    from epichypersketch_jl_ray.functions.codecs import encode_bmp_gray8, encode_png
+
+    rng = np.random.default_rng(seed)
+    payloads, mimes = [], []
+    for i in range(n):
+        px = rng.integers(0, 256, size=(side, side), dtype=np.uint8)
+        if i % 2 == 0:
+            payloads.append(encode_bmp_gray8(px))
+            mimes.append("image/bmp")
+        else:
+            payloads.append(encode_png(px, filter_type=i % 5))
+            mimes.append("image/png")
+    return pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(mimes, pa.string()),
+            "width": pa.array([side] * n, pa.int32()),
+            "height": pa.array([side] * n, pa.int32()),
+        }
+    )
+
+
 class DecodeImage:
     """Actor stage: decode payload bytes -> pixel arrays, dispatching on
     mime (module docstring): image/bmp decodes FOR REAL (pure-numpy BI_RGB
@@ -107,7 +136,7 @@ class DecodeImage:
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from epichypersketch_jl_ray.functions.codecs import decode_bmp
+        from epichypersketch_jl_ray.functions.codecs import decode_bmp, decode_png
 
         payloads = batch["payload"]
         if isinstance(payloads, pa.ChunkedArray):
@@ -119,12 +148,12 @@ class DecodeImage:
         parts: list[np.ndarray] = []
         for i, mime in enumerate(mimes):
             blob = values[offsets[i] : offsets[i + 1]]
-            if mime == "image/bmp":
-                img = decode_bmp(blob)
+            if mime in ("image/bmp", "image/png"):
+                img = decode_bmp(blob) if mime == "image/bmp" else decode_png(blob)
                 if img.shape[0] != heights[i] or img.shape[1] != widths[i]:
                     raise ValueError(
-                        f"BMP header {img.shape[1]}x{img.shape[0]} contradicts metadata "
-                        f"{widths[i]}x{heights[i]} for id row {i}"
+                        f"{mime} header {img.shape[1]}x{img.shape[0]} contradicts "
+                        f"metadata {widths[i]}x{heights[i]} for id row {i}"
                     )
                 parts.append(img.astype(np.float32).ravel() / 255.0)
             elif mime == "image/fake":
@@ -138,7 +167,7 @@ class DecodeImage:
             else:
                 raise NotImplementedError(
                     f"decoding {mime} requires a codec library not present in this "
-                    "container (bmp decodes natively; jpeg/png need PIL/torchvision "
+                    "container (bmp/png decode natively; jpeg needs PIL/torchvision "
                     "loaded once per actor here)"
                 )
         lengths = np.array([len(p) for p in parts], dtype=np.int64)

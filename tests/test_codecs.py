@@ -96,10 +96,89 @@ def test_decode_image_stage_rejects_compressed_mime():
 
     tbl = make_bmp_image_table(1)
     tbl = tbl.set_column(
-        tbl.schema.get_field_index("mime"), "mime", pa.array(["image/png"], pa.string())
+        tbl.schema.get_field_index("mime"), "mime", pa.array(["image/jpeg"], pa.string())
     )
     with pytest.raises(NotImplementedError):
         DecodeImage()(tbl)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_gray_round_trip_all_filters(filter_type):
+    from epichypersketch_jl_ray.functions.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(100 + filter_type)
+    px = rng.integers(0, 256, size=(11, 7), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(px, filter_type=filter_type)), px)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_rgb_round_trip_all_filters(filter_type):
+    from epichypersketch_jl_ray.functions.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(200 + filter_type)
+    px = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(px, filter_type=filter_type)), px)
+
+
+def test_png_rejects_bad_crc_and_structure():
+    from epichypersketch_jl_ray.functions.codecs import decode_png, encode_png
+
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    blob = bytearray(encode_png(px))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"nonsense")
+    # corrupt one IDAT payload byte -> CRC check must catch it
+    idat_at = bytes(blob).index(b"IDAT")
+    blob[idat_at + 4] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(blob))
+    # unsupported variant: patch depth to 16 and re-CRC the IHDR so only the
+    # depth gate (not the CRC walk) rejects it
+    import zlib
+
+    blob = bytearray(encode_png(px))
+    ihdr_at = bytes(blob).index(b"IHDR")
+    blob[ihdr_at + 4 + 8] = 16
+    crc = zlib.crc32(bytes(blob[ihdr_at : ihdr_at + 4 + 13])) & 0xFFFFFFFF
+    struct.pack_into(">I", blob, ihdr_at + 4 + 13, crc)
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(bytes(blob))
+
+
+def test_png_round_trip_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from epichypersketch_jl_ray.functions.codecs import decode_png, encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 21),
+        h=st.integers(1, 13),
+        ft=st.integers(0, 4),
+        rgb=st.booleans(),
+        seed=st.integers(0, 2**16),
+    )
+    def png_case(w, h, ft, rgb, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        np.testing.assert_array_equal(decode_png(encode_png(px, filter_type=ft)), px)
+
+    png_case()
+
+
+def test_decode_image_stage_mixed_bmp_png():
+    from epichypersketch_jl_ray.stages.multimodal import DecodeImage, make_mixed_image_table
+
+    tbl = make_mixed_image_table(10, seed=7, side=8)
+    assert set(tbl["mime"].to_pylist()) == {"image/bmp", "image/png"}
+    out = DecodeImage()(tbl)
+    rng = np.random.default_rng(7)  # regenerate the fixture's pixel truth
+    for i in range(10):
+        want = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+        got = np.asarray(out["pixels"][i].as_py(), dtype=np.float32)
+        np.testing.assert_allclose(got, want.astype(np.float32).ravel() / 255.0)
 
 
 def test_window_audio_stage_real_wav_known_samples():
