@@ -294,54 +294,76 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     num_partitions: int = 8,
     hot_capacity: int = 1 << 17,
+    df_cap: int = 64,
 ) -> ray.data.Dataset:
-    """Exact n-gram-Jaccard similarity self-join via distributed
-    AllPairs/PPJoin prefix filtering (Bayardo et al. WWW'07).
+    """Exact n-gram-Jaccard similarity self-join via df-capped co-occurrence
+    counting — intersections are COUNTED directly inside small-df posting
+    groups instead of generated as candidates and re-verified against
+    attached full shingle lists.
 
     Stages (all corpus reads happen once):
-      1. shingle table (doc_id, distinct shingle hashes) — materialized and
-         reused for prefix emission AND verification.
-      2. hot-shingle detection: one SpaceSaving scan over the shingle
-         stream (no groupby shuffle); the survivor set (<= hot_capacity
-         keys, survivor-scale) is broadcast and defines the global shingle
-         order (hot last) — the df-ascending heuristic that keeps
-         power-law-common shingles out of prefixes so no posting list
-         explodes.
-      3. prefix emission (stages.dedup.prefix_filter_rows): each doc emits
-         only its |S| - ceil(t*|S|) + 1 smallest shingles under that order
-         — for t=0.5 about half the shingle volume, and candidate pairs
-         must collide on a prefix shingle of BOTH docs.
-      4. groupby(shingle_bucket) -> candidate pairs with the length filter
-         min(|A|,|B|) >= ceil(t*max) applied at pair time.
-      5. distributed pair dedupe + the shared Bloom-pruned attach/verify
-         tail (_verify_jaccard_pairs) — identical shuffle shape to
-         MinHash-LSH verification.
+      1. shingle table (doc_id, distinct shingle hashes) — materialized.
+      2. df estimation: one SpaceSaving scan over the shingle stream (no
+         groupby shuffle); survivors with estimated df > ``df_cap`` form
+         the broadcast HOT set. The split is a pure cost knob — counting
+         is exact for any globally-consistent partition of shingle keys.
+      3. COLD path: explode cold postings -> groupby(shingle_bucket) ->
+         per-key pair emission with the length filter, pre-aggregated per
+         bucket -> groupby(doc_a, doc_b).sum(n) = each pair's EXACT
+         cold-intersection size. Per-posting fan-out is bounded by
+         df_cap^2/2, and the shuffle ships integer partial counts — no
+         list payloads, no attach passes.
+      4. HOT correction (skipped entirely when no shingle exceeds df_cap —
+         the common bounded-df case): per-doc hot SUBLISTS (tiny: only
+         hot-set members) are built once; a pair's total overlap is
+         cold_n + |hot(A) ∩ hot(B)|.
+         - pairs where NOT both docs touch a hot shingle: hot overlap is
+           structurally 0 -> finalize from cold_n alone (most pairs).
+         - pairs where both touch, not both hot-DOMINATED: prune by
+           cold_n + min(h_A, h_B) >= ceil(t/(1+t)(|A|+|B|)), then attach
+           the two hot sublists (bucketed attach, sublist-scale) and add
+           the hot intersection.
+         - pairs sharing ONLY hot shingles never appear in the cold table;
+           a qualifying such pair needs overlap >= t*|A| and >= t*|B|
+           (J >= t with |B| >= overlap forces overlap >= t|A|), so both
+           docs are hot-DOMINATED (h >= ceil(t*size)). All-pairs within
+           that provably tiny set are counted in one group and merged with
+           their cold counts by a union + groupby sum.
 
-    Exactness: prefix filtering has no false negatives (prefix-filtering
-    principle) and verification computes true Jaccard, so output ==
-    brute-force all-pairs at any scale. Work is candidate-scale throughout;
-    candidates are bounded by prefix-shingle collisions instead of the
-    O(N^2) of a full similarity join.
+    Exactness: every shared shingle of a surviving pair is counted exactly
+    once (cold in stage 3, hot in stage 4); the length filter only drops
+    pairs that cannot reach t; the three routes partition pairs by
+    doc-level properties so no pair is double-counted. Output ==
+    brute-force all-pairs at any scale.
+
+    Broadcast assumptions (documented for the 100-TB shape): the hot set is
+    <= hot_capacity keys; hot-TOUCHED doc ids and their h-counts are
+    broadcast for routing (with a high df_cap, docs touching a
+    hotter-than-cap shingle are the minority; raise df_cap to shrink it at
+    the price of more cold fan-out).
     """
     from epichypersketch_jl_ray.stages.dedup import (
-        candidate_pairs_from_prefix,
-        prefix_filter_rows,
+        cold_cooccurrence_rows,
+        cooccurrence_pairs_in_bucket,
+        hot_sublist_rows,
+        merge_pair_counts,
     )
     from epichypersketch_jl_ray.stages.udaf import sketch_dataset
     from epichypersketch_jl_ray.state.spacesaving import SpaceSaving
 
+    empty_result = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    )
     shingles = ds.map_batches(_shingle_table, batch_format="pyarrow").materialize()
     if shingles.count() == 0:
         # empty corpus: the SpaceSaving pass would have no partials to merge
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        )
+        return empty_result
 
     def add_shingles(ss: SpaceSaving, batch: pa.Table) -> None:
         from epichypersketch_jl_ray.stages.dedup import _list_flat_lengths
@@ -349,42 +371,270 @@ def ngram_jaccard_pairs(
         flat, _lengths = _list_flat_lengths(batch["shingles"])
         ss.update_hashed(flat)
 
-    hot = sketch_dataset(
+    df_est = sketch_dataset(
         shingles, lambda: SpaceSaving(capacity=hot_capacity), add_shingles, SpaceSaving
     )
-    hot_order = np.argsort(hot.keys.astype(np.uint64))
-    hot_keys = hot.keys.astype(np.uint64)[hot_order]
+    # SpaceSaving only OVERestimates, so est <= df_cap guarantees true
+    # df <= df_cap: every cold posting group is genuinely small. (A
+    # truly-cold key overestimated past the cap just takes the hot path —
+    # more hot work, still exact.)
+    hot_mask = df_est.counts > df_cap
+    hot_keys = np.sort(df_est.keys.astype(np.uint64)[hot_mask])
     hot_ref = ray.put(hot_keys)
-    counts_ref = ray.put(hot.counts[hot_order].astype(np.int64))
 
-    def emit_prefixes(batch: pa.Table) -> pa.Table:
-        return prefix_filter_rows(
-            batch,
-            threshold=threshold,
-            hot_shingles=ray.get(hot_ref),
-            hot_counts=ray.get(counts_ref),
-        )
+    def emit_cold(batch: pa.Table) -> pa.Table:
+        return cold_cooccurrence_rows(batch, hot_shingles=ray.get(hot_ref))
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        return candidate_pairs_from_prefix(group, threshold=threshold)
+        return cooccurrence_pairs_in_bucket(group, threshold=threshold)
 
-    cand = (
-        shingles.map_batches(emit_prefixes, batch_format="pyarrow")
+    # pair-count merge: a coarse pair_bucket groupby + vectorized run-length
+    # merge in map_groups, NOT groupby(doc_a, doc_b).aggregate — Ray's
+    # sort-aggregate over ~1M two-column groups measured >10x the cost of
+    # the merge math itself
+    cold_pairs = (
+        shingles.map_batches(emit_cold, batch_format="pyarrow")
         .groupby("shingle_bucket")
         .map_groups(pairs_in_bucket, batch_format="pyarrow")
-        .materialize()
+        .groupby("pair_bucket")
+        .map_groups(merge_pair_counts, batch_format="pyarrow")
     )
-    # a pair can collide on several prefix shingles, but the duplication
-    # factor is small (~1-2x) — fold the dedupe into the attach shuffle
-    # instead of paying a dedicated groupby stage (contrast minhash_pairs,
-    # where banding duplicates up to bands x and dedupes first)
-    return _verify_jaccard_pairs(
-        cand,
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return _overlap_to_jaccard(batch, threshold=threshold)
+
+    if len(hot_keys) == 0:
+        # bounded-df corpus: the cold counts ARE the exact intersections
+        return cold_pairs.map_batches(finalize, batch_format="pyarrow")
+    return _ngram_hot_correction(
+        cold_pairs.materialize(),
         shingles,
+        hot_ref,
         threshold=threshold,
         num_partitions=num_partitions,
-        dedupe_in_attach=True,
+        finalize=finalize,
+        empty_result=empty_result,
+        hot_sublist_rows=hot_sublist_rows,
     )
+
+
+def _overlap_to_jaccard(batch: pa.Table, *, threshold: float) -> pa.Table:
+    """(doc_a, doc_b, size_a, size_b, n=overlap) -> (doc_a, doc_b, jaccard)
+    filtered to jaccard >= threshold. Same float64 division as the SQL
+    oracle's i::DOUBLE / (n_a + n_b - i), so the >= compare is bit-stable."""
+    n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sa = batch["size_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sb = batch["size_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+    union = sa + sb - n
+    jac = np.divide(n, union, out=np.zeros(len(n), dtype=np.float64), where=union > 0)
+    keep = jac >= threshold
+    return pa.table(
+        {
+            "doc_a": batch["doc_a"].filter(pa.array(keep)).cast(pa.int64()),
+            "doc_b": batch["doc_b"].filter(pa.array(keep)).cast(pa.int64()),
+            "jaccard": pa.array(jac[keep], pa.float64()),
+        }
+    )
+
+
+def _ngram_hot_correction(
+    cold_pairs: ray.data.Dataset,
+    shingles: ray.data.Dataset,
+    hot_ref,
+    *,
+    threshold: float,
+    num_partitions: int,
+    finalize,
+    empty_result: ray.data.Dataset,
+    hot_sublist_rows,
+) -> ray.data.Dataset:
+    """Hot-set correction for ngram_jaccard_pairs (docstring there): routes
+    cold-counted pairs by hot-touch/hot-dominance and adds exact hot-sublist
+    intersections. Split out so the no-hot fast path stays linear to read."""
+    from epichypersketch_jl_ray.stages.dedup import (
+        attach_list_column,
+        list_intersection_counts,
+        merge_pair_counts,
+        with_pair_bucket,
+    )
+    from epichypersketch_jl_ray.stages.join import auto_bucket_count
+
+    def emit_hot(batch: pa.Table) -> pa.Table:
+        return hot_sublist_rows(batch, hot_shingles=ray.get(hot_ref))
+
+    hot_docs = shingles.map_batches(emit_hot, batch_format="pyarrow").materialize()
+    # broadcast routing side: hot-TOUCHED doc ids + h counts + sizes
+    meta = hot_docs.select_columns(["doc_id", "h_count", "set_size"]).to_pandas()
+    touched = meta["doc_id"].to_numpy().astype(np.int64)
+    order = np.argsort(touched)
+    touched = touched[order]
+    h_arr = meta["h_count"].to_numpy().astype(np.int64)[order]
+    sz_arr = meta["set_size"].to_numpy().astype(np.int64)[order]
+    # hot-DOMINATED: h >= ceil(t*size) (a hot-only qualifying pair forces
+    # overlap >= t*size on BOTH sides — see pipeline docstring)
+    dominated = h_arr >= np.ceil(threshold * sz_arr - 1e-9)
+    dh_ids = touched[dominated]
+    touched_ref = ray.put(touched)
+    h_ref = ray.put(h_arr)
+    dh_ref = ray.put(np.sort(dh_ids))
+
+    def _lookup(sorted_keys: np.ndarray, vals: np.ndarray, q: np.ndarray):
+        """(hit mask, value-or-0) of q in the broadcast sorted keys."""
+        if len(sorted_keys) == 0:
+            return np.zeros(len(q), bool), np.zeros(len(q), np.int64)
+        pos = np.minimum(np.searchsorted(sorted_keys, q), len(sorted_keys) - 1)
+        hit = sorted_keys[pos] == q
+        return hit, np.where(hit, vals[pos], 0)
+
+    def route(batch: pa.Table, which: str) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        tk, hv = ray.get(touched_ref), ray.get(h_ref)
+        hit_a, h_a = _lookup(tk, hv, a)
+        hit_b, h_b = _lookup(tk, hv, b)
+        dh = ray.get(dh_ref)
+        in_dh_a, _ = _lookup(dh, dh, a)
+        in_dh_b, _ = _lookup(dh, dh, b)
+        both_touched = hit_a & hit_b
+        both_dh = in_dh_a & in_dh_b
+        if which == "cold_only":
+            keep = ~both_touched
+        elif which == "needs_attach":
+            keep = both_touched & ~both_dh
+            # overlap ceiling prune: cold_n + min(h_a, h_b) must reach
+            # alpha = ceil(t/(1+t)(|A|+|B|)) or the pair cannot qualify
+            n = batch["n"].to_numpy(zero_copy_only=False)
+            sa = batch["size_a"].to_numpy(zero_copy_only=False)
+            sb = batch["size_b"].to_numpy(zero_copy_only=False)
+            alpha = np.ceil(threshold / (1.0 + threshold) * (sa + sb) - 1e-9)
+            keep &= (n + np.minimum(h_a, h_b)) >= alpha
+        else:  # both hot-dominated: merged with the brute hot pairs
+            keep = both_dh
+        return batch.filter(pa.array(keep))
+
+    cold_only = cold_pairs.map_batches(
+        lambda t: route(t, "cold_only"), batch_format="pyarrow"
+    )
+    result = cold_only.map_batches(finalize, batch_format="pyarrow")
+
+    needs_attach = cold_pairs.map_batches(
+        lambda t: route(t, "needs_attach"), batch_format="pyarrow"
+    ).materialize()
+    n_attach = needs_attach.count()
+    if n_attach > 0:
+        attach_buckets = max(num_partitions, auto_bucket_count(n_attach))
+        pair_fields = [
+            pa.field("doc_a", pa.int64()),
+            pa.field("doc_b", pa.int64()),
+            pa.field("n", pa.int64()),
+            pa.field("size_a", pa.int64()),
+            pa.field("size_b", pa.int64()),
+        ]
+        hot_type = pa.list_(pa.int64())
+        with_a = attach_list_column(
+            needs_attach, "doc_a", hot_docs, "doc_id", "hot_shingles", "hot_a",
+            num_buckets=attach_buckets, pair_fields=pair_fields, list_type=hot_type,
+        )
+        with_ab = attach_list_column(
+            with_a, "doc_b", hot_docs, "doc_id", "hot_shingles", "hot_b",
+            num_buckets=attach_buckets,
+            pair_fields=pair_fields + [pa.field("hot_a", hot_type)],
+            list_type=hot_type,
+        )
+
+        def add_hot(batch: pa.Table) -> pa.Table:
+            inter = list_intersection_counts(batch, "hot_a", "hot_b")
+            n = batch["n"].to_numpy(zero_copy_only=False) + inter
+            return pa.table(
+                {
+                    "doc_a": batch["doc_a"].cast(pa.int64()),
+                    "doc_b": batch["doc_b"].cast(pa.int64()),
+                    "size_a": batch["size_a"].cast(pa.int64()),
+                    "size_b": batch["size_b"].cast(pa.int64()),
+                    "n": pa.array(n, pa.int64()),
+                }
+            )
+
+        result = result.union(
+            with_ab.map_batches(add_hot, batch_format="pyarrow").map_batches(
+                finalize, batch_format="pyarrow"
+            )
+        )
+
+    if len(dh_ids) > 0:
+        both_dh_cold = cold_pairs.map_batches(
+            lambda t: route(t, "dh"), batch_format="pyarrow"
+        )
+
+        def dh_filter(batch: pa.Table) -> pa.Table:
+            dh = ray.get(dh_ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            hit, _ = _lookup(dh, dh, ids)
+            out = batch.filter(pa.array(hit))
+            return out.append_column("g", pa.array(np.zeros(len(out), np.int64)))
+
+        def brute_hot_pairs(group: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "size_a": pa.array([], pa.int64()),
+                    "size_b": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+            m = len(group)
+            if m < 2:
+                return empty
+            docs = group["doc_id"].to_numpy(zero_copy_only=False)
+            sizes = group["set_size"].to_numpy(zero_copy_only=False)
+            ii, jj = np.triu_indices(m, k=1)
+            lo = np.minimum(sizes[ii], sizes[jj]).astype(np.float64)
+            hi = np.maximum(sizes[ii], sizes[jj]).astype(np.float64)
+            ok = lo >= np.ceil(threshold * hi - 1e-9)
+            ii, jj = ii[ok], jj[ok]
+            if len(ii) == 0:
+                return empty
+            lists = group["hot_shingles"]
+            if isinstance(lists, pa.ChunkedArray):
+                lists = lists.combine_chunks()
+            pair_tbl = pa.table(
+                {
+                    "hot_a": lists.take(pa.array(ii, pa.int64())),
+                    "hot_b": lists.take(pa.array(jj, pa.int64())),
+                }
+            )
+            inter = list_intersection_counts(pair_tbl, "hot_a", "hot_b")
+            nz = inter > 0
+            a, b = docs[ii][nz], docs[jj][nz]
+            swap = a > b
+            return pa.table(
+                {
+                    "doc_a": pa.array(np.where(swap, b, a), pa.int64()),
+                    "doc_b": pa.array(np.where(swap, a, b), pa.int64()),
+                    "size_a": pa.array(
+                        np.where(swap, sizes[jj][nz], sizes[ii][nz]), pa.int64()
+                    ),
+                    "size_b": pa.array(
+                        np.where(swap, sizes[ii][nz], sizes[jj][nz]), pa.int64()
+                    ),
+                    "n": pa.array(inter[nz], pa.int64()),
+                }
+            )
+
+        hot_only = (
+            hot_docs.map_batches(dh_filter, batch_format="pyarrow")
+            .groupby("g")
+            .map_groups(brute_hot_pairs, batch_format="pyarrow")
+        )
+        dh_total = (
+            both_dh_cold.union(hot_only)
+            .map_batches(with_pair_bucket, batch_format="pyarrow")
+            .groupby("pair_bucket")
+            .map_groups(merge_pair_counts, batch_format="pyarrow")
+        )
+        result = result.union(dh_total.map_batches(finalize, batch_format="pyarrow"))
+    return result
 
 
 def dedup_ngram_jaccard_sql(threshold: float = 0.5) -> str:

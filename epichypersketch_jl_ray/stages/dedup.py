@@ -264,6 +264,245 @@ def candidate_pairs_from_prefix(batch: pa.Table, *, threshold: float) -> pa.Tabl
     )
 
 
+def _hot_membership(
+    flat: np.ndarray, hot_shingles: np.ndarray
+) -> np.ndarray:
+    """Boolean mask: which flat uint64 shingle hashes are in the broadcast
+    sorted ``hot_shingles`` set (searchsorted membership, empty-safe)."""
+    if len(hot_shingles) == 0 or len(flat) == 0:
+        return np.zeros(len(flat), dtype=bool)
+    pos = np.minimum(np.searchsorted(hot_shingles, flat), len(hot_shingles) - 1)
+    return hot_shingles[pos] == flat
+
+
+def cold_cooccurrence_rows(
+    batch: pa.Table,
+    *,
+    hot_shingles: np.ndarray,
+    num_buckets: int = 64,
+) -> pa.Table:
+    """Explode each doc's COLD shingles (outside the broadcast hot-df set)
+    to (shingle, shingle_bucket, doc_id, set_size) posting rows for the
+    df-capped co-occurrence count. ``set_size`` stays the FULL distinct
+    count (cold + hot) — Jaccard denominators use full set sizes.
+
+    The hot/cold split is a pure COST knob: co-occurrence counting is exact
+    for any globally-consistent partition of shingle keys; capping the df of
+    exploded keys just bounds the per-posting pair fan-out (df^2/2) that a
+    power-law-hot shingle would otherwise cause."""
+    flat, lengths = _list_flat_lengths(batch["shingles"])
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    row_ids = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+    keep = ~_hot_membership(flat, hot_shingles)
+    sh = flat[keep].view(np.int64)
+    rows = row_ids[keep]
+    return pa.table(
+        {
+            "shingle": pa.array(sh, pa.int64()),
+            "shingle_bucket": pa.array(sh % num_buckets, pa.int64()),
+            "doc_id": pa.array(doc_ids[rows], pa.int64()),
+            "set_size": pa.array(lengths[rows], pa.int64()),
+        }
+    )
+
+
+def hot_sublist_rows(batch: pa.Table, *, hot_shingles: np.ndarray) -> pa.Table:
+    """Per-doc HOT-shingle sublists: (doc_id, hot_shingles list<int64>
+    sorted, h_count, set_size) for docs containing >= 1 hot shingle. The
+    sublist is the doc's intersection with the broadcast hot set — bounded
+    by |hot set| per doc, typically far smaller than the full shingle list,
+    so attaching it to pairs is much cheaper than attaching full lists."""
+    flat, lengths = _list_flat_lengths(batch["shingles"])
+    n = len(batch)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    is_hot = _hot_membership(flat, hot_shingles)
+    h = np.bincount(row_ids[is_hot], minlength=n).astype(np.int64)
+    keep_docs = np.flatnonzero(h > 0)
+    if len(keep_docs) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "hot_shingles": pa.array([], pa.list_(pa.int64())),
+                "h_count": pa.array([], pa.int64()),
+                "set_size": pa.array([], pa.int64()),
+            }
+        )
+    # flat is row-contiguous, so masking preserves per-row grouping; sort
+    # within each row for a canonical sublist
+    vals = flat[is_hot].view(np.int64)
+    vrows = row_ids[is_hot]
+    order = np.lexsort((vals, vrows))
+    vals = vals[order]
+    offsets = np.concatenate(([0], np.cumsum(h[keep_docs])))
+    lists = pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), pa.int32()), pa.array(vals, pa.int64())
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[keep_docs], pa.int64()),
+            "hot_shingles": lists,
+            "h_count": pa.array(h[keep_docs], pa.int64()),
+            "set_size": pa.array(lengths[keep_docs], pa.int64()),
+        }
+    )
+
+
+def cooccurrence_pairs_in_bucket(batch: pa.Table, *, threshold: float) -> pa.Table:
+    """Per shingle key in the bucket: emit every (a<b) doc pair sharing that
+    key, apply the length filter (min >= ceil(t*max) — a failing pair cannot
+    reach threshold t, and the predicate is per-pair deterministic so the
+    pair is dropped at EVERY key or none), then pre-aggregate duplicate
+    pairs within the bucket (one lexsort + run-length) so the global
+    groupby(doc_a, doc_b) shuffle ships partial counts, not one row per
+    shared shingle.
+
+    Output: (doc_a, doc_b, size_a, size_b, n) with n = number of shared
+    shingles of the pair within this bucket; summing n across buckets gives
+    the pair's EXACT cold-intersection size."""
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "size_a": pa.array([], pa.int64()),
+            "size_b": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    keys = batch["shingle"].to_numpy(zero_copy_only=False)
+    docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+    sizes = batch["set_size"].to_numpy(zero_copy_only=False)
+    if len(keys) == 0:
+        return with_pair_bucket(empty)
+    order = np.lexsort((docs, keys))
+    keys, docs, sizes = keys[order], docs[order], sizes[order]
+    boundaries = np.flatnonzero(np.diff(keys, prepend=keys[0] - 1))
+    group_sizes = np.diff(np.append(boundaries, len(keys)))
+    out_a, out_b, out_sa, out_sb = [], [], [], []
+    for start, size in zip(boundaries[group_sizes > 1], group_sizes[group_sizes > 1]):
+        grp_d = docs[start : start + size]
+        grp_s = sizes[start : start + size]
+        ii, jj = np.triu_indices(int(size), k=1)
+        lo = np.minimum(grp_s[ii], grp_s[jj]).astype(np.float64)
+        hi = np.maximum(grp_s[ii], grp_s[jj]).astype(np.float64)
+        ok = lo >= np.ceil(threshold * hi - 1e-9)
+        a, b = grp_d[ii][ok], grp_d[jj][ok]
+        swap = a > b
+        out_a.append(np.where(swap, b, a))
+        out_b.append(np.where(swap, a, b))
+        sa, sb = grp_s[ii][ok], grp_s[jj][ok]
+        out_sa.append(np.where(swap, sb, sa))
+        out_sb.append(np.where(swap, sa, sb))
+    if not out_a:
+        return with_pair_bucket(empty)
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    sa = np.concatenate(out_sa)
+    sb = np.concatenate(out_sb)
+    # pre-aggregate within the bucket: run-length over sorted (a, b)
+    order = np.lexsort((b, a))
+    a, b, sa, sb = a[order], b[order], sa[order], sb[order]
+    first = np.ones(len(a), dtype=bool)
+    first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.append(starts, len(a)))
+    out = pa.table(
+        {
+            "doc_a": pa.array(a[starts], pa.int64()),
+            "doc_b": pa.array(b[starts], pa.int64()),
+            "size_a": pa.array(sa[starts], pa.int64()),
+            "size_b": pa.array(sb[starts], pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+        }
+    )
+    return with_pair_bucket(out)
+
+
+def with_pair_bucket(batch: pa.Table, *, num_buckets: int = 64) -> pa.Table:
+    """Tag pair rows with pair_bucket = hash(doc_a, doc_b) % num_buckets —
+    the colocation key for merging a pair's partial counts. A coarse bucket
+    groupby + vectorized run-length merge inside map_groups replaces a
+    full groupby(doc_a, doc_b) sort-aggregate, which at ~1M tiny groups
+    costs >10x the merge itself."""
+    from epichypersketch_jl_ray.functions.hashing import hash_int64
+
+    a = batch["doc_a"].to_numpy(zero_copy_only=False)
+    b = batch["doc_b"].to_numpy(zero_copy_only=False)
+    h = hash_int64(a, seed=9) ^ hash_int64(b, seed=11)
+    cols = {c: batch[c] for c in batch.column_names if c != "pair_bucket"}
+    cols["pair_bucket"] = pa.array((h % np.uint64(num_buckets)).astype(np.int64), pa.int64())
+    return pa.table(cols)
+
+
+def merge_pair_counts(group: pa.Table) -> pa.Table:
+    """Merge partial (doc_a, doc_b, size_a, size_b, n) rows within one
+    pair_bucket group: sum n per pair (sizes are per-doc constants — take
+    first). One lexsort + run-length, no per-group Python."""
+    a = group["doc_a"].to_numpy(zero_copy_only=False)
+    b = group["doc_b"].to_numpy(zero_copy_only=False)
+    sa = group["size_a"].to_numpy(zero_copy_only=False)
+    sb = group["size_b"].to_numpy(zero_copy_only=False)
+    n = group["n"].to_numpy(zero_copy_only=False)
+    if len(a) == 0:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "size_a": pa.array([], pa.int64()),
+                "size_b": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    order = np.lexsort((b, a))
+    a, b, sa, sb, n = a[order], b[order], sa[order], sb[order], n[order]
+    first = np.ones(len(a), dtype=bool)
+    first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    seg = np.cumsum(first) - 1
+    total = np.bincount(seg, weights=n).astype(np.int64)
+    starts = np.flatnonzero(first)
+    return pa.table(
+        {
+            "doc_a": pa.array(a[starts], pa.int64()),
+            "doc_b": pa.array(b[starts], pa.int64()),
+            "size_a": pa.array(sa[starts], pa.int64()),
+            "size_b": pa.array(sb[starts], pa.int64()),
+            "n": pa.array(total, pa.int64()),
+        }
+    )
+
+
+def list_intersection_counts(
+    batch: pa.Table, col_a: str, col_b: str
+) -> np.ndarray:
+    """Per-row intersection size of two list<int64> columns whose values are
+    distinct within each list (same lexsort-duplicate trick as
+    jaccard_verify_batch, without the Jaccard). Null lists count as empty."""
+    n = len(batch)
+    fa, la = _list_flat_lengths_nullsafe(batch[col_a])
+    fb, lb = _list_flat_lengths_nullsafe(batch[col_b])
+    idx = np.concatenate(
+        [np.repeat(np.arange(n, dtype=np.int64), la), np.repeat(np.arange(n, dtype=np.int64), lb)]
+    )
+    val = np.concatenate([fa, fb])
+    order = np.lexsort((val, idx))
+    idx, val = idx[order], val[order]
+    dup = np.zeros(len(idx), dtype=bool)
+    dup[1:] = (idx[1:] == idx[:-1]) & (val[1:] == val[:-1])
+    return np.bincount(idx[dup], minlength=n).astype(np.int64)
+
+
+def _list_flat_lengths_nullsafe(
+    arr: pa.Array | pa.ChunkedArray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """_list_flat_lengths tolerating null list rows (treated as empty):
+    flatten() already skips nulls; value_lengths() yields null -> 0."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+    lengths = np.asarray(arr.value_lengths().fill_null(0), dtype=np.int64)
+    return flat, lengths
+
+
 def exact_jaccard(
     pairs: np.ndarray, shingle_sets: dict[int, np.ndarray]
 ) -> np.ndarray:

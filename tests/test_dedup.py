@@ -296,6 +296,32 @@ def test_ngram_jaccard_matches_exact_oracle(ray_session, sf_dir):
     )
 
 
+@pytest.mark.parametrize("df_cap", [8, 3, 1, 0])
+def test_ngram_jaccard_hot_correction_exact(ray_session, sf_dir, df_cap):
+    """The hot-set correction routes (cold-only / attach / hot-dominated
+    brute) produce EXACTLY the cold-only answer at every df_cap — including
+    df_cap=0 where every shingle is hot and everything flows through the
+    hot-dominated path. The sf fixtures never trigger the hot path at the
+    default cap (max df ~25 < 64), so this sweep is what exercises it."""
+    from epichypersketch_jl_ray.pipelines.dedup import ngram_jaccard_pairs
+    from epichypersketch_jl_ray.sources.tables import read_table
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    base = (
+        ngram_jaccard_pairs(ds, threshold=0.5, df_cap=1 << 30)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    got = (
+        ngram_jaccard_pairs(ds, threshold=0.5, df_cap=df_cap)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(base)
+
+
 @pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
 def test_prefix_filter_no_false_negatives_property(threshold):
     """Prefix-filtering principle, checked directly against brute force on
