@@ -1,0 +1,310 @@
+"""Registry-consolidation wrappers (VERDICT r3 item 1): the driver's
+CORRECTNESS pass windows the first 50 registry entries, so near-duplicate
+query variants are merged — each wrapper returns the UNION of its parts with
+a discriminator column (or a joined frame when the parts share a key), and
+every merged ORACLED pair keeps a matching UNION/JOIN oracle so no
+correctness coverage is lost. The underlying single-purpose pipelines stay
+public (pytest exercises them directly); only the registry shrinks.
+
+Sentinel convention: padded integer columns use -1, never NULL — the
+driver's value-hash is representation-sensitive and NULL/NaN dtype
+promotion would break the compare.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _tag(ds: ray.data.Dataset, col: str, value: str) -> ray.data.Dataset:
+    """Prepend a constant string discriminator column to a Dataset."""
+
+    def add(t: pa.Table) -> pa.Table:
+        return t.add_column(0, col, pa.array([value] * len(t), pa.string()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+# --- sketch-family merges ---------------------------------------------------
+
+
+def doc_length_quantiles_approx(sf_dir: str) -> pd.DataFrame:
+    """t-digest + DDSketch n_chars quantiles in one frame (method column) —
+    the two interpolating/relative-error estimators complementing the
+    oracled KLL queries. Rows-only (approximate); bounds in pytest."""
+    from epichypersketch_jl_ray.pipelines import sketches
+
+    td = sketches.doc_length_quantiles_tdigest(sf_dir).assign(method="tdigest")
+    dd = sketches.doc_length_quantiles_dd(sf_dir).assign(method="ddsketch")
+    return pd.concat([td, dd], ignore_index=True)[["method", "q", "n_chars_q"]]
+
+
+def distinct_users_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct users per event_type PLUS the overall count as the
+    event_type='*' row — one oracled query covering both shuffle-paying
+    baselines."""
+    from epichypersketch_jl_ray.pipelines import sketches
+
+    by = sketches.distinct_users_by_type_exact(sf_dir).to_pandas()
+    overall = sketches.distinct_users_exact(sf_dir)
+    row = pd.DataFrame(
+        {"event_type": ["*"], "distinct_users": overall["distinct_users"].astype("int64")}
+    )
+    return pd.concat([by, row], ignore_index=True)
+
+
+def distinct_users_exact_sql() -> str:
+    from epichypersketch_jl_ray.pipelines import sketches
+
+    return (
+        f"SELECT event_type, distinct_users FROM ({sketches.distinct_users_by_type_exact_sql()})"
+        " UNION ALL SELECT '*' AS event_type,"
+        " CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users FROM events"
+    )
+
+
+def distinct_users_hll(sf_dir: str) -> pd.DataFrame:
+    """Grouped + overall HLL distinct estimates in one frame (overall as
+    event_type='*'). Rows-only (approximate); accuracy vs exact in pytest."""
+    from epichypersketch_jl_ray.pipelines import sketches
+
+    by = sketches.distinct_users_by_type(sf_dir)
+    overall = sketches.distinct_users_hll(sf_dir)
+    row = pd.DataFrame(
+        {"event_type": ["*"], "distinct_users_est": overall["distinct_users_est"]}
+    )
+    return pd.concat([by, row], ignore_index=True)
+
+
+def doc_sample(sf_dir: str) -> pd.DataFrame:
+    """Stratified (per-lang) + overall uniform reservoir samples in one
+    frame (overall as lang='*'). Rows-only; membership/determinism in
+    pytest."""
+    from epichypersketch_jl_ray.pipelines import sketches
+
+    by = sketches.doc_sample_by_lang(sf_dir)
+    overall = sketches.doc_sample(sf_dir).assign(lang="*")[["lang", "doc_id"]]
+    return pd.concat([by, overall], ignore_index=True)
+
+
+# --- heavy hitters ----------------------------------------------------------
+
+
+def heavy_ngrams(sf_dir: str) -> ray.data.Dataset:
+    """CMS heavy-hitter trigrams, grouped by lang PLUS overall (lang='*') —
+    the flagship query and its grouped variant as one oracled union."""
+    from epichypersketch_jl_ray.pipelines import ngrams
+
+    by = ngrams.heavy_ngrams_by_lang(sf_dir)
+    overall = _tag(ngrams.heavy_ngrams(sf_dir), "lang", "*")
+    return by.union(overall)
+
+
+def heavy_ngrams_sql() -> str:
+    from epichypersketch_jl_ray.pipelines import ngrams
+
+    return (
+        f"SELECT lang, ngram, estimate FROM ({ngrams.heavy_ngrams_by_lang_sql()})"
+        f" UNION ALL SELECT '*' AS lang, ngram, estimate FROM ({ngrams.heavy_ngrams_sql()})"
+    )
+
+
+def top_ngrams_spacesaving(sf_dir: str) -> pd.DataFrame:
+    """SpaceSaving heavy-hitter trigrams, per-lang PLUS overall (lang='*'),
+    one oracled union — the one-pass counterpart of heavy_ngrams."""
+    from epichypersketch_jl_ray.pipelines import sketches
+
+    by = sketches.top_ngrams_by_lang_spacesaving(sf_dir)
+    overall = sketches.top_ngrams_spacesaving(sf_dir).assign(lang="*")
+    return pd.concat([by, overall[["lang", "ngram", "estimate"]]], ignore_index=True)
+
+
+def top_ngrams_spacesaving_sql() -> str:
+    from epichypersketch_jl_ray.pipelines import sketches
+
+    return (
+        f"SELECT lang, ngram, estimate FROM ({sketches.top_ngrams_by_lang_spacesaving_sql()})"
+        f" UNION ALL SELECT '*' AS lang, ngram, estimate FROM ({sketches.top_ngrams_spacesaving_sql()})"
+    )
+
+
+# --- multimodal / ANN -------------------------------------------------------
+
+
+def multimodal_features(sf_dir: str) -> pd.DataFrame:
+    """Image + video + audio feature extraction in one frame: (modality, id,
+    part_idx, embedding) — part_idx is the frame/window index (0 for whole
+    images). All three actor-pool decode pipelines run for real (BMP/PNG,
+    raw-gray8 frames, WAV-PCM windows). Rows-only; decode correctness is
+    bit-exact-tested in pytest."""
+    from epichypersketch_jl_ray.pipelines import multimodal
+
+    img = multimodal.image_features(sf_dir).assign(modality="image", part_idx=0)
+    vid = multimodal.video_frame_features(sf_dir).rename(columns={"frame_idx": "part_idx"})
+    vid = vid.assign(modality="video")
+    aud = multimodal.audio_window_features(sf_dir).rename(columns={"window_idx": "part_idx"})
+    aud = aud.assign(modality="audio")
+    cols = ["modality", "id", "part_idx", "embedding"]
+    out = pd.concat([img[cols], vid[cols], aud[cols]], ignore_index=True)
+    out["part_idx"] = out["part_idx"].astype("int64")
+    return out
+
+
+def ann_approx_topk(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed + IVF approximate top-k in one frame (method column) —
+    the two sub-quadratic scale paths beside the oracled brute-force
+    baseline. Rows-only; recall bounds vs brute force in pytest."""
+    from epichypersketch_jl_ray.pipelines import ann
+
+    lsh = ann.ann_lsh_topk(sf_dir).assign(method="lsh")
+    ivf = ann.ann_ivf_topk(sf_dir).assign(method="ivf")
+    cols = ["method", "query_id", "neighbor_id", "rank"]
+    return pd.concat([lsh[cols], ivf[cols]], ignore_index=True)
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+def doc_lang_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """Language-ID + winnowing fingerprints per doc, joined on doc_id into
+    one frame (distributed bucketed hash join — no driver merge). Rows-only;
+    langid accuracy and fingerprint determinism in pytest."""
+    from epichypersketch_jl_ray.pipelines import textstats
+    from epichypersketch_jl_ray.stages.join import bucketed_hash_join
+
+    lp = textstats.lang_predict(sf_dir)
+    fp = textstats.doc_fingerprints(sf_dir)
+    return bucketed_hash_join(lp, fp, left_on="doc_id", right_on="doc_id")
+
+
+# --- relational merges ------------------------------------------------------
+
+
+def click_purchase_set_ops(sf_dir: str) -> ray.data.Dataset:
+    """Set operations over click/purchase user sets in one oracled union:
+    op='intersect_users' rows (hour=-1 sentinel) and op='click_only_hours'
+    rows (user_id, hour). -1 sentinels, never NULL (module docstring)."""
+    from epichypersketch_jl_ray.pipelines import relational
+
+    def pad_inter(t: pa.Table) -> pa.Table:
+        t = t.add_column(0, "op", pa.array(["intersect_users"] * len(t), pa.string()))
+        import numpy as np
+
+        return t.append_column("hour", pa.array(np.full(len(t), -1, np.int64), pa.int64()))
+
+    inter = relational.users_intersection(sf_dir).map_batches(pad_inter, batch_format="pyarrow")
+    hours = _tag(relational.click_only_user_hours(sf_dir), "op", "click_only_hours")
+    return inter.union(hours)
+
+
+def click_purchase_set_ops_sql() -> str:
+    from epichypersketch_jl_ray.pipelines import relational
+
+    return (
+        "SELECT 'intersect_users' AS op, user_id, CAST(-1 AS BIGINT) AS hour"
+        f" FROM ({relational.users_intersection_sql()})"
+        " UNION ALL SELECT 'click_only_hours' AS op, user_id, hour"
+        f" FROM ({relational.click_only_user_hours_sql()})"
+    )
+
+
+def clicks_vs_purchases(sf_dir: str) -> ray.data.Dataset:
+    """Both as-of-join analyses in one oracled union: kind='last_purchase'
+    rows are per-click (click_ts, purchase_ts, purchase_cents; n_clicks=-1),
+    kind='clicks_after' rows are per-purchase (purchase_ts, n_clicks;
+    click_ts=purchase_cents=-1)."""
+    import numpy as np
+
+    from epichypersketch_jl_ray.pipelines import relational
+
+    def pad_last(t: pa.Table) -> pa.Table:
+        t = t.add_column(0, "kind", pa.array(["last_purchase"] * len(t), pa.string()))
+        return t.append_column("n_clicks", pa.array(np.full(len(t), -1, np.int64), pa.int64()))
+
+    def pad_after(t: pa.Table) -> pa.Table:
+        t = t.add_column(0, "kind", pa.array(["clicks_after"] * len(t), pa.string()))
+        neg = pa.array(np.full(len(t), -1, np.int64), pa.int64())
+        t = t.append_column("click_ts", neg)
+        t = t.append_column("purchase_cents", neg)
+        return t.select(["kind", "user_id", "click_ts", "purchase_ts", "purchase_cents", "n_clicks"])
+
+    last = relational.clicks_last_purchase(sf_dir).map_batches(pad_last, batch_format="pyarrow")
+    after = relational.clicks_after_purchase(sf_dir).map_batches(pad_after, batch_format="pyarrow")
+    return last.union(after)
+
+
+def clicks_vs_purchases_sql() -> str:
+    from epichypersketch_jl_ray.pipelines import relational
+
+    return (
+        "SELECT 'last_purchase' AS kind, user_id, click_ts, purchase_ts, purchase_cents,"
+        f" CAST(-1 AS BIGINT) AS n_clicks FROM ({relational.clicks_last_purchase_sql()})"
+        " UNION ALL SELECT 'clicks_after' AS kind, user_id, CAST(-1 AS BIGINT) AS click_ts,"
+        " purchase_ts, CAST(-1 AS BIGINT) AS purchase_cents, n_clicks"
+        f" FROM ({relational.clicks_after_purchase_sql()})"
+    )
+
+
+def windowed_events(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling + hopping window aggregates in one oracled union (kind
+    column) — identical output schema, one window-semantics query."""
+    from epichypersketch_jl_ray.pipelines import relational
+
+    t = _tag(relational.windowed_events(sf_dir), "kind", "tumbling")
+    h = _tag(relational.hopping_events(sf_dir), "kind", "hopping")
+    return t.union(h)
+
+
+def windowed_events_sql() -> str:
+    from epichypersketch_jl_ray.pipelines import relational
+
+    cols = "event_type, window_start, n_events, value_cents"
+    return (
+        f"SELECT 'tumbling' AS kind, {cols} FROM ({relational.windowed_events_sql()})"
+        f" UNION ALL SELECT 'hopping' AS kind, {cols} FROM ({relational.hopping_events_sql()})"
+    )
+
+
+def curate_corpus(sf_dir: str) -> ray.data.Dataset:
+    """Both curation chains (pairwise-prune and connected-components
+    cluster-dedup) in one oracled union (method column); the expensive
+    quality->dedup->near-dup head is session-cached and shared."""
+    from epichypersketch_jl_ray.pipelines import curate
+
+    base = _tag(curate.curate_corpus(sf_dir), "method", "pairwise")
+    cc = _tag(curate.curate_corpus_cc(sf_dir), "method", "cc")
+    return base.union(cc)
+
+
+def curate_corpus_sql() -> str:
+    from epichypersketch_jl_ray.pipelines import curate
+
+    return (
+        f"SELECT 'pairwise' AS method, doc_id FROM ({curate.curate_corpus_sql()})"
+        f" UNION ALL SELECT 'cc' AS method, doc_id FROM ({curate.curate_corpus_cc_sql()})"
+    )
+
+
+def user_spend_rank(sf_dir: str) -> pd.DataFrame:
+    """NTILE quartile + PERCENT_RANK per user in one oracled frame (joined
+    on user_id — both variants share the spend aggregation)."""
+    from epichypersketch_jl_ray.pipelines import windowfns
+
+    q = windowfns.user_spend_quartile(sf_dir)
+    p = windowfns.user_spend_percentile(sf_dir)
+    q = q.to_pandas() if not isinstance(q, pd.DataFrame) else q
+    p = p.to_pandas() if not isinstance(p, pd.DataFrame) else p
+    return q.merge(p, on=["user_id", "total_cents"])
+
+
+def user_spend_rank_sql() -> str:
+    from epichypersketch_jl_ray.pipelines import windowfns
+
+    return (
+        "SELECT a.user_id, a.total_cents, a.quartile, b.pct_rank"
+        f" FROM ({windowfns.user_spend_quartile_sql()}) a"
+        f" JOIN ({windowfns.user_spend_percentile_sql()}) b USING (user_id)"
+    )

@@ -43,14 +43,16 @@ def test_non_oracled_queries_run(entrymod, sf_dir):
 
 def test_hll_within_bound(entrymod, con, sf_dir):
     qs = entrymod.queries()
-    est = to_pandas(qs["distinct_users_hll"](sf_dir))["distinct_users_est"][0]
+    df = to_pandas(qs["distinct_users_hll"](sf_dir))
+    est = float(df.loc[df["event_type"] == "*", "distinct_users_est"].iloc[0])
     true = con.sql("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
     assert abs(est - true) <= 4 * (1.04 / np.sqrt(2**14)) * true + 2
 
 
 def test_tdigest_within_bound(entrymod, con, sf_dir):
     qs = entrymod.queries()
-    td = to_pandas(qs["doc_length_quantiles_tdigest"](sf_dir))
+    approx = to_pandas(qs["doc_length_quantiles_approx"](sf_dir))
+    td = approx[approx["method"] == "tdigest"]
     vals = con.sql("SELECT n_chars FROM documents ORDER BY n_chars").df()["n_chars"].to_numpy()
     for _, row in td.iterrows():
         true_rank = np.searchsorted(vals, row["n_chars_q"]) / len(vals)
