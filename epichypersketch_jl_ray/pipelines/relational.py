@@ -709,19 +709,45 @@ def hopping_events(
         et = batch["event_type"]
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()
-        idx = pa.array(np.repeat(np.arange(len(ts), dtype=np.int64), k))
+        codes = et.dictionary_encode()
+        type_idx = np.repeat(
+            codes.combine_chunks().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            if isinstance(codes, pa.ChunkedArray)
+            else codes.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+            k,
+        )
+        dictionary = (
+            codes.combine_chunks().dictionary if isinstance(codes, pa.ChunkedArray) else codes.dictionary
+        )
+        # map-side combine: events are time-local within a batch, so the
+        # k-fold fan-out collapses onto few (type, window) cells — ship the
+        # combined partials (n, sum) through the shuffle, not k rows/event
+        cell = type_idx * np.int64(1 << 40) + (starts // hop_us)
+        order = np.argsort(cell, kind="stable")
+        cell_s = cell[order]
+        first = np.ones(len(cell_s), dtype=bool)
+        first[1:] = cell_s[1:] != cell_s[:-1]
+        seg = np.cumsum(first) - 1
+        vals = np.repeat(cents, k)[order]
+        sums = np.bincount(seg, weights=vals).astype(np.int64)
+        counts = np.bincount(seg).astype(np.int64)
+        sel = order[np.flatnonzero(first)]
         return pa.table(
             {
-                "event_type": et.take(idx),
-                "window_start": pa.array(starts, pa.int64()),
-                "value_cents": pa.array(np.repeat(cents, k), pa.int64()),
+                "event_type": dictionary.take(pa.array(type_idx[sel], pa.int64())),
+                "window_start": pa.array(starts[sel], pa.int64()),
+                "n_events": pa.array(counts, pa.int64()),
+                "value_cents": pa.array(sums, pa.int64()),
             }
         )
 
     return (
         ds.map_batches(assign, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents"))
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
     )
 
 
