@@ -100,17 +100,16 @@ def make_merge_fn(cls: type[MergeableSketch]):
     return merge_states
 
 
-def _fold_table_into(acc: MergeableSketch | None, tbl: pa.Table, cls: type[MergeableSketch]):
-    """Fold every serialized state row of ``tbl`` into ``acc`` one at a time
-    (never materializes the whole row set as sketch objects)."""
+def _sketches_from_table(tbl: pa.Table, cls: type[MergeableSketch]) -> list[MergeableSketch]:
+    """Deserialize every state row of ``tbl``.
+
+    Callers merge the returned list with ONE ``merge_many`` call rather than
+    folding pairwise: for concatenate-then-sort merges (sparse CountMin COO)
+    a pairwise fold re-sorts the growing accumulator per input — O(k·N log N)
+    across k states — where a single merge_many is one O(N log N) pass.
+    """
     col = tbl["state"]
-    for i in range(len(col)):
-        sk = cls.from_bytes(col[i].as_py())
-        if acc is None:
-            acc = sk
-        else:
-            acc.merge(sk)
-    return acc
+    return [cls.from_bytes(col[i].as_py()) for i in range(len(col))]
 
 
 def tree_merge(
@@ -127,10 +126,11 @@ def tree_merge(
     once, the driver collects only object REFS to the state blocks
     (``iter_internal_ref_bundles`` — bytes stay in the object store), and
     while more than ``fanout**2`` blocks remain they are reduced by remote
-    ``fanout``-way merge tasks (each emits one 1-row block). The remainder
-    is folded on the driver one block at a time, so the driver deserializes
-    at most ``fanout**2`` merged states plus one leaf block's rows — bounded
-    regardless of input size (asserted by a forced-10k-partial unit test).
+    ``fanout``-way merge tasks (each emits one 1-row block). The remaining
+    (at most ``fanout**2``) blocks' states are deserialized on the driver and
+    combined with a single ``merge_many`` — bounded regardless of input size
+    (asserted by a forced-10k-partial unit test), and one linear pass rather
+    than a pairwise fold (which is quadratic for COO-sketch merges).
 
     An explicit ``levels`` keeps the legacy shape: that many lazy map_batches
     merge stages (each reduces the state count ``fanout``×) chained onto the
@@ -141,13 +141,15 @@ def tree_merge(
 
         @ray.remote
         def _merge_blocks(*blocks) -> pa.Table:
-            acc = None
+            sketches: list[MergeableSketch] = []
             for blk in blocks:
                 if not isinstance(blk, pa.Table):  # pandas/simple-block fallback
                     blk = pa.Table.from_pandas(blk)
-                acc = _fold_table_into(acc, blk, cls)
-            out = [] if acc is None else [acc.to_bytes()]  # all-empty blocks
-            return pa.table({"state": pa.array(out, type=pa.large_binary())})
+                sketches.extend(_sketches_from_table(blk, cls))
+            if not sketches:  # all-empty blocks
+                return pa.table({"state": pa.array([], type=pa.large_binary())})
+            acc = sketches[0].merge_many(sketches[1:])
+            return pa.table({"state": pa.array([acc.to_bytes()], type=pa.large_binary())})
 
         refs = [
             ref
@@ -156,16 +158,25 @@ def tree_merge(
         ]
         driver_cap = fanout * fanout
         while len(refs) > driver_cap:
+            # Adaptive group width: aim to finish in ONE remote round (each
+            # extra round re-sorts and re-ships every merged state), but cap
+            # at 64 states per task so worker memory stays bounded by
+            # 64 × the sketch's fixed geometry. A million-block run still
+            # needs only ~log_64 rounds.
+            group = min(64, max(fanout, -(-len(refs) // driver_cap)))
             refs = [
-                _merge_blocks.remote(*refs[i : i + fanout])
-                for i in range(0, len(refs), fanout)
+                _merge_blocks.remote(*refs[i : i + group])
+                for i in range(0, len(refs), group)
             ]
-        acc = None
+        sketches: list[MergeableSketch] = []
         for ref in refs:
-            acc = _fold_table_into(acc, ray.get(ref), cls)
-        if acc is None:
+            blk = ray.get(ref)
+            if not isinstance(blk, pa.Table):
+                blk = pa.Table.from_pandas(blk)
+            sketches.extend(_sketches_from_table(blk, cls))
+        if not sketches:
             raise ValueError("no partial states to merge (empty input dataset?)")
-        return acc
+        return sketches[0].merge_many(sketches[1:])
 
     merge_fn = make_merge_fn(cls)
     states = states_ds
