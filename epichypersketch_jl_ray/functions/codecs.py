@@ -1,11 +1,13 @@
-"""Pure-numpy codecs for the UNCOMPRESSED multimodal formats.
+"""Pure-numpy/stdlib codecs for the multimodal formats.
 
-BMP (BI_RGB), WAV (PCM) and raw concatenated video frames need no codec
-library — they are fixed headers plus raw sample bytes, parseable with
-struct/numpy alone. These give the multimodal pipelines a REAL decode path
-inside this container; compressed formats (JPEG/PNG/MP3/H.264) remain the
-documented NotImplementedError seams in stages/multimodal.py because their
-decoders genuinely are absent here.
+BMP (BI_RGB), WAV (PCM) and raw concatenated video frames are fixed headers
+plus raw sample bytes, parseable with struct/numpy alone. PNG rides on
+stdlib zlib (DEFLATE) with numpy unfiltering, and baseline JPEG is an 8x8
+matrix DCT plus table-driven Huffman coding — no codec library needed for
+any of them. These give the multimodal pipelines a REAL decode path inside
+this container; the remaining compressed formats (progressive JPEG, MP3,
+H.264) stay documented NotImplementedError seams in stages/multimodal.py
+because their decoders genuinely are absent here.
 
 Layouts implemented (public file-format specs):
 - BMP: 14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER, BI_RGB only;
@@ -264,3 +266,498 @@ def decode_png(payload: bytes | np.ndarray) -> np.ndarray:
         recon[y] = r
         prev = r
     return recon.reshape(h, w) if channels == 1 else recon.reshape(h, w, 3)
+
+
+# --- JPEG (ITU-T T.81 baseline sequential DCT) -------------------------------
+# Zero new dependencies: the DCT is an 8x8 matrix product, Huffman coding is
+# table-driven bit twiddling. Scope: baseline (SOF0) and extended-sequential
+# (SOF1) Huffman scans, 8-bit precision, grayscale or YCbCr (JFIF), any
+# sampling factors the file declares (4:4:4 / 4:2:2 / 4:2:0 via the generic
+# h/v block layout), DQT (8- and 16-bit), multi-table DHT, DRI/RSTn restart
+# markers. Progressive (SOF2) and arithmetic coding raise — never mis-read.
+#
+# The ENCODER exists so round-trip tests and fixtures need no external files:
+# it emits valid interchange-format JPEG with canonical fixed-length Huffman
+# tables (every conforming decoder accepts any table the DHT declares; fixed
+# lengths just cost compression, which fixtures don't care about) and a
+# documented quant-table family parameterized by `quality` (quality=100 ->
+# all-ones tables -> IDCT rounding is the only loss). The DECODER is fully
+# table-driven (T.81 F.2.2 canonical code reconstruction), so it decodes
+# Annex-K-coded files from the wild, not just our own output.
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)  # zigzag index -> row-major position
+
+
+def _dct_matrix() -> np.ndarray:
+    u, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    a = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    a[0, :] /= np.sqrt(2.0)
+    return a  # forward: A @ block @ A.T ; inverse: A.T @ coef @ A
+
+
+_DCT_A = _dct_matrix()
+
+
+def _quant_table(quality: int) -> np.ndarray:
+    """Documented base table: 16 + 2*(u+v), scaled by the libjpeg-style
+    quality curve. quality=100 -> all ones (near-lossless)."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in [1, 100]")
+    u, v = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    base = (16 + 2 * (u + v)).astype(np.float64)
+    scale = 5000.0 / quality if quality < 50 else 200.0 - 2.0 * quality
+    return np.clip(np.floor((base * scale + 50.0) / 100.0), 1, 255).astype(np.int64)
+
+
+# Encoder Huffman tables: canonical fixed-length codes. DC: 12 categories,
+# 5 bits each (codes 0..11; the all-ones 5-bit code stays unassigned, as
+# T.81 C.2 requires). AC: all 162 legal symbols (EOB, ZRL, (run<<4)|size for
+# run 0..15 / size 1..10), 8 bits each (codes 0..161 < 0xFF).
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_VALS = sorted([0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+_ENC_AC_CODE = {v: i for i, v in enumerate(_ENC_AC_VALS)}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # 1-fill
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + extra bits for a signed coefficient."""
+    size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int) -> int:
+    dc = int(zz[0])
+    size, bits = _mag_bits(dc - pred)
+    bw.put(size, 5)
+    if size:
+        bw.put(bits, size)
+    run = 0
+    nz = np.flatnonzero(zz[1:])
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        c = int(zz[k])
+        if c == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(_ENC_AC_CODE[0xF0], 8)
+            run -= 16
+        size, bits = _mag_bits(c)
+        bw.put(_ENC_AC_CODE[(run << 4) | size], 8)
+        bw.put(bits, size)
+        run = 0
+    if last < 63:
+        bw.put(_ENC_AC_CODE[0x00], 8)  # EOB
+    return dc
+
+
+def _dht_segment(tc: int, th: int, values: list[int], length: int) -> bytes:
+    bits = [0] * 16
+    bits[length - 1] = len(values)
+    body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _pad_to(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    return np.pad(img, ((0, h - img.shape[0]), (0, w - img.shape[1])), mode="edge")
+
+
+def encode_jpeg_baseline(
+    pixels: np.ndarray,
+    *,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w) uint8 gray or (h, w, 3) uint8 RGB -> baseline JFIF bytes.
+
+    ``subsample`` is '444' or '420' (color only). ``restart_interval`` > 0
+    emits DRI + RSTn every that many MCUs (exercises the decoder's restart
+    path)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("pixels must be (h, w) gray or (h, w, 3) RGB")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    qt_l = _quant_table(quality)
+    if gray:
+        comps = [(px.astype(np.float64), 1, 1, 0)]
+        qts = [qt_l]
+    else:
+        rgb = px.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        qt_c = _quant_table(min(100, quality + 5))
+        if subsample == "444":
+            comps = [(y, 1, 1, 0), (cb, 1, 1, 1), (cr, 1, 1, 1)]
+        else:
+            # 2x2 box-mean chroma; pad odd dims first so the mean is exact
+            cbp = _pad_to(cb, h + h % 2, w + w % 2)
+            crp = _pad_to(cr, h + h % 2, w + w % 2)
+            cb2 = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr2 = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
+            comps = [(y, 2, 2, 0), (cb2, 1, 1, 1), (cr2, 1, 1, 1)]
+        qts = [qt_l, qt_c]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # per-component quantized coefficient blocks, MCU-aligned
+    comp_blocks = []
+    for plane, ch, cv, tq in comps:
+        bx, by = mcus_x * ch, mcus_y * cv
+        p = _pad_to(plane, by * 8, bx * 8) - 128.0
+        blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ui,yxij,jv->yxuv", _DCT_A, blocks, _DCT_A.T)
+        q = np.round(coef / qts[tq]).astype(np.int64)
+        comp_blocks.append(q.reshape(by, bx, 64)[:, :, _ZIGZAG])
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, qt in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            qt.ravel()[_ZIGZAG].astype(np.uint8)
+        )
+    nf = len(comps)
+    sof = struct.pack(">BHHB", 8, h, w, nf)
+    for ci, (_, ch, cv, tq) in enumerate(comps):
+        sof += bytes([ci + 1, (ch << 4) | cv, tq])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += _dht_segment(0, 0, _ENC_DC_VALS, 5)
+    out += _dht_segment(1, 0, _ENC_AC_VALS, 8)
+    if nf > 1:
+        out += _dht_segment(0, 1, _ENC_DC_VALS, 5)
+        out += _dht_segment(1, 1, _ENC_AC_VALS, 8)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([nf])
+    for ci in range(nf):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _BitWriter()
+    preds = [0] * nf
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.align()
+                out += bw.out
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * nf
+            for ci, (_, ch, cv, _tq) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = comp_blocks[ci][my * cv + by, mx * ch + bx]
+                        preds[ci] = _encode_block(bw, zz, preds[ci])
+            mcu_count += 1
+    bw.align()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+
+class _BitReader:
+    """MSB-first reader over one unstuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+        self.nbits = len(data) * 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > self.nbits:
+            raise ValueError("truncated JPEG entropy data")
+        v = 0
+        pos = self.pos
+        data = self.data
+        for _ in range(n):
+            v = (v << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1)
+            pos += 1
+        self.pos = pos
+        return v
+
+    def huff(self, table: tuple) -> int:
+        mincode, maxcode, valptr, huffval = table
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            if maxcode[length] >= 0 and code <= maxcode[length]:
+                return huffval[valptr[length] + code - mincode[length]]
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _build_decode_table(bits: list[int], huffval: list[int]) -> tuple:
+    """T.81 F.2.2.3 canonical reconstruction: mincode/maxcode/valptr."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        if bits[length - 1]:
+            valptr[length] = k
+            mincode[length] = code
+            code += bits[length - 1]
+            k += bits[length - 1]
+            maxcode[length] = code - 1
+        code <<= 1
+    return (mincode, maxcode, valptr, huffval)
+
+
+def _extend(v: int, size: int) -> int:
+    return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
+
+
+def _decode_block(br: _BitReader, dctab: tuple, actab: tuple) -> np.ndarray:
+    zz = np.zeros(64, dtype=np.int64)
+    size = br.huff(dctab)
+    zz[0] = _extend(br.read(size), size) if size else 0
+    k = 1
+    while k < 64:
+        rs = br.huff(actab)
+        r, size = rs >> 4, rs & 15
+        if size == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run past end of block")
+        zz[k] = _extend(br.read(size), size)
+        k += 1
+    return zz
+
+
+def decode_jpeg(payload: bytes | np.ndarray) -> np.ndarray:
+    """Baseline/extended-sequential Huffman JPEG -> uint8 (h, w) or (h, w, 3).
+
+    Table-driven per ITU-T T.81: DQT (8/16-bit), multi-table DHT, SOF0/SOF1,
+    DRI/RSTn, any declared sampling factors, interleaved or single-component
+    scans. SOF2 (progressive) and arithmetic coding raise NotImplementedError.
+    """
+    data = bytes(bytearray(np.asarray(bytearray(payload), dtype=np.uint8))) if not isinstance(payload, bytes) else payload
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], tuple] = {}
+    frame = None  # (h, w, comps) ; comps: list of (cid, ch, cv, tq)
+    restart = 0
+    planes: dict[int, np.ndarray] = {}
+    i = 2
+    while i < len(data):
+        if data[i] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        while i < len(data) and data[i] == 0xFF:
+            i += 1
+        if i >= len(data):
+            break
+        marker = data[i]
+        i += 1
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7:  # stray RST
+            continue
+        if marker == 0x01:  # TEM
+            continue
+        (seglen,) = struct.unpack_from(">H", data, i)
+        seg = data[i + 2 : i + seglen]
+        i += seglen
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq:
+                    vals = np.frombuffer(seg[j : j + 128], dtype=">u2").astype(np.int64)
+                    j += 128
+                else:
+                    vals = np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(np.int64)
+                    j += 64
+                qtabs[tq] = vals  # stored in zigzag order
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                bits = list(seg[j + 1 : j + 17])
+                n = sum(bits)
+                huffval = list(seg[j + 17 : j + 17 + n])
+                htabs[(tc, th)] = _build_decode_table(bits, huffval)
+                j += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+            prec, fh, fw, nf = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG precision supported")
+            comps = []
+            for c in range(nf):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (fh, fw, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"JPEG SOF marker 0x{marker:02x} not supported")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            fh, fw, comps = frame
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(cc for cc in comps if cc[0] == cs)
+                scan.append((comp, htabs[(0, tt >> 4)], htabs[(1, tt & 15)]))
+            # entropy data: up to the next non-RST marker
+            j = i
+            segments = []  # restart-delimited, unstuffed
+            cur = bytearray()
+            while j < len(data):
+                b = data[j]
+                if b == 0xFF:
+                    nxt = data[j + 1] if j + 1 < len(data) else 0xD9
+                    if nxt == 0x00:
+                        cur.append(0xFF)
+                        j += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        segments.append(bytes(cur))
+                        cur = bytearray()
+                        j += 2
+                        continue
+                    if nxt == 0xFF:
+                        j += 1
+                        continue
+                    break
+                cur.append(b)
+                j += 1
+            segments.append(bytes(cur))
+            i = j
+            _decode_scan(scan, comps, fh, fw, restart, segments, qtabs, planes, ns)
+        # APPn / COM / anything else with a length: skipped
+    if frame is None or not planes:
+        raise ValueError("JPEG contains no decodable frame")
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    out_planes = []
+    for cid, ch, cv, _tq in comps:
+        p = planes[cid]
+        cw = -(-fw * ch // hmax)
+        chh = -(-fh * cv // vmax)
+        p = p[:chh, :cw]
+        if ch != hmax or cv != vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        out_planes.append(p[:fh, :fw].astype(np.float64))
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    if len(out_planes) != 3:
+        raise NotImplementedError("only grayscale and 3-component YCbCr supported")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _decode_scan(scan, comps, fh, fw, restart, segments, qtabs, planes, ns) -> None:
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if ns == 1:
+        comp, dctab, actab = scan[0]
+        cid, ch, cv, tq = comp
+        cw = -(-fw * ch // hmax)
+        chh = -(-fh * cv // vmax)
+        bx, by = -(-cw // 8), -(-chh // 8)
+        mcu_specs = [(comp, dctab, actab, 1, 1)]
+        mcus_x, mcus_y = bx, by
+    else:
+        mcus_x = -(-fw // (8 * hmax))
+        mcus_y = -(-fh // (8 * vmax))
+        mcu_specs = [(comp, dc, ac, comp[1], comp[2]) for comp, dc, ac in scan]
+    # coefficient planes, MCU-aligned
+    coef = {}
+    for comp, _dc, _ac, ch, cv in mcu_specs:
+        cid = comp[0]
+        coef[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.int64)
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    preds = {comp[0]: 0 for comp, *_ in mcu_specs}
+    n_mcus = mcus_x * mcus_y
+    for m in range(n_mcus):
+        if restart and m and m % restart == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG truncated at restart marker")
+            br = _BitReader(segments[seg_idx])
+            preds = {k: 0 for k in preds}
+        my, mx = divmod(m, mcus_x)
+        for comp, dctab, actab, ch, cv in mcu_specs:
+            cid, _, _, tq = comp
+            qt = qtabs[tq]
+            for by in range(cv):
+                for bx in range(ch):
+                    zz = _decode_block(br, dctab, actab)
+                    preds[cid] += int(zz[0])
+                    zz = zz.copy()
+                    zz[0] = preds[cid]
+                    blk = np.zeros(64, dtype=np.int64)
+                    blk[_ZIGZAG] = zz * qt
+                    r0 = (my * cv + by) * 8
+                    c0 = (mx * ch + bx) * 8
+                    coef[cid][r0 : r0 + 8, c0 : c0 + 8] = blk.reshape(8, 8)
+    # vectorized IDCT per component
+    for comp, *_ in mcu_specs:
+        cid = comp[0]
+        cplane = coef[cid]
+        by8, bx8 = cplane.shape[0] // 8, cplane.shape[1] // 8
+        blocks = cplane.reshape(by8, 8, bx8, 8).transpose(0, 2, 1, 3).astype(np.float64)
+        pix = np.einsum("ui,yxuv,vj->yxij", _DCT_A, blocks, _DCT_A) + 128.0
+        planes[cid] = pix.transpose(0, 2, 1, 3).reshape(by8 * 8, bx8 * 8)

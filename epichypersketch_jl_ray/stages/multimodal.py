@@ -2,11 +2,13 @@
 with typed metadata, processed by actor-pool map_batches stages.
 
 Decode dispatches on the row's ``mime``:
-- REAL decodes with the pure-numpy codecs in functions/codecs.py —
+- REAL decodes with the pure-numpy/stdlib codecs in functions/codecs.py —
   image/bmp (BI_RGB 8/24-bit), image/png (stdlib-zlib DEFLATE + numpy
-  unfiltering, 8-bit gray/RGB, all five row filters), audio/wav (PCM mono),
-  video/raw-gray8 (concatenated raw frames, ffmpeg's rawvideo layout).
-- Remaining COMPRESSED formats (JPEG/MP3/H.264) are honest
+  unfiltering, 8-bit gray/RGB, all five row filters), image/jpeg (baseline
+  T.81: table-driven Huffman + matrix IDCT, gray/YCbCr, any declared
+  sampling, DRI/RSTn), audio/wav (PCM mono), video/raw-gray8 (concatenated
+  raw frames, ffmpeg's rawvideo layout).
+- Remaining COMPRESSED formats (progressive JPEG/MP3/H.264/webp) are honest
   NotImplementedError seams — their codec libraries are absent from this
   container; a real deployment loads the codec once per actor in
   ``__init__`` (the reason these stages are callable classes).
@@ -97,21 +99,28 @@ def make_bmp_image_table(n: int, *, seed: int = 7, side: int = 8) -> pa.Table:
 
 def make_mixed_image_table(n: int, *, seed: int = 7, side: int = 8) -> pa.Table:
     """Deterministic REAL-format fixture mixing formats the way a scraped
-    corpus would: even ids are 8-bit grayscale BMP, odd ids are PNG (cycling
-    through all five row filters so the decoder's every unfilter path runs
-    in production queries, not just unit tests)."""
-    from epichypersketch_jl_ray.functions.codecs import encode_bmp_gray8, encode_png
+    corpus would: ids cycle grayscale BMP / PNG (through all five row filters
+    so every unfilter path runs in production queries, not just unit tests) /
+    baseline JPEG (quality=100, so the only loss is IDCT rounding)."""
+    from epichypersketch_jl_ray.functions.codecs import (
+        encode_bmp_gray8,
+        encode_jpeg_baseline,
+        encode_png,
+    )
 
     rng = np.random.default_rng(seed)
     payloads, mimes = [], []
     for i in range(n):
         px = rng.integers(0, 256, size=(side, side), dtype=np.uint8)
-        if i % 2 == 0:
+        if i % 3 == 0:
             payloads.append(encode_bmp_gray8(px))
             mimes.append("image/bmp")
-        else:
+        elif i % 3 == 1:
             payloads.append(encode_png(px, filter_type=i % 5))
             mimes.append("image/png")
+        else:
+            payloads.append(encode_jpeg_baseline(px, quality=100))
+            mimes.append("image/jpeg")
     return pa.table(
         {
             "id": pa.array(range(n), pa.int64()),
@@ -136,7 +145,7 @@ class DecodeImage:
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from epichypersketch_jl_ray.functions.codecs import decode_bmp, decode_png
+        from epichypersketch_jl_ray.functions.codecs import decode_bmp, decode_jpeg, decode_png
 
         payloads = batch["payload"]
         if isinstance(payloads, pa.ChunkedArray):
@@ -148,8 +157,9 @@ class DecodeImage:
         parts: list[np.ndarray] = []
         for i, mime in enumerate(mimes):
             blob = values[offsets[i] : offsets[i + 1]]
-            if mime in ("image/bmp", "image/png"):
-                img = decode_bmp(blob) if mime == "image/bmp" else decode_png(blob)
+            if mime in ("image/bmp", "image/png", "image/jpeg"):
+                dec = {"image/bmp": decode_bmp, "image/png": decode_png, "image/jpeg": decode_jpeg}
+                img = dec[mime](blob)
                 if img.shape[0] != heights[i] or img.shape[1] != widths[i]:
                     raise ValueError(
                         f"{mime} header {img.shape[1]}x{img.shape[0]} contradicts "
@@ -167,8 +177,8 @@ class DecodeImage:
             else:
                 raise NotImplementedError(
                     f"decoding {mime} requires a codec library not present in this "
-                    "container (bmp/png decode natively; jpeg needs PIL/torchvision "
-                    "loaded once per actor here)"
+                    "container (bmp/png/baseline-jpeg decode natively; other "
+                    "formats need a codec loaded once per actor here)"
                 )
         lengths = np.array([len(p) for p in parts], dtype=np.int64)
         lists = pa.ListArray.from_arrays(

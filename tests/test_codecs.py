@@ -96,7 +96,7 @@ def test_decode_image_stage_rejects_compressed_mime():
 
     tbl = make_bmp_image_table(1)
     tbl = tbl.set_column(
-        tbl.schema.get_field_index("mime"), "mime", pa.array(["image/jpeg"], pa.string())
+        tbl.schema.get_field_index("mime"), "mime", pa.array(["image/webp"], pa.string())
     )
     with pytest.raises(NotImplementedError):
         DecodeImage()(tbl)
@@ -168,17 +168,20 @@ def test_png_round_trip_fuzz():
     png_case()
 
 
-def test_decode_image_stage_mixed_bmp_png():
+def test_decode_image_stage_mixed_bmp_png_jpeg():
     from epichypersketch_jl_ray.stages.multimodal import DecodeImage, make_mixed_image_table
 
-    tbl = make_mixed_image_table(10, seed=7, side=8)
-    assert set(tbl["mime"].to_pylist()) == {"image/bmp", "image/png"}
+    tbl = make_mixed_image_table(12, seed=7, side=8)
+    mimes = tbl["mime"].to_pylist()
+    assert set(mimes) == {"image/bmp", "image/png", "image/jpeg"}
     out = DecodeImage()(tbl)
     rng = np.random.default_rng(7)  # regenerate the fixture's pixel truth
-    for i in range(10):
+    for i in range(12):
         want = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
         got = np.asarray(out["pixels"][i].as_py(), dtype=np.float32)
-        np.testing.assert_allclose(got, want.astype(np.float32).ravel() / 255.0)
+        # jpeg is quality=100: loss limited to IDCT rounding (a few LSB)
+        atol = 3.0 / 255.0 if mimes[i] == "image/jpeg" else 0.0
+        np.testing.assert_allclose(got, want.astype(np.float32).ravel() / 255.0, atol=atol)
 
 
 def test_window_audio_stage_real_wav_known_samples():
@@ -231,3 +234,124 @@ def test_bmp_wav_round_trip_fuzz():
 
     bmp_case()
     wav_case()
+
+
+# --- JPEG (baseline T.81) ----------------------------------------------------
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+@pytest.mark.parametrize("w,h", [(8, 8), (40, 24), (23, 17), (1, 1), (9, 8)])
+def test_jpeg_gray_q100_near_lossless(w, h):
+    from epichypersketch_jl_ray.functions.codecs import decode_jpeg, encode_jpeg_baseline
+
+    rng = np.random.default_rng(w * 100 + h)
+    px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(px, quality=100))
+    assert out.shape == (h, w)
+    # quality=100 -> all-ones quant tables; only IDCT float rounding remains
+    assert int(np.abs(out.astype(int) - px.astype(int)).max()) <= 3
+
+
+def test_jpeg_gray_quality_ladder():
+    from epichypersketch_jl_ray.functions.codecs import decode_jpeg, encode_jpeg_baseline
+
+    g = (np.add.outer(np.arange(24), np.arange(40)) * 3 % 256).astype(np.uint8)
+    last = 0.0
+    for q in (50, 75, 90, 100):
+        p = _psnr(g, decode_jpeg(encode_jpeg_baseline(g, quality=q)))
+        assert p >= last  # monotone quality
+        last = p
+    assert last >= 90  # q=100 nearly exact
+
+
+@pytest.mark.parametrize("subsample", ["444", "420"])
+def test_jpeg_rgb_round_trip(subsample):
+    from epichypersketch_jl_ray.functions.codecs import decode_jpeg, encode_jpeg_baseline
+
+    yy, xx = np.meshgrid(np.arange(33), np.arange(47), indexing="ij")
+    px = np.stack(
+        [np.clip(yy * 3, 0, 255), np.clip(xx * 4, 0, 255), np.clip(120 + yy + xx, 0, 255)],
+        axis=-1,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(px, quality=95, subsample=subsample))
+    assert out.shape == px.shape
+    assert _psnr(px, out) >= (50 if subsample == "444" else 40)
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    from epichypersketch_jl_ray.functions.codecs import decode_jpeg, encode_jpeg_baseline
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg_baseline(px, quality=90))
+    with_rst = decode_jpeg(encode_jpeg_baseline(px, quality=90, restart_interval=2))
+    # identical quantized coefficients -> identical decode, RSTs are transparent
+    np.testing.assert_array_equal(plain, with_rst)
+
+
+def test_jpeg_420_restart_markers():
+    from epichypersketch_jl_ray.functions.codecs import decode_jpeg, encode_jpeg_baseline
+
+    yy, xx = np.meshgrid(np.arange(20), np.arange(36), indexing="ij")
+    px = np.stack([yy * 6, xx * 5, yy * 3 + xx * 3], axis=-1).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg_baseline(px, quality=90, subsample="420"))
+    with_rst = decode_jpeg(
+        encode_jpeg_baseline(px, quality=90, subsample="420", restart_interval=1)
+    )
+    np.testing.assert_array_equal(plain, with_rst)
+
+
+def test_jpeg_error_paths():
+    from epichypersketch_jl_ray.functions.codecs import decode_jpeg, encode_jpeg_baseline
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(NotImplementedError):  # progressive
+        decode_jpeg(b"\xff\xd8\xff\xc2" + bytes(20))
+    blob = encode_jpeg_baseline(np.zeros((16, 16), np.uint8), quality=90)
+    with pytest.raises(ValueError):  # truncated entropy data
+        decode_jpeg(blob[: len(blob) // 2])
+    with pytest.raises(ValueError):
+        encode_jpeg_baseline(np.zeros((0, 4), np.uint8))
+    with pytest.raises(ValueError):
+        encode_jpeg_baseline(np.zeros((4, 4), np.uint8), quality=0)
+
+
+def test_jpeg_canonical_huffman_decode_variable_lengths():
+    """The decoder's T.81 F.2.2.3 canonical reconstruction on a VARIABLE
+    length table (our encoder only emits fixed-length ones): symbols a/b/c/d
+    with lengths 1/2/3/3 get codes 0 / 10 / 110 / 111."""
+    from epichypersketch_jl_ray.functions.codecs import _BitReader, _build_decode_table
+
+    bits = [1, 1, 2] + [0] * 13
+    table = _build_decode_table(bits, [10, 20, 30, 40])
+    # stream: 0, 10, 110, 111, 0  -> 0b0101101110 padded to 2 bytes
+    br = _BitReader(bytes([0b01011011, 0b10000000]))
+    assert [br.huff(table) for _ in range(5)] == [10, 20, 30, 40, 10]
+
+
+def test_jpeg_fuzz_gray_q100():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from epichypersketch_jl_ray.functions.codecs import decode_jpeg, encode_jpeg_baseline
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        seed=st.integers(0, 2**16),
+        rst=st.sampled_from([0, 1, 3]),
+    )
+    def case(w, h, seed, rst):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg_baseline(px, quality=100, restart_interval=rst))
+        assert out.shape == (h, w)
+        assert int(np.abs(out.astype(int) - px.astype(int)).max()) <= 3
+
+    case()
