@@ -132,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_quantiles_by_lang": sketches.doc_length_quantiles_by_lang_sql(),
         "user_membership_bloom": sketches.user_membership_bloom_sql(),
         "top_ngrams_spacesaving": merged.top_ngrams_spacesaving_sql(),
+        "doc_sample": merged.doc_sample_sql(),
         "top_suppliers_spacesaving": sketches.top_suppliers_spacesaving_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh_sql(),

@@ -81,13 +81,76 @@ def distinct_users_hll(sf_dir: str) -> pd.DataFrame:
 
 def doc_sample(sf_dir: str) -> pd.DataFrame:
     """Stratified (per-lang) + overall uniform reservoir samples in one
-    frame (overall as lang='*'). Rows-only; membership/determinism in
-    pytest."""
+    frame (overall as lang='*'). FULLY oracled: the mergeable priority
+    reservoir is deterministic bottom-k by splitmix64(doc_id ^ mix(seed)),
+    which doc_sample_sql() reproduces bit-for-bit in DuckDB (HUGEINT
+    modular arithmetic), so the sampled ids hash-match exact SQL."""
     from epichypersketch_jl_ray.pipelines import sketches
 
     by = sketches.doc_sample_by_lang(sf_dir)
     overall = sketches.doc_sample(sf_dir).assign(lang="*")[["lang", "doc_id"]]
     return pd.concat([by, overall], ignore_index=True)
+
+
+def _sql_splitmix64_prio(seed: int) -> str:
+    """CTE chain computing prio = splitmix64(doc_id ^ splitmix64(seed)) for
+    every documents row, exactly (validated bit-for-bit vs numpy).
+
+    64-bit wrap-around arithmetic in SQL: values live in HUGEINT (128-bit)
+    reduced mod 2^64; xor converts through the signed-BIGINT bit pattern
+    (two's complement preserves bits); a*b mod 2^64 decomposes as
+    (lo32(a)*b + (hi32(a)*b mod 2^32)<<32) mod 2^64 so no intermediate
+    exceeds 2^97. Layered CTEs, not lateral aliases — DuckDB inlines lateral
+    aliases textually and the nested CASEs explode exponentially."""
+    import numpy as np
+
+    from epichypersketch_jl_ray.functions.hashing import splitmix64
+
+    s_mix = int(splitmix64(np.uint64(seed)))
+    m = "CAST('18446744073709551616' AS HUGEINT)"
+    half = "CAST('9223372036854775808' AS HUGEINT)"
+
+    def u2s(e: str) -> str:
+        return f"CAST(CASE WHEN {e} >= {half} THEN {e} - {m} ELSE {e} END AS BIGINT)"
+
+    def xoru(a: str, b: str) -> str:
+        return f"(CAST(xor({u2s(a)}, {u2s(b)}) AS HUGEINT) + {m}) % {m}"
+
+    def mulmod(a: str, c: int) -> str:
+        cc = f"CAST('{c}' AS HUGEINT)"
+        return (
+            f"((({a}) % 4294967296) * {cc} +"
+            f" ((({a}) // 4294967296) * {cc} % 4294967296) * 4294967296) % {m}"
+        )
+
+    return f"""
+t0 AS (SELECT lang, doc_id,
+       {xoru('CAST(doc_id AS HUGEINT)', f"CAST('{s_mix}' AS HUGEINT)")} AS x
+       FROM documents),
+t1 AS (SELECT lang, doc_id, (x + CAST('11400714819323198485' AS HUGEINT)) % {m} AS z0 FROM t0),
+t2 AS (SELECT lang, doc_id, {xoru('z0', 'z0 // 1073741824')} AS y0 FROM t1),
+t3 AS (SELECT lang, doc_id, {mulmod('y0', 0xBF58476D1CE4E5B9)} AS z1 FROM t2),
+t4 AS (SELECT lang, doc_id, {xoru('z1', 'z1 // 134217728')} AS y1 FROM t3),
+t5 AS (SELECT lang, doc_id, {mulmod('y1', 0x94D049BB133111EB)} AS z2 FROM t4),
+t6 AS (SELECT lang, doc_id, {xoru('z2', 'z2 // 2147483648')} AS prio FROM t5)"""
+
+
+def doc_sample_sql(k_overall: int = 100, k_lang: int = 20) -> str:
+    from epichypersketch_jl_ray.pipelines.sketches import SEED
+
+    return f"""
+WITH {_sql_splitmix64_prio(SEED)},
+by_lang AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY prio, doc_id) AS rn
+  FROM t6),
+overall AS (
+  SELECT '*' AS lang, doc_id, row_number() OVER (ORDER BY prio, doc_id) AS rn
+  FROM t6)
+SELECT lang, CAST(doc_id AS BIGINT) AS doc_id FROM by_lang WHERE rn <= {k_lang}
+UNION ALL
+SELECT lang, CAST(doc_id AS BIGINT) AS doc_id FROM overall WHERE rn <= {k_overall}
+"""
 
 
 # --- heavy hitters ----------------------------------------------------------
