@@ -155,3 +155,30 @@ def test_motif_spill_dir_equals_materialized(ray_session, tmp_path):
         a[cols].sort_values(cols).reset_index(drop=True),
         b[cols].sort_values(cols).reset_index(drop=True),
     )
+
+
+def test_tree_merge_auto_equals_levels_for_coo_countmin(ray_session):
+    """The COO CountMin regression guard: the auto path's k-way merge_many
+    must produce byte-identical state to the levels path (round-4 found the
+    pairwise fold was quadratic AND order-sensitive flushes could diverge;
+    this pins both semantics and determinism, sparse and densified)."""
+    import pyarrow as pa
+    import ray.data
+
+    from epichypersketch_jl_ray.functions.hashing import hash_int64
+    from epichypersketch_jl_ray.stages.udaf import make_partial_fn, tree_merge
+    from epichypersketch_jl_ray.state.countmin import CountMin
+
+    def update(cm, batch: pa.Table):
+        ids = batch["id"].to_numpy()
+        cm.add_keys(hash_int64(ids % 997, seed=4))
+
+    for eps, n in ((1e-5, 30_000), (1e-2, 30_000)):  # sparse regime, dense regime
+        ds = ray.data.range(n, override_num_blocks=32)
+        partial = make_partial_fn(lambda: CountMin(1, delta=0.01, epsilon=eps, seed=5), update)
+        digests = set()
+        for levels, fanout in ((0, 8), (None, 8), (None, 3)):
+            states = ds.map_batches(partial, batch_format="pyarrow", batch_size=1024)
+            merged = tree_merge(states, CountMin, fanout=fanout, levels=levels)
+            digests.add(merged.digest())
+        assert len(digests) == 1, f"eps={eps}: {digests}"
