@@ -182,3 +182,27 @@ def test_tree_merge_auto_equals_levels_for_coo_countmin(ray_session):
             merged = tree_merge(states, CountMin, fanout=fanout, levels=levels)
             digests.add(merged.digest())
         assert len(digests) == 1, f"eps={eps}: {digests}"
+
+
+def test_motif_exact_verify_survives_coarse_sketch(ray_session):
+    """A deliberately under-sized CMS (55 columns — massive collisions) must
+    still produce EXACTLY the collision-free output: the exact-verify tail
+    (pipelines/motifs._exact_support_correct) drops CMS false survivors and
+    replaces inflated estimates with exact counts. Guards the round-4
+    sf0.1 finding that no fixed geometry stays collision-free as the
+    distinct-combination count grows."""
+    import pandas as pd
+    import ray.data
+
+    from epichypersketch_jl_ray.api import activation_table_from_dict
+    from epichypersketch_jl_ray.pipelines.motifs import motif_pipeline
+    from epichypersketch_jl_ray.sources.reference_fixtures import make_ordinary_dict
+
+    tbl, _ = activation_table_from_dict(make_ordinary_dict())
+    outs = []
+    for delta, eps in ((9e-3, 3.24e-7), (0.5, 0.05)):  # exact regime vs 1x55 sketch
+        ds = ray.data.from_arrow(tbl)
+        df = motif_pipeline(ds, motif_size=3, min_count=8, delta=delta, epsilon=eps).to_pandas()
+        cols = sorted(df.columns)
+        outs.append(df[cols].sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
