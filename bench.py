@@ -122,6 +122,32 @@ def run_queries() -> dict[str, float]:
     return out
 
 
+def machine_probe() -> dict:
+    """Fixed single-process calibration (~2 s): this sandbox's effective CPU
+    and memory bandwidth swing 2-6x across phases (BASELINE.md round-3/4
+    calibration), so every recorded bench carries the machine state it ran
+    under. Compare `matmul_gflops` / `mem_sum_gbps` across BENCH_r{N}.json
+    files before comparing query walls."""
+    import numpy as np
+
+    a = np.random.default_rng(0).integers(0, 1 << 40, 10_000_000).astype(np.int64)
+    t0 = time.monotonic()
+    b = np.sort(a)
+    t_sort = time.monotonic() - t0
+    t0 = time.monotonic()
+    float(b.sum())
+    t_sum = time.monotonic() - t0
+    c = np.random.default_rng(1).random((1200, 1200))
+    t0 = time.monotonic()
+    (c @ c).sum()
+    t_mm = time.monotonic() - t0
+    return {
+        "sort_10m_s": round(t_sort, 3),
+        "mem_sum_gbps": round(80e6 / t_sum / 1e9, 2),
+        "matmul_gflops": round(2 * 1200**3 / t_mm / 1e9, 2),
+    }
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         # N vs 4N parallelism in fresh processes on the same input.
@@ -175,6 +201,10 @@ def main() -> None:
                     f"throughput_{n}cpu": thr_n,
                     f"throughput_{4*n}cpu": thr_4n,
                     "samples": samples,
+                    "probes": {
+                        f"{n}cpu": [a1.get("machine_probe"), a2.get("machine_probe")],
+                        f"{4*n}cpu": [b1.get("machine_probe"), b2.get("machine_probe")],
+                    },
                     "scaling_efficiency": round(thr_4n / (4.0 * thr_n), 3),
                 }
             )
@@ -191,6 +221,7 @@ def main() -> None:
                     "unit": "sec",
                     "sf": SF_DIR,
                     "num_cpus": NUM_CPUS,
+                    "machine_probe": machine_probe(),
                     **headline,
                 }
             )
@@ -213,6 +244,7 @@ def main() -> None:
                 "docs_per_sec": headline["docs_per_sec"],
                 "web_rows": headline["web_rows"],
                 "queries_total_s": round(sum(queries.values()), 3),
+                "machine_probe": machine_probe(),
                 "summary": headline["summary"],
             }
         )

@@ -114,34 +114,67 @@ def motif_pipeline(
     selector = MotifSelector(cms_ref, min_count=min_count, **kwargs)
     out = act.map_batches(selector, batch_format="pyarrow", batch_size=batch_size)
     key_cols = [f"m{i + 1}" for i in range(motif_size)]
+    schema_fields: list[tuple[str, pa.DataType]] = [(c, pa.int32()) for c in key_cols]
     if conv:
-        key_cols += [f"d{i + 1}{i + 2}" for i in range(motif_size - 1)]
-    return _exact_support_correct(out, key_cols, min_count)
+        d_cols = [f"d{i + 1}{i + 2}" for i in range(motif_size - 1)]
+        key_cols += d_cols
+        schema_fields += [(c, pa.int32()) for c in d_cols]
+        schema_fields += [("start", pa.int32()), ("end", pa.int32())]
+    schema_fields += [
+        ("data_index", pa.int64()),
+        ("contribution", pa.float64()),
+        ("estimate", pa.int64()),
+    ]
+    return _exact_support_correct(out, key_cols, min_count, schema_fields=schema_fields)
 
 
 def _exact_support_correct(
-    out: ray.data.Dataset, key_cols: list[str], min_count: int, num_buckets: int = 32
+    out: ray.data.Dataset,
+    key_cols: list[str],
+    min_count: int,
+    *,
+    schema_fields: list[tuple[str, pa.DataType]],
+    num_buckets: int = 32,
 ) -> ray.data.Dataset:
     """Sketch-prune + exact-verify tail (module docstring): recount each
     CMS-selected combination over the pass-2 output, drop combinations whose
     exact support < min_count (CMS false survivors) and set ``estimate`` to
     the exact count. Runs at OUTPUT scale — the bucket groupby shuffles only
-    rows the sketch already let through, never the corpus."""
+    rows the sketch already let through, never the corpus.
+
+    One null-keyed SENTINEL row (typed from ``schema_fields``, bucket -1) is
+    unioned in before the groupby: Ray skips UDF calls on empty blocks and a
+    groupby of a fully-empty dataset drops the schema entirely, so the
+    sentinel guarantees the tail always flows at least one typed row through
+    map_groups and the final filter — the result keeps its schema even when
+    the sketch selected nothing."""
+    import pyarrow.compute as pc
+
     from epichypersketch_jl_ray.functions.hashing import hash_combine, hash_int64
 
+    sentinel_tbl = pa.table(
+        {name: pa.array([None], type=t) for name, t in schema_fields}
+    )
+    out = out.union(ray.data.from_arrow(sentinel_tbl))
+
     def add_bucket(batch: pa.Table) -> pa.Table:
+        valid = pc.is_valid(batch[key_cols[0]]).to_numpy(zero_copy_only=False)
         hs = [
-            hash_int64(batch[c].to_numpy(zero_copy_only=False).astype(np.int64), seed=11)
+            hash_int64(
+                pc.fill_null(batch[c], 0).to_numpy(zero_copy_only=False).astype(np.int64),
+                seed=11,
+            )
             for c in key_cols
         ]
         h = hs[0] if len(hs) == 1 else hash_combine(*hs)
         bucket = (h % np.uint64(num_buckets)).astype(np.int64)
+        bucket = np.where(valid, bucket, -1)
         return batch.append_column("bucket", pa.array(bucket, pa.int64()))
 
     def per_bucket(batch: pa.Table) -> pa.Table:
         batch = batch.drop_columns(["bucket"])
-        if len(batch) == 0:
-            return batch
+        if not pc.any(pc.is_valid(batch[key_cols[0]])).as_py():
+            return batch  # sentinel group passes through; dropped after the groupby
         keys = np.stack(
             [batch[c].to_numpy(zero_copy_only=False).astype(np.int64) for c in key_cols],
             axis=1,
@@ -155,10 +188,14 @@ def _exact_support_correct(
         )
         return fixed.filter(pa.array(exact >= min_count))
 
+    def drop_sentinels(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch[key_cols[0]]))
+
     return (
         out.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
+        .map_batches(drop_sentinels, batch_format="pyarrow")
     )
 
 
