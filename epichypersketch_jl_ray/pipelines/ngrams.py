@@ -33,8 +33,10 @@ NGRAM_DELTA = 1e-4
 NGRAM_EPSILON = 6.5e-7
 
 
-def _cms_factory(seed: int = NGRAM_SEED) -> CountMin:
-    return CountMin(1, delta=NGRAM_DELTA, epsilon=NGRAM_EPSILON, seed=seed)
+def _cms_factory(
+    seed: int = NGRAM_SEED, delta: float = NGRAM_DELTA, epsilon: float = NGRAM_EPSILON
+) -> CountMin:
+    return CountMin(1, delta=delta, epsilon=epsilon, seed=seed)
 
 
 def _ngram_hash_u64(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
@@ -50,6 +52,8 @@ def heavy_ngrams(
     text_col: str = "text",
     table: str = "documents",
     batch_size: int = 4096,
+    delta: float = NGRAM_DELTA,
+    epsilon: float = NGRAM_EPSILON,
 ):
     """Distinct token n-grams whose CMS estimate >= min_count (Dataset —
     the cross-batch dedupe is a distributed groupby over the already
@@ -59,7 +63,7 @@ def heavy_ngrams(
 
     def partial(batch: pa.Table) -> pa.Table:
         ng, _ = _ngram_hash_u64(batch[text_col], n)
-        cms = _cms_factory().add_keys(ng)
+        cms = _cms_factory(delta=delta, epsilon=epsilon).add_keys(ng)
         return pa.table({"state": pa.array([cms.to_bytes()], type=pa.large_binary())})
 
     states = ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
@@ -73,8 +77,14 @@ def heavy_ngrams(
         off = np.asarray(toks.offsets, dtype=np.int64)
         ng, _ = ngram_hashes(flat_h, off, n)
         if len(ng) == 0:
-            return pa.table({"ngram": pa.array([], pa.string()), "estimate": pa.array([], pa.int64())})
-        uniq, first = np.unique(ng, return_index=True)
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "ngram": pa.array([], pa.string()),
+                    "batch_n": pa.array([], pa.int64()),
+                }
+            )
+        uniq, first, cnt = np.unique(ng, return_index=True, return_counts=True)
         est = cms.estimate_keys(uniq)
         sel = est >= min_count
         keep = first[sel]
@@ -94,14 +104,14 @@ def heavy_ngrams(
             {
                 "h": pa.array(uniq[sel].view(np.int64), pa.int64()),
                 "ngram": joined,
-                "estimate": pa.array(est[sel], pa.int64()),
+                "batch_n": pa.array(cnt[sel].astype(np.int64), pa.int64()),
             }
         )
 
     # pass 2 selects, it doesn't enumerate — a larger batch just means fewer
-    # duplicate (ngram, estimate) rows entering the dedupe shuffle
+    # duplicate (ngram, batch_n) rows entering the dedupe shuffle
     out = ds.map_batches(select, batch_format="pyarrow", batch_size=4 * batch_size)
-    return _dedupe_selected(out, ["ngram"])
+    return _dedupe_selected(out, ["ngram"], min_count=min_count)
 
 
 def heavy_ngrams_by_lang(
@@ -147,12 +157,13 @@ def heavy_ngrams_by_lang(
         if len(keys) == 0:
             return pa.table(
                 {
+                    "h": pa.array([], pa.int64()),
                     "lang": pa.array([], pa.string()),
                     "ngram": pa.array([], pa.string()),
-                    "estimate": pa.array([], pa.int64()),
+                    "batch_n": pa.array([], pa.int64()),
                 }
             )
-        uniq, first = np.unique(keys, return_index=True)
+        uniq, first, cnt = np.unique(keys, return_index=True, return_counts=True)
         est = cms.estimate_keys(uniq)
         sel = est >= min_count
         keep = first[sel]
@@ -174,43 +185,68 @@ def heavy_ngrams_by_lang(
                 "h": pa.array(uniq[sel].view(np.int64), pa.int64()),
                 "lang": pc.take(lang, pa.array(row_ids)),
                 "ngram": joined,
-                "estimate": pa.array(est[sel], pa.int64()),
+                "batch_n": pa.array(cnt[sel].astype(np.int64), pa.int64()),
             }
         )
 
     out = ds.map_batches(select, batch_format="pyarrow", batch_size=4 * batch_size)
-    return _dedupe_selected(out, ["lang", "ngram"])
+    return _dedupe_selected(out, ["lang", "ngram"], min_count=min_count)
 
 
 def _dedupe_selected(
-    out, payload_cols: list[str], *, dedupe_partitions: int = 8
+    out, payload_cols: list[str], *, min_count: int, dedupe_partitions: int = 8
 ):
-    """Distributed cross-batch dedupe of the thresholded pass-2 selection.
+    """Exact-verify + dedupe of the thresholded pass-2 selection
+    (sketch-prune + exact-verify, same pattern as pipelines/motifs.py).
 
-    Rows with the same int64 key ``h`` are exact duplicates (same merged CMS
-    → same estimate; same hash → same strings), so: pre-combine locally per
-    block (the combiner-before-groupby pattern — np.unique per block), then
-    one small groupby keyed on the int64 hash (never the strings) carries
-    the payload via Min and Max. ``dedupe_partitions`` spreads the sort of
-    the selected set; the selected set is the thresholded output, orders of
-    magnitude below the corpus, so a fixed small partition count holds —
-    raise it along with min_count if the selection itself is corpus-scale.
+    Pass 2 emits each CMS-selected n-gram once per batch with its per-batch
+    occurrence count (``batch_n``); CMS never underestimates, so the
+    selected set is a superset of the true survivors. Pre-combine locally
+    per block (the combiner-before-groupby pattern), then one small groupby
+    keyed on the int64 hash sums the counts — the sum IS the exact global
+    count, so the final filter drops CMS false survivors and ``estimate``
+    is exact at ANY corpus size (a fixed 'collision-free' geometry is not:
+    the birthday term (N/cols)^rows grows with distinct-key count N).
+    ``dedupe_partitions`` spreads the sort of the selected set; the
+    selected set is the thresholded output, orders of magnitude below the
+    corpus, so a fixed small partition count holds — raise it along with
+    min_count if the selection itself is corpus-scale.
     """
-    from ray.data.aggregate import Max, Min
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Min, Sum
 
-    def local_dedupe(batch: pa.Table) -> pa.Table:
+    def local_combine(batch: pa.Table) -> pa.Table:
         h = batch["h"].to_numpy(zero_copy_only=False)
-        _, first = np.unique(h, return_index=True)
-        return batch.take(pa.array(np.sort(first), pa.int64()))
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        uniq, start = np.unique(hs, return_index=True)
+        bn = batch["batch_n"].to_numpy(zero_copy_only=False)[order]
+        sums = np.add.reduceat(bn, start) if len(hs) else bn
+        combined = batch.take(pa.array(order[start], pa.int64()))
+        return combined.set_column(
+            combined.schema.get_field_index("batch_n"),
+            "batch_n",
+            pa.array(sums.astype(np.int64), pa.int64()),
+        )
 
     aggs = [Min(c, alias_name=c) for c in payload_cols]
-    return (
+    agg = (
         out.repartition(dedupe_partitions)
-        .map_batches(local_dedupe, batch_format="pyarrow", batch_size=None)
+        .map_batches(local_combine, batch_format="pyarrow", batch_size=None)
         .groupby("h")
-        .aggregate(*aggs, Max("estimate", alias_name="estimate"))
-        .drop_columns(["h"])
+        .aggregate(*aggs, Sum("batch_n", alias_name="estimate"))
     )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.set_column(
+            batch.schema.get_field_index("estimate"),
+            "estimate",
+            batch["estimate"].cast(pa.int64()),
+        )
+        keep = _pc.greater_equal(batch["estimate"], min_count)
+        return batch.filter(keep).drop_columns(["h"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def heavy_ngrams_by_lang_sql(n: int = 3, min_count: int = 3) -> str:

@@ -206,3 +206,20 @@ def test_motif_exact_verify_survives_coarse_sketch(ray_session):
         cols = sorted(df.columns)
         outs.append(df[cols].sort_values(cols).reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_heavy_ngrams_exact_verify_survives_coarse_sketch(ray_session, sf_dir):
+    """Same guard as the motifs one, for the n-gram heavy hitters: a 55-column
+    CMS (massive collisions) must produce exactly the collision-free output —
+    _dedupe_selected sums true per-batch counts and drops CMS false
+    survivors."""
+    import pandas as pd
+
+    from epichypersketch_jl_ray.pipelines.ngrams import heavy_ngrams
+
+    outs = []
+    for delta, eps in ((1e-4, 6.5e-7), (0.5, 0.05)):
+        df = heavy_ngrams(sf_dir, delta=delta, epsilon=eps).to_pandas()
+        cols = sorted(df.columns)
+        outs.append(df[cols].sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
