@@ -27,7 +27,9 @@ what makes per-block partial emission + tree merge cheap at scale.
 
 from __future__ import annotations
 
+import io
 import math
+import struct
 
 import numpy as np
 
@@ -300,6 +302,97 @@ class CountMin(MergeableSketch):
 
     # --- protocol ----------------------------------------------------------
 
+    # --- compact wire format ------------------------------------------------
+    # Sparse COO ids/counts (and the dense array) serialize at the narrowest
+    # width that holds their values (every configured geometry keeps flat ids
+    # under 2^31, and partial-state counts are block-bounded), which halves
+    # tree-merge/checkpoint state traffic vs pickled int64 arrays — the
+    # dominant byte stream in the oracle-parity (near-exact) sketch regimes.
+    # __reduce__ routes plain pickle through the same format, so composite
+    # states (MotifCountState, WebSketchState) compress without changes.
+    # Width choice depends only on array CONTENT, so byte-canonicality under
+    # merge order is preserved; from_bytes still reads legacy pickle blobs.
+
+    def to_bytes(self) -> bytes:
+        buf = io.BytesIO()
+        buf.write(_WIRE_MAGIC)
+        buf.write(
+            struct.pack(
+                "<qqqqqqB",
+                self.rows,
+                self.cols,
+                self.num_counters,
+                self.hash_width,
+                self.seed,
+                self.n_inserts,
+                1 if self.dense is not None else 0,
+            )
+        )
+
+        def put(arr: np.ndarray) -> None:
+            a = np.ascontiguousarray(arr)
+            if a.size and (int(a.max()) > 2**31 - 1 or int(a.min()) < -(2**31)):
+                a = a.astype(np.int64, copy=False)
+                width = 8
+            else:
+                a = a.astype(np.int32)
+                width = 4
+            buf.write(struct.pack("<qB", a.size, width))
+            buf.write(a.tobytes())
+
+        if self.dense is not None:
+            put(self.dense.ravel())
+        else:
+            put(self.ids)
+            put(self.counts)
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CountMin":
+        if bytes(data[:4]) != _WIRE_MAGIC:
+            return super().from_bytes(data)  # legacy pickle blobs (old checkpoints)
+        off = 4
+        rows, cols, num_counters, hash_width, seed, n_inserts, dense_flag = struct.unpack_from(
+            "<qqqqqqB", data, off
+        )
+        off += struct.calcsize("<qqqqqqB")
+
+        def get() -> tuple[np.ndarray, int]:
+            nonlocal off
+            size, width = struct.unpack_from("<qB", data, off)
+            off2 = off + struct.calcsize("<qB")
+            dt = np.int32 if width == 4 else np.int64
+            a = np.frombuffer(data, dtype=dt, count=size, offset=off2).astype(np.int64)
+            return a, off2 + size * width
+
+        obj = cls.__new__(cls)
+        obj.rows, obj.cols, obj.num_counters = int(rows), int(cols), int(num_counters)
+        obj.hash_width, obj.seed, obj.n_inserts = int(hash_width), int(seed), int(n_inserts)
+        # coefficients and row seeds re-derive deterministically from the seed,
+        # exactly as __init__ does
+        rng = np.random.default_rng(obj.seed)
+        obj.coeffs = rng.integers(
+            1, obj.num_counters, size=(obj.rows, obj.hash_width), dtype=np.int64
+        )
+        from epichypersketch_jl_ray.functions.hashing import splitmix64
+
+        obj.row_seeds = splitmix64(
+            np.uint64(obj.seed) ^ np.arange(1, obj.rows + 1, dtype=np.uint64)
+        )
+        if dense_flag:
+            flat, off = get()
+            obj.dense = flat.reshape(obj.rows, obj.cols)
+            obj.ids = np.empty(0, dtype=np.int64)
+            obj.counts = np.empty(0, dtype=np.int64)
+        else:
+            obj.dense = None
+            obj.ids, off = get()
+            obj.counts, off = get()
+        return obj
+
+    def __reduce__(self):
+        return (_countmin_from_wire, (self.to_bytes(),))
+
     def _state_arrays(self) -> tuple:
         if self.dense is not None:
             nz = np.flatnonzero(self.dense.ravel())
@@ -312,3 +405,10 @@ class CountMin(MergeableSketch):
             ("counts", coo[1]),
             ("n_inserts", self.n_inserts),
         )
+
+
+_WIRE_MAGIC = b"CM01"
+
+
+def _countmin_from_wire(data: bytes) -> CountMin:
+    return CountMin.from_bytes(data)

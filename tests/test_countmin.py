@@ -70,3 +70,73 @@ def test_weighted_add():
 def test_merge_geometry_mismatch_raises():
     with pytest.raises(ValueError):
         CountMin(1, seed=1).merge(CountMin(1, seed=2))
+
+
+def test_compact_wire_format_round_trip_and_width():
+    """CM01 wire: narrowest-width arrays, exact round trip (sparse + dense +
+    estimates), pickle routes through the same format, and byte output is a
+    pure function of content (merge-order canonical)."""
+    import pickle
+
+    from epichypersketch_jl_ray.functions.hashing import hash_int64
+
+    c = CountMin(1, delta=1e-4, epsilon=6.5e-7, seed=9)
+    c.add_keys(hash_int64(np.arange(50_000) % 997, seed=4))
+    blob = c.to_bytes()
+    assert blob[:4] == b"CM01"
+    assert len(blob) < 0.55 * (c.ids.nbytes + c.counts.nbytes)  # ~2x smaller
+    d = CountMin.from_bytes(blob)
+    assert d.digest() == c.digest() and d.to_bytes() == blob
+    q = hash_int64(np.arange(10) % 997, seed=4)
+    np.testing.assert_array_equal(d.estimate_keys(q), c.estimate_keys(q))
+    # pickle (composite-state path) routes through the wire format
+    e = pickle.loads(pickle.dumps(c))
+    assert e.digest() == c.digest()
+    # dense variant round-trips too
+    c2 = CountMin(1, delta=0.5, epsilon=0.05, seed=3)
+    c2.add_keys(hash_int64(np.arange(5000), seed=1))
+    c2.densify()
+    d2 = CountMin.from_bytes(c2.to_bytes())
+    assert d2.dense is not None and d2.digest() == c2.digest()
+
+
+def test_wire_format_int64_fallback_for_wide_counts():
+    """Counts past int32 range must switch that array to 8-byte width and
+    still round-trip exactly (the 100 TB hot-cell case)."""
+    c = CountMin(1, delta=0.5, epsilon=0.05, seed=3)
+    big = np.int64(3_000_000_000)
+    c.add(np.array([[7]]), weights=np.array([big]))
+    d = CountMin.from_bytes(c.to_bytes())
+    assert d.digest() == c.digest()
+    assert d.estimate(np.array([[7]]))[0] == big
+
+
+def test_from_bytes_reads_legacy_pickle_blobs():
+    """Pre-CM01 checkpoints were plain pickles; from_bytes must still read
+    them (resume compatibility)."""
+    import copyreg
+    import io
+    import pickle
+
+    c = CountMin(1, delta=0.5, epsilon=0.05, seed=3)
+    c.add(np.array([[7]]))
+
+    # emulate the old serialization: pickle WITHOUT the __reduce__ hook
+    class _LegacyPickler(pickle.Pickler):
+        def reducer_override(self, obj):
+            if isinstance(obj, CountMin):
+                state = {k: getattr(obj, k) for k in CountMin.__slots__}
+                return (_rebuild_legacy, (state,))
+            return NotImplemented
+
+    buf = io.BytesIO()
+    _LegacyPickler(buf, protocol=pickle.HIGHEST_PROTOCOL).dump(c)
+    d = CountMin.from_bytes(buf.getvalue())
+    assert d.digest() == c.digest()
+
+
+def _rebuild_legacy(state):
+    obj = CountMin.__new__(CountMin)
+    for k, v in state.items():
+        setattr(obj, k, v)
+    return obj
