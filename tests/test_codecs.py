@@ -355,3 +355,31 @@ def test_jpeg_fuzz_gray_q100():
         assert int(np.abs(out.astype(int) - px.astype(int)).max()) <= 3
 
     case()
+
+
+def test_jpeg_fuzz_rgb_both_subsamplings():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from epichypersketch_jl_ray.functions.codecs import decode_jpeg, encode_jpeg_baseline
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        seed=st.integers(0, 2**16),
+        sub=st.sampled_from(["444", "420"]),
+    )
+    def case(w, h, seed, sub):
+        rng = np.random.default_rng(seed)
+        # smooth-ish content: lossy codecs have no per-pixel bound on noise
+        base = rng.integers(0, 256, size=(3,), dtype=np.uint8)
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        px = np.stack(
+            [np.clip(int(base[c]) + yy * 2 + xx, 0, 255) for c in range(3)], axis=-1
+        ).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg_baseline(px, quality=97, subsample=sub))
+        assert out.shape == px.shape
+        assert _psnr(px, out) >= 30
+
+    case()
