@@ -141,9 +141,26 @@ def machine_probe() -> dict:
     t0 = time.monotonic()
     (c @ c).sum()
     t_mm = time.monotonic() - t0
+    # 4-thread parallel read (numpy releases the GIL): co-tenant contention
+    # can starve MULTI-core throughput while single-thread numbers look
+    # healthy — the signature behind low-efficiency scaling arms.
+    import threading
+
+    done = [0.0] * 4
+    def _read(i: int) -> None:
+        done[i] = float(b.sum())
+
+    t0 = time.monotonic()
+    ts = [threading.Thread(target=_read, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    t_par = time.monotonic() - t0
     return {
         "sort_10m_s": round(t_sort, 3),
         "mem_sum_gbps": round(80e6 / t_sum / 1e9, 2),
+        "mem_sum_gbps_x4": round(4 * 80e6 / t_par / 1e9, 2),
         "matmul_gflops": round(2 * 1200**3 / t_mm / 1e9, 2),
     }
 
