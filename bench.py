@@ -228,6 +228,7 @@ def main() -> None:
         )
         return
 
+    probe_start = machine_probe()  # calibrate BOTH endpoints: phases shift mid-run
     headline = run_headline()
     if "--headline-only" in sys.argv:
         print(
@@ -261,6 +262,7 @@ def main() -> None:
                 "docs_per_sec": headline["docs_per_sec"],
                 "web_rows": headline["web_rows"],
                 "queries_total_s": round(sum(queries.values()), 3),
+                "machine_probe_start": probe_start,
                 "machine_probe": machine_probe(),
                 "summary": headline["summary"],
             }
