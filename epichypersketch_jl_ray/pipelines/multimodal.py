@@ -2,12 +2,13 @@
 featurize → embedding column.
 
 The driver queries run REAL decodes end-to-end — the fixtures are valid
-BMP / WAV-PCM / raw-video payloads and the decoders are the pure-numpy
-parsers in functions/codecs.py (no codec library needed for uncompressed
-formats). Compressed formats stay behind the documented
-NotImplementedError seams in stages/multimodal.py, exercised by the fake
-fixtures in tests. Rows-only driver check — binary fixtures have no SQL
-oracle; decode round-trip exactness is pinned by tests/test_codecs.py.
+BMP / PNG / baseline-JPEG / GIF / WAV-PCM / raw-video / animated-GIF
+payloads and the decoders are the pure-numpy/stdlib parsers in
+functions/codecs.py. The remaining compressed formats (progressive
+JPEG/MP3/H.264/webp) stay behind the documented NotImplementedError seams
+in stages/multimodal.py, exercised by the fake fixtures in tests.
+Rows-only driver check — binary fixtures have no SQL oracle; decode
+round-trip exactness is pinned by tests/test_codecs.py.
 """
 
 from __future__ import annotations
@@ -22,15 +23,16 @@ from epichypersketch_jl_ray.stages.multimodal import (
     FrameSampleVideo,
     WindowAudio,
     make_mixed_image_table,
-    make_raw_video_table,
+    make_mixed_video_table,
     make_wav_audio_table,
 )
 
 
 def image_features(sf_dir: str, *, n: int = 512, dim: int = 16) -> pd.DataFrame:
-    """Deterministic mixed BMP+PNG corpus → REAL decode (pure-numpy BI_RGB
-    parser; stdlib-zlib + numpy-unfilter PNG across all five row filters;
-    actor pool) → feature vectors.
+    """Deterministic mixed BMP+PNG+JPEG+GIF corpus → REAL decode (pure-numpy
+    BI_RGB parser; stdlib-zlib + numpy-unfilter PNG across all five row
+    filters; table-driven baseline JPEG; LZW GIF incl. interlace; actor
+    pool) → feature vectors.
 
     ``sf_dir`` only scales the corpus (the multimodal fixture is generated,
     not read from the sf tables).
@@ -55,11 +57,11 @@ def image_features(sf_dir: str, *, n: int = 512, dim: int = 16) -> pd.DataFrame:
 
 
 def video_frame_features(sf_dir: str, *, n: int = 64, stride: int = 8, dim: int = 8) -> pd.DataFrame:
-    """Raw-video corpus (ffmpeg rawvideo layout) → frame sampling (actor
-    pool, REAL offset-slicing decode) → per-frame feature vectors. One
-    output row per sampled frame."""
+    """Mixed raw + animated-GIF video corpus (ffmpeg rawvideo layout /
+    GIF89a LZW streams) → frame sampling (actor pool, REAL decode on both
+    paths) → per-frame feature vectors. One output row per sampled frame."""
     scale = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 4}.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 1)
-    tbl = make_raw_video_table(n * scale)
+    tbl = make_mixed_video_table(n * scale)
     ds = ray.data.from_arrow(tbl)
     frames = ds.map_batches(
         FrameSampleVideo,

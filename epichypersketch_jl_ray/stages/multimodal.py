@@ -6,8 +6,10 @@ Decode dispatches on the row's ``mime``:
   image/bmp (BI_RGB 8/24-bit), image/png (stdlib-zlib DEFLATE + numpy
   unfiltering, 8-bit gray/RGB, all five row filters), image/jpeg (baseline
   T.81: table-driven Huffman + matrix IDCT, gray/YCbCr, any declared
-  sampling, DRI/RSTn), audio/wav (PCM mono), video/raw-gray8 (concatenated
-  raw frames, ffmpeg's rawvideo layout).
+  sampling, DRI/RSTn), image/gif (variable-width LZW, interlace, local
+  palettes), audio/wav (PCM mono), video/raw-gray8 (concatenated raw
+  frames, ffmpeg's rawvideo layout), video/gif (animated GIF89a with
+  patch-frame compositing, transparency and disposal 0/1/2).
 - Remaining COMPRESSED formats (progressive JPEG/MP3/H.264/webp) are honest
   NotImplementedError seams — their codec libraries are absent from this
   container; a real deployment loads the codec once per actor in
@@ -101,9 +103,11 @@ def make_mixed_image_table(n: int, *, seed: int = 7, side: int = 8) -> pa.Table:
     """Deterministic REAL-format fixture mixing formats the way a scraped
     corpus would: ids cycle grayscale BMP / PNG (through all five row filters
     so every unfilter path runs in production queries, not just unit tests) /
-    baseline JPEG (quality=100, so the only loss is IDCT rounding)."""
+    baseline JPEG (quality=100, so the only loss is IDCT rounding) / GIF
+    (alternating sequential and interlaced row order)."""
     from epichypersketch_jl_ray.functions.codecs import (
         encode_bmp_gray8,
+        encode_gif,
         encode_jpeg_baseline,
         encode_png,
     )
@@ -112,15 +116,18 @@ def make_mixed_image_table(n: int, *, seed: int = 7, side: int = 8) -> pa.Table:
     payloads, mimes = [], []
     for i in range(n):
         px = rng.integers(0, 256, size=(side, side), dtype=np.uint8)
-        if i % 3 == 0:
+        if i % 4 == 0:
             payloads.append(encode_bmp_gray8(px))
             mimes.append("image/bmp")
-        elif i % 3 == 1:
+        elif i % 4 == 1:
             payloads.append(encode_png(px, filter_type=i % 5))
             mimes.append("image/png")
-        else:
+        elif i % 4 == 2:
             payloads.append(encode_jpeg_baseline(px, quality=100))
             mimes.append("image/jpeg")
+        else:
+            payloads.append(encode_gif(px, interlace=bool(i % 8 == 3)))
+            mimes.append("image/gif")
     return pa.table(
         {
             "id": pa.array(range(n), pa.int64()),
@@ -145,7 +152,12 @@ class DecodeImage:
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from epichypersketch_jl_ray.functions.codecs import decode_bmp, decode_jpeg, decode_png
+        from epichypersketch_jl_ray.functions.codecs import (
+            decode_bmp,
+            decode_gif,
+            decode_jpeg,
+            decode_png,
+        )
 
         payloads = batch["payload"]
         if isinstance(payloads, pa.ChunkedArray):
@@ -157,8 +169,13 @@ class DecodeImage:
         parts: list[np.ndarray] = []
         for i, mime in enumerate(mimes):
             blob = values[offsets[i] : offsets[i + 1]]
-            if mime in ("image/bmp", "image/png", "image/jpeg"):
-                dec = {"image/bmp": decode_bmp, "image/png": decode_png, "image/jpeg": decode_jpeg}
+            if mime in ("image/bmp", "image/png", "image/jpeg", "image/gif"):
+                dec = {
+                    "image/bmp": decode_bmp,
+                    "image/png": decode_png,
+                    "image/jpeg": decode_jpeg,
+                    "image/gif": decode_gif,
+                }
                 img = dec[mime](blob)
                 if img.shape[0] != heights[i] or img.shape[1] != widths[i]:
                     raise ValueError(
@@ -188,6 +205,40 @@ class DecodeImage:
             ),
         )
         return batch.append_column("pixels", lists)
+
+
+def make_gif_video_table(n: int, *, seed: int = 13, side: int = 4, frames: int = 24) -> pa.Table:
+    """Deterministic REAL-format fixture: payloads are animated GIF89a
+    streams (LZW-compressed grayscale frames) — a compressed video-ish
+    format the web actually serves, decoded natively by functions/codecs."""
+    from epichypersketch_jl_ray.functions.codecs import encode_gif
+
+    rng = np.random.default_rng(seed)
+    payloads = [
+        encode_gif(rng.integers(0, 256, size=(frames, side, side), dtype=np.uint8))
+        for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/gif"] * n, pa.string()),
+            "width": pa.array([side] * n, pa.int32()),
+            "height": pa.array([side] * n, pa.int32()),
+            "n_frames": pa.array([frames] * n, pa.int32()),
+        }
+    )
+
+
+def make_mixed_video_table(n: int, *, seed: int = 13, side: int = 4, frames: int = 24) -> pa.Table:
+    """Raw-gray8 and animated-GIF payloads interleaved the way a scraped
+    corpus mixes containers; even ids raw, odd ids GIF."""
+    raw = make_raw_video_table(n, seed=seed, side=side, frames=frames)
+    gif = make_gif_video_table(n, seed=seed + 1, side=side, frames=frames)
+    mask = np.arange(n) % 2 == 0
+    return pa.concat_tables(
+        [raw.filter(pa.array(mask)), gif.filter(pa.array(~mask))]
+    ).sort_by("id")
 
 
 def make_fake_video_table(n: int, *, seed: int = 13, side: int = 4, frames: int = 24) -> pa.Table:
@@ -226,13 +277,15 @@ class FrameSampleVideo:
 
     video/raw-gray8 (concatenated raw frames, ffmpeg rawvideo layout)
     decodes FOR REAL — frame extraction is pure offset slicing, exactly
-    what the vectorized gather below does. Compressed video (H.264/VP9)
-    raises the documented codec seam: a pyav/ffmpeg decoder loaded once per
-    actor would seek+decode only the sampled frames. video/fake (same
-    layout, kept for seam tests) needs ``fake=True``. Output: one ROW PER
-    SAMPLED FRAME (id, frame_idx, pixels) — the flat layout downstream
-    featurize stages consume, and the shape that keeps block sizes bounded
-    for long videos.
+    what the vectorized gather below does. video/gif (animated GIF89a) also
+    decodes FOR REAL via the pure-Python LZW decoder in functions/codecs
+    (per-item, inherent to an entropy-coded container). Other compressed
+    video (H.264/VP9) raises the documented codec seam: a pyav/ffmpeg
+    decoder loaded once per actor would seek+decode only the sampled
+    frames. video/fake (raw layout, kept for seam tests) needs
+    ``fake=True``. Output: one ROW PER SAMPLED FRAME (id, frame_idx,
+    pixels) — the flat layout downstream featurize stages consume, and the
+    shape that keeps block sizes bounded for long videos.
     """
 
     def __init__(self, *, stride: int = 8, fake: bool = False) -> None:
@@ -242,8 +295,9 @@ class FrameSampleVideo:
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        for mime in set(batch["mime"].to_pylist()):
-            if mime == "video/raw-gray8":
+        mimes = batch["mime"].to_pylist()
+        for mime in set(mimes):
+            if mime in ("video/raw-gray8", "video/gif"):
                 continue
             if mime == "video/fake":
                 if not self.fake:
@@ -253,9 +307,56 @@ class FrameSampleVideo:
             else:
                 raise NotImplementedError(
                     f"decoding {mime} requires a codec library not present in this "
-                    "container (raw-gray8 decodes natively; h264/vp9 need "
-                    "pyav/ffmpeg loaded once per actor here)"
+                    "container (raw-gray8 and animated GIF decode natively; "
+                    "h264/vp9 need pyav/ffmpeg loaded once per actor here)"
                 )
+        gif_mask = np.array([m == "video/gif" for m in mimes], dtype=bool)
+        if gif_mask.any():
+            parts = []
+            if (~gif_mask).any():
+                parts.append(self._raw_frames(batch.filter(pa.array(~gif_mask))))
+            parts.append(self._gif_frames(batch.filter(pa.array(gif_mask))))
+            return pa.concat_tables(parts)
+        return self._raw_frames(batch)
+
+    def _gif_frames(self, batch: pa.Table) -> pa.Table:
+        from epichypersketch_jl_ray.functions.codecs import decode_gif_frames
+
+        payloads = batch["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        offsets, values = _binary_buffers(payloads)
+        ids = batch["id"].to_numpy(zero_copy_only=False)
+        n_frames = batch["n_frames"].to_numpy(zero_copy_only=False)
+        out_ids: list[int] = []
+        out_fidx: list[int] = []
+        parts: list[np.ndarray] = []
+        for i in range(len(ids)):
+            frames = decode_gif_frames(values[offsets[i] : offsets[i + 1]])
+            if len(frames) != n_frames[i]:
+                raise ValueError(
+                    f"GIF stream has {len(frames)} frames, metadata says {n_frames[i]}"
+                )
+            for fidx in range(0, len(frames), self.stride):
+                out_ids.append(int(ids[i]))
+                out_fidx.append(fidx)
+                parts.append(frames[fidx].astype(np.float32).ravel() / 255.0)
+        lengths = np.array([len(p) for p in parts], dtype=np.int64)
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(lengths))).astype(np.int32), pa.int32()),
+            pa.array(
+                np.concatenate(parts) if parts else np.empty(0, np.float32), pa.float32()
+            ),
+        )
+        return pa.table(
+            {
+                "id": pa.array(out_ids, pa.int64()),
+                "frame_idx": pa.array(out_fidx, pa.int32()),
+                "pixels": lists,
+            }
+        )
+
+    def _raw_frames(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"]
         if isinstance(payloads, pa.ChunkedArray):
             payloads = payloads.combine_chunks()
