@@ -2,13 +2,13 @@
 
 BMP (BI_RGB), WAV (PCM) and raw concatenated video frames are fixed headers
 plus raw sample bytes, parseable with struct/numpy alone. PNG rides on
-stdlib zlib (DEFLATE) with numpy unfiltering, baseline JPEG is an 8x8
-matrix DCT plus table-driven Huffman coding, and GIF (still + animated) is
-variable-width LZW — no codec library needed for any of them. These give
-the multimodal pipelines a REAL decode path inside this container; the
-remaining compressed formats (progressive JPEG, MP3, H.264, webp) stay
-documented NotImplementedError seams in stages/multimodal.py because their
-decoders genuinely are absent here.
+stdlib zlib (DEFLATE) with numpy unfiltering, JPEG (baseline SOF0/SOF1 and
+progressive SOF2) is an 8x8 matrix DCT plus table-driven Huffman coding,
+and GIF (still + animated) is variable-width LZW — no codec library needed
+for any of them. These give the multimodal pipelines a REAL decode path
+inside this container; the remaining compressed formats (MP3, H.264, webp)
+stay documented NotImplementedError seams in stages/multimodal.py because
+their decoders genuinely are absent here.
 
 Layouts implemented (public file-format specs):
 - BMP: 14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER, BI_RGB only;
@@ -390,18 +390,10 @@ def _pad_to(img: np.ndarray, h: int, w: int) -> np.ndarray:
     return np.pad(img, ((0, h - img.shape[0]), (0, w - img.shape[1])), mode="edge")
 
 
-def encode_jpeg_baseline(
-    pixels: np.ndarray,
-    *,
-    quality: int = 90,
-    subsample: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """(h, w) uint8 gray or (h, w, 3) uint8 RGB -> baseline JFIF bytes.
-
-    ``subsample`` is '444' or '420' (color only). ``restart_interval`` > 0
-    emits DRI + RSTn every that many MCUs (exercises the decoder's restart
-    path)."""
+def _jpeg_prep(pixels: np.ndarray, quality: int, subsample: str):
+    """Shared encoder front half: color transform, subsampling, DCT and
+    quantization. -> (h, w, comps [(plane, ch, cv, tq)], qts,
+    comp_blocks [(by, bx, 64) zigzag int64], mcus_x, mcus_y)."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
@@ -447,7 +439,11 @@ def encode_jpeg_baseline(
         coef = np.einsum("ui,yxij,jv->yxuv", _DCT_A, blocks, _DCT_A.T)
         q = np.round(coef / qts[tq]).astype(np.int64)
         comp_blocks.append(q.reshape(by, bx, 64)[:, :, _ZIGZAG])
+    return h, w, comps, qts, comp_blocks, mcus_x, mcus_y
 
+
+def _jpeg_headers(h, w, comps, qts, sof_marker: bytes) -> bytearray:
+    """SOI + JFIF + DQT + SOF + DHT segments shared by both encoders."""
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tq, qt in enumerate(qts):
@@ -458,12 +454,30 @@ def encode_jpeg_baseline(
     sof = struct.pack(">BHHB", 8, h, w, nf)
     for ci, (_, ch, cv, tq) in enumerate(comps):
         sof += bytes([ci + 1, (ch << 4) | cv, tq])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
     out += _dht_segment(0, 0, _ENC_DC_VALS, 5)
     out += _dht_segment(1, 0, _ENC_AC_VALS, 8)
     if nf > 1:
         out += _dht_segment(0, 1, _ENC_DC_VALS, 5)
         out += _dht_segment(1, 1, _ENC_AC_VALS, 8)
+    return out
+
+
+def encode_jpeg_baseline(
+    pixels: np.ndarray,
+    *,
+    quality: int = 90,
+    subsample: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w) uint8 gray or (h, w, 3) uint8 RGB -> baseline JFIF bytes.
+
+    ``subsample`` is '444' or '420' (color only). ``restart_interval`` > 0
+    emits DRI + RSTn every that many MCUs (exercises the decoder's restart
+    path)."""
+    h, w, comps, qts, comp_blocks, mcus_x, mcus_y = _jpeg_prep(pixels, quality, subsample)
+    nf = len(comps)
+    out = _jpeg_headers(h, w, comps, qts, b"\xff\xc0")
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([nf])
@@ -497,6 +511,166 @@ def encode_jpeg_baseline(
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
+
+def _sos_header(comp_specs: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+    """comp_specs = [(component id, Td, Ta), ...] -> SOS segment bytes."""
+    sos = bytes([len(comp_specs)])
+    for cid, td, ta in comp_specs:
+        sos += bytes([cid, (td << 4) | ta])
+    sos += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+
+def _enc_dc_first_scan(comp_blocks, comps, mcus_x, mcus_y, al: int) -> bytes:
+    """Interleaved DC scan at successive-approximation level Al (T.81 G.1.2.1:
+    point transform = arithmetic shift)."""
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_, ch, cv, _tq) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        v = int(comp_blocks[ci][my * cv + by, mx * ch + bx, 0]) >> al
+                        size, bits = _mag_bits(v - preds[ci])
+                        preds[ci] = v
+                        bw.put(size, 5)
+                        if size:
+                            bw.put(bits, size)
+    bw.align()
+    return bytes(bw.out)
+
+
+def _enc_dc_refine_scan(comp_blocks, comps, mcus_x, mcus_y, al: int) -> bytes:
+    bw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (_, ch, cv, _tq) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        bw.put((int(comp_blocks[ci][my * cv + by, mx * ch + bx, 0]) >> al) & 1, 1)
+    bw.align()
+    return bytes(bw.out)
+
+
+def _enc_ac_first_scan(blocks, ss: int, se: int, al: int) -> bytes:
+    """Non-interleaved AC band scan, first pass: magnitudes shifted by Al
+    (truncation toward zero per T.81 G.1.2.2). Per-block EOB0 (no cross-block
+    EOB runs — decoders must accept any run split)."""
+    bw = _BitWriter()
+    by, bx = blocks.shape[:2]
+    for m in range(by * bx):
+        blk = blocks[m // bx, m % bx]
+        r = 0
+        for k in range(ss, se + 1):
+            c = int(blk[k])
+            mag = (-c if c < 0 else c) >> al
+            if mag == 0:
+                r += 1
+                continue
+            while r > 15:
+                bw.put(_ENC_AC_CODE[0xF0], 8)
+                r -= 16
+            v = -mag if c < 0 else mag
+            size, bits = _mag_bits(v)
+            bw.put(_ENC_AC_CODE[(r << 4) | size], 8)
+            bw.put(bits, size)
+            r = 0
+        if r:
+            bw.put(_ENC_AC_CODE[0x00], 8)  # EOB0
+    bw.align()
+    return bytes(bw.out)
+
+
+def _enc_ac_refine_scan(blocks, ss: int, se: int, al: int) -> bytes:
+    """Non-interleaved AC band scan, refinement pass (T.81 G.1.2.3 /
+    libjpeg jcphuff structure): newly-nonzero coefficients emit (run|1) +
+    sign, already-nonzero ones buffer a correction bit that is flushed right
+    after the next emitted symbol. ZRLs flush at every nonzero magnitude so
+    buffered corrections always precede the decoder's 16-skip window."""
+    bw = _BitWriter()
+    by, bx = blocks.shape[:2]
+    for m in range(by * bx):
+        blk = blocks[m // bx, m % bx]
+        mags = [(-int(c) if c < 0 else int(c)) >> al for c in blk[ss : se + 1]]
+        eob = ss - 1  # position of the last newly-nonzero coefficient
+        for j, t in enumerate(mags):
+            if t == 1:
+                eob = ss + j
+        r = 0
+        pending: list[int] = []
+        for j, t in enumerate(mags):
+            k = ss + j
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                bw.put(_ENC_AC_CODE[0xF0], 8)
+                r -= 16
+                for b in pending:
+                    bw.put(b, 1)
+                pending = []
+            if t > 1:  # history coefficient: correction bit only
+                pending.append(t & 1)
+                continue
+            bw.put(_ENC_AC_CODE[(r << 4) | 1], 8)
+            bw.put(1 if int(blk[k]) >= 0 else 0, 1)
+            for b in pending:
+                bw.put(b, 1)
+            pending = []
+            r = 0
+        if r or pending:
+            bw.put(_ENC_AC_CODE[0x00], 8)  # EOB0 folds trailing zeros
+            for b in pending:
+                bw.put(b, 1)
+    bw.align()
+    return bytes(bw.out)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, *, quality: int = 90, subsample: str = "444"
+) -> bytes:
+    """(h, w) uint8 gray or (h, w, 3) uint8 RGB -> progressive (SOF2) JFIF
+    bytes. Scan script exercises every progressive decode path: interleaved
+    DC first (Al=1) + DC refine, then per component AC bands 1-5 and 6-63 at
+    Al=1 followed by their Al=0 refinements. Quantized coefficients are
+    identical to :func:`encode_jpeg_baseline` at the same quality, so both
+    decode to bit-identical pixels."""
+    h, w, comps, qts, comp_blocks, mcus_x, mcus_y = _jpeg_prep(pixels, quality, subsample)
+    nf = len(comps)
+    out = _jpeg_headers(h, w, comps, qts, b"\xff\xc2")
+    dc_specs = [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(nf)]
+    out += _sos_header(dc_specs, 0, 0, 0, 1)
+    out += _enc_dc_first_scan(comp_blocks, comps, mcus_x, mcus_y, 1)
+    bands = [(1, 5), (6, 63)]
+    for ci in range(nf):
+        ta = 0 if ci == 0 else 1
+        for ss, se in bands:
+            out += _sos_header([(ci + 1, 0, ta)], ss, se, 0, 1)
+            out += _enc_ac_first_scan(_comp_grid(comp_blocks, comps, ci, h, w), ss, se, 1)
+    out += _sos_header(dc_specs, 0, 0, 1, 0)
+    out += _enc_dc_refine_scan(comp_blocks, comps, mcus_x, mcus_y, 0)
+    for ci in range(nf):
+        ta = 0 if ci == 0 else 1
+        for ss, se in bands:
+            out += _sos_header([(ci + 1, 0, ta)], ss, se, 1, 0)
+            out += _enc_ac_refine_scan(_comp_grid(comp_blocks, comps, ci, h, w), ss, se, 0)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _comp_grid(comp_blocks, comps, ci: int, h: int, w: int) -> np.ndarray:
+    """Blocks of one component in NON-interleaved scan order: the component's
+    own block grid (ceil dims from its scaled size), which may be smaller
+    than the MCU-aligned storage grid (T.81 A.2.2)."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    _plane, ch, cv, _tq = comps[ci]
+    cw = -(-w * ch // hmax)
+    chh = -(-h * cv // vmax)
+    bx_n = -(-cw // 8)
+    by_n = -(-chh // 8)
+    return comp_blocks[ci][:by_n, :bx_n]
 
 
 class _BitReader:
@@ -577,11 +751,15 @@ def _decode_block(br: _BitReader, dctab: tuple, actab: tuple) -> np.ndarray:
 
 
 def decode_jpeg(payload: bytes | np.ndarray) -> np.ndarray:
-    """Baseline/extended-sequential Huffman JPEG -> uint8 (h, w) or (h, w, 3).
+    """Huffman JPEG -> uint8 (h, w) or (h, w, 3).
 
-    Table-driven per ITU-T T.81: DQT (8/16-bit), multi-table DHT, SOF0/SOF1,
-    DRI/RSTn, any declared sampling factors, interleaved or single-component
-    scans. SOF2 (progressive) and arithmetic coding raise NotImplementedError.
+    Table-driven per ITU-T T.81: DQT (8/16-bit), multi-table DHT, SOF0/SOF1
+    (baseline/extended sequential) AND SOF2 (progressive: spectral selection,
+    successive approximation, EOB runs — T.81 annex G), DRI/RSTn, any
+    declared sampling factors, interleaved or single-component scans. All
+    scans accumulate quantized coefficients; dequantize + IDCT happen once
+    at EOI. Arithmetic coding and hierarchical modes raise
+    NotImplementedError.
     """
     data = bytes(bytearray(np.asarray(bytearray(payload), dtype=np.uint8))) if not isinstance(payload, bytes) else payload
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
@@ -590,7 +768,8 @@ def decode_jpeg(payload: bytes | np.ndarray) -> np.ndarray:
     htabs: dict[tuple[int, int], tuple] = {}
     frame = None  # (h, w, comps) ; comps: list of (cid, ch, cv, tq)
     restart = 0
-    planes: dict[int, np.ndarray] = {}
+    progressive = False
+    coefs: dict[int, np.ndarray] = {}  # cid -> (by, bx, 64) quantized zigzag
     i = 2
     while i < len(data):
         if data[i] != 0xFF:
@@ -608,6 +787,8 @@ def decode_jpeg(payload: bytes | np.ndarray) -> np.ndarray:
         if marker == 0x01:  # TEM
             continue
         (seglen,) = struct.unpack_from(">H", data, i)
+        if seglen < 2:
+            raise ValueError("malformed JPEG segment length")
         seg = data[i + 2 : i + seglen]
         i += seglen
         if marker == 0xDB:  # DQT
@@ -631,17 +812,16 @@ def decode_jpeg(payload: bytes | np.ndarray) -> np.ndarray:
                 huffval = list(seg[j + 17 : j + 17 + n])
                 htabs[(tc, th)] = _build_decode_table(bits, huffval)
                 j += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             prec, fh, fw, nf = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG precision supported")
+            progressive = marker == 0xC2
             comps = []
             for c in range(nf):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (fh, fw, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) not supported")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF marker 0x{marker:02x} not supported")
         elif marker == 0xDD:  # DRI
@@ -650,12 +830,23 @@ def decode_jpeg(payload: bytes | np.ndarray) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             fh, fw, comps = frame
+            if not coefs:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mx = -(-fw // (8 * hmax))
+                my = -(-fh // (8 * vmax))
+                for cid, ch, cv, _tq in comps:
+                    coefs[cid] = np.zeros((my * cv, mx * ch, 64), dtype=np.int64)
             ns = seg[0]
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
             scan = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(cc for cc in comps if cc[0] == cs)
-                scan.append((comp, htabs[(0, tt >> 4)], htabs[(1, tt & 15)]))
+                # progressive AC/refinement scans may leave the unused table
+                # undefined — resolve lazily with .get
+                scan.append((comp, htabs.get((0, tt >> 4)), htabs.get((1, tt & 15))))
             # entropy data: up to the next non-RST marker
             j = i
             segments = []  # restart-delimited, unstuffed
@@ -681,11 +872,19 @@ def decode_jpeg(payload: bytes | np.ndarray) -> np.ndarray:
                 j += 1
             segments.append(bytes(cur))
             i = j
-            _decode_scan(scan, comps, fh, fw, restart, segments, qtabs, planes, ns)
+            if progressive:
+                _decode_scan_progressive(
+                    scan, comps, fh, fw, restart, segments, coefs, ns, ss, se, ah, al
+                )
+            else:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError("sequential JPEG scan must cover the full spectrum")
+                _decode_scan_baseline(scan, comps, fh, fw, restart, segments, coefs, ns)
         # APPn / COM / anything else with a length: skipped
-    if frame is None or not planes:
+    if frame is None or not coefs:
         raise ValueError("JPEG contains no decodable frame")
     fh, fw, comps = frame
+    planes = _idct_planes(coefs, comps, qtabs)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     out_planes = []
@@ -708,31 +907,30 @@ def decode_jpeg(payload: bytes | np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
-def _decode_scan(scan, comps, fh, fw, restart, segments, qtabs, planes, ns) -> None:
+def _scan_geometry(scan, comps, fh, fw, ns):
+    """-> (mcu_specs [(comp, dctab, actab, ch, cv)], mcus_x, mcus_y). For a
+    non-interleaved scan the 'MCU' is one block of that component's own
+    (non-MCU-aligned) block grid, per T.81 A.2.2."""
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if ns == 1:
         comp, dctab, actab = scan[0]
-        cid, ch, cv, tq = comp
+        _cid, ch, cv, _tq = comp
         cw = -(-fw * ch // hmax)
         chh = -(-fh * cv // vmax)
-        bx, by = -(-cw // 8), -(-chh // 8)
-        mcu_specs = [(comp, dctab, actab, 1, 1)]
-        mcus_x, mcus_y = bx, by
-    else:
-        mcus_x = -(-fw // (8 * hmax))
-        mcus_y = -(-fh // (8 * vmax))
-        mcu_specs = [(comp, dc, ac, comp[1], comp[2]) for comp, dc, ac in scan]
-    # coefficient planes, MCU-aligned
-    coef = {}
-    for comp, _dc, _ac, ch, cv in mcu_specs:
-        cid = comp[0]
-        coef[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.int64)
+        return [(comp, dctab, actab, 1, 1)], -(-cw // 8), -(-chh // 8)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    return [(comp, dc, ac, comp[1], comp[2]) for comp, dc, ac in scan], mcus_x, mcus_y
+
+
+def _decode_scan_baseline(scan, comps, fh, fw, restart, segments, coefs, ns) -> None:
+    mcu_specs, mcus_x, mcus_y = _scan_geometry(scan, comps, fh, fw, ns)
     seg_idx = 0
     br = _BitReader(segments[0])
     preds = {comp[0]: 0 for comp, *_ in mcu_specs}
-    n_mcus = mcus_x * mcus_y
-    for m in range(n_mcus):
+    interleaved = ns > 1
+    for m in range(mcus_x * mcus_y):
         if restart and m and m % restart == 0:
             seg_idx += 1
             if seg_idx >= len(segments):
@@ -741,27 +939,175 @@ def _decode_scan(scan, comps, fh, fw, restart, segments, qtabs, planes, ns) -> N
             preds = {k: 0 for k in preds}
         my, mx = divmod(m, mcus_x)
         for comp, dctab, actab, ch, cv in mcu_specs:
-            cid, _, _, tq = comp
-            qt = qtabs[tq]
+            cid = comp[0]
+            cv_full = comp[2] if interleaved else 1
+            ch_full = comp[1] if interleaved else 1
             for by in range(cv):
                 for bx in range(ch):
                     zz = _decode_block(br, dctab, actab)
                     preds[cid] += int(zz[0])
-                    zz = zz.copy()
                     zz[0] = preds[cid]
-                    blk = np.zeros(64, dtype=np.int64)
-                    blk[_ZIGZAG] = zz * qt
-                    r0 = (my * cv + by) * 8
-                    c0 = (mx * ch + bx) * 8
-                    coef[cid][r0 : r0 + 8, c0 : c0 + 8] = blk.reshape(8, 8)
-    # vectorized IDCT per component
-    for comp, *_ in mcu_specs:
-        cid = comp[0]
-        cplane = coef[cid]
-        by8, bx8 = cplane.shape[0] // 8, cplane.shape[1] // 8
-        blocks = cplane.reshape(by8, 8, bx8, 8).transpose(0, 2, 1, 3).astype(np.float64)
+                    coefs[cid][my * cv_full + by, mx * ch_full + bx] = zz
+
+
+def _decode_scan_progressive(
+    scan, comps, fh, fw, restart, segments, coefs, ns, ss, se, ah, al
+) -> None:
+    """One progressive scan (T.81 annex G): DC first/refine (interleaved or
+    not), AC first/refine (single-component only, with EOB-run state)."""
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        _progressive_dc_scan(scan, comps, fh, fw, restart, segments, ns, ah, al, coefs)
+        return
+    if ns != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not 1 <= ss <= se <= 63:
+        raise ValueError("invalid progressive spectral band")
+    _progressive_ac_scan(scan, comps, fh, fw, restart, segments, ss, se, ah, al, coefs)
+
+
+def _progressive_dc_scan(scan, comps, fh, fw, restart, segments, ns, ah, al, coefs) -> None:
+    mcu_specs, mcus_x, mcus_y = _scan_geometry(scan, comps, fh, fw, ns)
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    preds = {comp[0]: 0 for comp, *_ in mcu_specs}
+    interleaved = ns > 1
+    for m in range(mcus_x * mcus_y):
+        if restart and m and m % restart == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG truncated at restart marker")
+            br = _BitReader(segments[seg_idx])
+            preds = {k: 0 for k in preds}
+        my, mx = divmod(m, mcus_x)
+        for comp, dctab, _actab, ch, cv in mcu_specs:
+            cid = comp[0]
+            cv_full = comp[2] if interleaved else 1
+            ch_full = comp[1] if interleaved else 1
+            for by in range(cv):
+                for bx in range(ch):
+                    blk = coefs[cid][my * cv_full + by, mx * ch_full + bx]
+                    if ah == 0:  # first scan: Huffman diff, scaled by 2^Al
+                        size = br.huff(dctab)
+                        preds[cid] += _extend(br.read(size), size) if size else 0
+                        blk[0] = preds[cid] << al
+                    else:  # refinement: one raw bit appends bit Al
+                        if br.read(1):
+                            blk[0] |= 1 << al
+
+
+def _progressive_ac_scan(scan, comps, fh, fw, restart, segments, ss, se, ah, al, coefs) -> None:
+    _mcu_specs, bx_n, by_n = _scan_geometry(scan, comps, fh, fw, 1)
+    comp, _dctab, actab = scan[0]
+    cid = comp[0]
+    store = coefs[cid]
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    eobrun = 0
+    for m in range(bx_n * by_n):
+        if restart and m and m % restart == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG truncated at restart marker")
+            br = _BitReader(segments[seg_idx])
+            eobrun = 0
+        my, mx = divmod(m, bx_n)
+        blk = store[my, mx]
+        if ah == 0:
+            eobrun = _ac_first_block(br, actab, blk, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_refine_block(br, actab, blk, ss, se, al, eobrun)
+
+
+def _ac_first_block(br, actab, blk, ss, se, al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.huff(actab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:  # EOBn: run of 2^r + extra blocks ending here
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past end of band")
+        blk[k] = _extend(br.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, actab, blk, ss, se, al, eobrun) -> int:
+    """T.81 G.1.2.3 / G.2: corrections interleave with newly-nonzero coefs."""
+    p1 = 1 << al
+
+    def correct(k: int) -> None:
+        # append bit Al to an already-nonzero coefficient's magnitude
+        if br.read(1) and (abs(int(blk[k])) & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else -p1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.huff(actab)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r < 15:  # EOBn
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement symbol must have size 1")
+                val = p1 if br.read(1) else -p1
+            # advance over r zero-history coefficients; nonzero-history ones
+            # pass through with a correction bit and don't count toward r
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("JPEG AC refinement ran past the band")
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB run: corrections only for the rest of the band
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _idct_planes(coefs, comps, qtabs) -> dict[int, np.ndarray]:
+    """Dequantize the accumulated zigzag coefficients and IDCT every
+    component at once (vectorized einsum) -> pixel planes."""
+    planes = {}
+    for cid, _ch, _cv, tq in comps:
+        store = coefs.get(cid)
+        if store is None:
+            continue
+        by, bx = store.shape[:2]
+        nat = np.zeros((by, bx, 64), dtype=np.float64)
+        nat[:, :, _ZIGZAG] = store * qtabs[tq]
+        blocks = nat.reshape(by, bx, 8, 8)
         pix = np.einsum("ui,yxuv,vj->yxij", _DCT_A, blocks, _DCT_A) + 128.0
-        planes[cid] = pix.transpose(0, 2, 1, 3).reshape(by8 * 8, bx8 * 8)
+        planes[cid] = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    return planes
 
 
 # --- GIF (GIF89a, CompuServe spec) -------------------------------------------

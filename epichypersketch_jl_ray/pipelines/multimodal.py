@@ -2,11 +2,11 @@
 featurize → embedding column.
 
 The driver queries run REAL decodes end-to-end — the fixtures are valid
-BMP / PNG / baseline-JPEG / GIF / WAV-PCM / raw-video / animated-GIF
-payloads and the decoders are the pure-numpy/stdlib parsers in
-functions/codecs.py. The remaining compressed formats (progressive
-JPEG/MP3/H.264/webp) stay behind the documented NotImplementedError seams
-in stages/multimodal.py, exercised by the fake fixtures in tests.
+BMP / PNG / baseline+progressive-JPEG / GIF / WAV-PCM / raw-video /
+animated-GIF payloads and the decoders are the pure-numpy/stdlib parsers
+in functions/codecs.py. The remaining compressed formats (MP3/H.264/webp)
+stay behind the documented NotImplementedError seams in
+stages/multimodal.py, exercised by the fake fixtures in tests.
 Rows-only driver check — binary fixtures have no SQL oracle; decode
 round-trip exactness is pinned by tests/test_codecs.py.
 """
@@ -31,8 +31,8 @@ from epichypersketch_jl_ray.stages.multimodal import (
 def image_features(sf_dir: str, *, n: int = 512, dim: int = 16) -> pd.DataFrame:
     """Deterministic mixed BMP+PNG+JPEG+GIF corpus → REAL decode (pure-numpy
     BI_RGB parser; stdlib-zlib + numpy-unfilter PNG across all five row
-    filters; table-driven baseline JPEG; LZW GIF incl. interlace; actor
-    pool) → feature vectors.
+    filters; table-driven JPEG, baseline and progressive SOF2; LZW GIF
+    incl. interlace; actor pool) → feature vectors.
 
     ``sf_dir`` only scales the corpus (the multimodal fixture is generated,
     not read from the sf tables).

@@ -4,13 +4,15 @@ with typed metadata, processed by actor-pool map_batches stages.
 Decode dispatches on the row's ``mime``:
 - REAL decodes with the pure-numpy/stdlib codecs in functions/codecs.py —
   image/bmp (BI_RGB 8/24-bit), image/png (stdlib-zlib DEFLATE + numpy
-  unfiltering, 8-bit gray/RGB, all five row filters), image/jpeg (baseline
-  T.81: table-driven Huffman + matrix IDCT, gray/YCbCr, any declared
-  sampling, DRI/RSTn), image/gif (variable-width LZW, interlace, local
-  palettes), audio/wav (PCM mono), video/raw-gray8 (concatenated raw
-  frames, ffmpeg's rawvideo layout), video/gif (animated GIF89a with
-  patch-frame compositing, transparency and disposal 0/1/2).
-- Remaining COMPRESSED formats (progressive JPEG/MP3/H.264/webp) are honest
+  unfiltering, 8-bit gray/RGB, all five row filters), image/jpeg (T.81
+  table-driven Huffman + matrix IDCT, gray/YCbCr, any declared sampling,
+  DRI/RSTn, baseline SOF0/SOF1 AND progressive SOF2 with spectral
+  selection / successive approximation / EOB runs), image/gif
+  (variable-width LZW, interlace, local palettes), audio/wav (PCM mono),
+  video/raw-gray8 (concatenated raw frames, ffmpeg's rawvideo layout),
+  video/gif (animated GIF89a with patch-frame compositing, transparency
+  and disposal 0/1/2).
+- Remaining COMPRESSED formats (MP3/H.264/webp) are honest
   NotImplementedError seams — their codec libraries are absent from this
   container; a real deployment loads the codec once per actor in
   ``__init__`` (the reason these stages are callable classes).
@@ -103,12 +105,14 @@ def make_mixed_image_table(n: int, *, seed: int = 7, side: int = 8) -> pa.Table:
     """Deterministic REAL-format fixture mixing formats the way a scraped
     corpus would: ids cycle grayscale BMP / PNG (through all five row filters
     so every unfilter path runs in production queries, not just unit tests) /
-    baseline JPEG (quality=100, so the only loss is IDCT rounding) / GIF
-    (alternating sequential and interlaced row order)."""
+    JPEG alternating baseline and progressive SOF2 (quality=100, so the only
+    loss is IDCT rounding) / GIF (alternating sequential and interlaced row
+    order)."""
     from epichypersketch_jl_ray.functions.codecs import (
         encode_bmp_gray8,
         encode_gif,
         encode_jpeg_baseline,
+        encode_jpeg_progressive,
         encode_png,
     )
 
@@ -123,7 +127,8 @@ def make_mixed_image_table(n: int, *, seed: int = 7, side: int = 8) -> pa.Table:
             payloads.append(encode_png(px, filter_type=i % 5))
             mimes.append("image/png")
         elif i % 4 == 2:
-            payloads.append(encode_jpeg_baseline(px, quality=100))
+            enc = encode_jpeg_progressive if i % 8 == 6 else encode_jpeg_baseline
+            payloads.append(enc(px, quality=100))
             mimes.append("image/jpeg")
         else:
             payloads.append(encode_gif(px, interlace=bool(i % 8 == 3)))

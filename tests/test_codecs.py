@@ -310,7 +310,9 @@ def test_jpeg_error_paths():
 
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
-    with pytest.raises(NotImplementedError):  # progressive
+    with pytest.raises(NotImplementedError):  # arithmetic-coded sequential
+        decode_jpeg(b"\xff\xd8\xff\xc9" + struct.pack(">H", 8) + bytes(20))
+    with pytest.raises(ValueError):  # malformed zero-length segment
         decode_jpeg(b"\xff\xd8\xff\xc2" + bytes(20))
     blob = encode_jpeg_baseline(np.zeros((16, 16), np.uint8), quality=90)
     with pytest.raises(ValueError):  # truncated entropy data
@@ -531,3 +533,83 @@ def test_frame_sample_video_mixed_raw_gif(ray_session):
             assert out["frame_idx"][i].as_py() == j * 8
             got = np.asarray(out["pixels"][i].as_py(), np.float32)
             np.testing.assert_allclose(got, frames[j * 8].astype(np.float32).ravel() / 255.0)
+
+
+# --- progressive JPEG (SOF2) --------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape,subsample",
+    [((16, 16), "444"), ((13, 7), "444"), ((24, 24, 3), "444"), ((24, 24, 3), "420"),
+     ((13, 9, 3), "420"), ((20, 8, 3), "420"), ((1, 1), "444")],
+)
+def test_jpeg_progressive_equals_baseline(shape, subsample):
+    """Progressive encoding carries the SAME quantized coefficients as
+    baseline, so decode must be bit-identical — this pins every progressive
+    scan path (DC first/refine interleaved, AC first/refine per band) against
+    the independently-tested sequential path."""
+    from epichypersketch_jl_ray.functions.codecs import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(sum(shape))
+    px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    for q in (100, 90, 50):
+        base = decode_jpeg(encode_jpeg_baseline(px, quality=q, subsample=subsample))
+        prog = decode_jpeg(encode_jpeg_progressive(px, quality=q, subsample=subsample))
+        np.testing.assert_array_equal(prog, base)
+
+
+def test_jpeg_progressive_sparse_blocks_eob_runs():
+    """Flat / near-flat images make most AC bands all-zero: the EOB-run and
+    trailing-correction paths dominate. Also covers newly-nonzero refinement
+    coefficients sitting AFTER the last history coefficient."""
+    from epichypersketch_jl_ray.functions.codecs import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    flat = np.full((32, 32), 128, np.uint8)
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg_progressive(flat, quality=90)),
+        decode_jpeg(encode_jpeg_baseline(flat, quality=90)),
+    )
+    ramp = np.tile(np.arange(32, dtype=np.uint8)[None, :] * 8, (32, 1))
+    for q in (100, 75):
+        np.testing.assert_array_equal(
+            decode_jpeg(encode_jpeg_progressive(ramp, quality=q)),
+            decode_jpeg(encode_jpeg_baseline(ramp, quality=q)),
+        )
+
+
+def test_jpeg_progressive_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from epichypersketch_jl_ray.functions.codecs import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        rgb=st.booleans(),
+        sub=st.sampled_from(["444", "420"]),
+        q=st.integers(30, 100),
+        seed=st.integers(0, 2**31),
+    )
+    def run(w, h, rgb, sub, q, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg_baseline(px, quality=q, subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(px, quality=q, subsample=sub))
+        np.testing.assert_array_equal(prog, base)
+
+    run()
