@@ -112,10 +112,12 @@ def decode_wav(payload: bytes | np.ndarray) -> tuple[np.ndarray, int]:
 
 # --- PNG (ISO/IEC 15948) -----------------------------------------------------
 # Zero new dependencies: DEFLATE is stdlib zlib, unfiltering is numpy. Scope:
-# 8-bit depth, color types 0 (grayscale) and 2 (RGB), interlace 0. All five
-# row filters (None/Sub/Up/Average/Paeth) decode; the encoder can apply any
-# one of them so round-trip tests exercise every unfilter path. Adam7
-# interlace and 16-bit depth stay out of scope (raise, never mis-read).
+# 8-bit depth, color types 0 (grayscale), 2 (RGB), 3 (palette via PLTE) and
+# 6 (RGBA), sequential AND Adam7-interlaced row order. All five row filters
+# (None/Sub/Up/Average/Paeth) decode; the encoder can apply any one of them
+# (and write Adam7 / palette / RGBA) so round-trip tests exercise every
+# decode path. 16-bit depth and gray+alpha stay out of scope (raise, never
+# mis-read).
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -140,30 +142,17 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def encode_png(pixels: np.ndarray, *, filter_type: int = 0, level: int = 6) -> bytes:
-    """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB -> PNG bytes. The given
-    row filter (0..4) is applied to EVERY row (real encoders pick per row;
-    one fixed type keeps the encoder simple while letting round-trip tests
-    drive each unfilter path)."""
-    import zlib
+# Adam7 pass origins/strides: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
-        color_type, channels = 0, 1
-        h, w = px.shape
-        raw = px.reshape(h, w)
-    elif px.ndim == 3 and px.shape[2] == 3:
-        color_type, channels = 2, 3
-        h, w, _ = px.shape
-        raw = px.reshape(h, w * 3)
-    else:
-        raise ValueError("encode_png expects (h, w) gray or (h, w, 3) RGB uint8")
-    if not 0 <= filter_type <= 4:
-        raise ValueError("filter_type must be 0..4")
-    bpp = channels  # bytes per pixel at depth 8
-    prev = np.zeros(raw.shape[1], dtype=np.uint8)
+
+def _png_filter_rows(raw: np.ndarray, bpp: int, filter_type: int) -> bytes:
+    """Apply one fixed row filter to a (h, stride) byte image -> filter-byte-
+    prefixed scanlines (the encoder half of the five unfilter paths)."""
     out_rows = []
-    for y in range(h):
+    prev = np.zeros(raw.shape[1], dtype=np.uint8)
+    for y in range(raw.shape[0]):
         row = raw[y]
         left = np.concatenate([np.zeros(bpp, np.uint8), row[:-bpp]])
         upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
@@ -179,61 +168,78 @@ def encode_png(pixels: np.ndarray, *, filter_type: int = 0, level: int = 6) -> b
             filt = row - _paeth(left, prev, upleft)
         out_rows.append(bytes([filter_type]) + filt.tobytes())
         prev = row
-    idat = zlib.compress(b"".join(out_rows), level)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", idat)
-        + _png_chunk(b"IEND", b"")
-    )
+    return b"".join(out_rows)
 
 
-def decode_png(payload: bytes | np.ndarray) -> np.ndarray:
-    """PNG bytes -> (h, w) uint8 grayscale or (h, w, 3) uint8 RGB.
-
-    Full chunk walk with CRC verification; multiple IDAT chunks concatenate;
-    all five row filters unfilter. Sub/Average/Paeth reconstruct pixel by
-    pixel along the row (the spec's data dependency — each byte needs the
-    reconstructed left neighbour); None/Up are fully vectorized and Sub uses
-    a cumulative-sum closed form."""
+def encode_png(
+    pixels: np.ndarray,
+    *,
+    filter_type: int = 0,
+    level: int = 6,
+    interlace: bool = False,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """uint8 (h, w) gray, (h, w, 3) RGB or (h, w, 4) RGBA -> PNG bytes. With
+    ``palette`` (p, 3), the input must be (h, w) INDICES and a color-type-3
+    paletted PNG is written. The given row filter (0..4) is applied to EVERY
+    row (real encoders pick per row; one fixed type keeps the encoder simple
+    while letting round-trip tests drive each unfilter path).
+    ``interlace=True`` writes Adam7 pass-split scanlines."""
     import zlib
 
-    raw = payload.tobytes() if isinstance(payload, np.ndarray) else bytes(payload)
-    if len(raw) < len(_PNG_SIG) + 12 or raw[: len(_PNG_SIG)] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, ihdr, idat = len(_PNG_SIG), None, []
-    while pos + 8 <= len(raw):
-        length = struct.unpack_from(">I", raw, pos)[0]
-        ctype = raw[pos + 4 : pos + 8]
-        body = raw[pos + 8 : pos + 8 + length]
-        crc = struct.unpack_from(">I", raw, pos + 8 + length)[0]
-        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif ctype == b"IDAT":
-            idat.append(body)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    if ihdr is None or not idat:
-        raise ValueError("PNG payload missing IHDR/IDAT")
-    w, h, depth, color_type, comp, filt_method, interlace = ihdr
-    if depth != 8 or color_type not in (0, 2) or comp != 0 or filt_method != 0:
-        raise ValueError(
-            f"unsupported PNG variant (depth={depth}, color={color_type}): scope "
-            "is 8-bit gray/RGB"
-        )
-    if interlace != 0:
-        raise ValueError("Adam7 interlace out of scope")
-    channels = 1 if color_type == 0 else 3
-    bpp = channels
-    stride = w * channels
-    data = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if len(data) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    data = data.reshape(h, stride + 1)
+    px = np.asarray(pixels, dtype=np.uint8)
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint8)
+        if px.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > 256:
+            raise ValueError("paletted PNG needs (h, w) indices and a (<=256, 3) palette")
+        if px.size and int(px.max()) >= len(pal):
+            raise ValueError("palette index out of range")
+        color_type, channels = 3, 1
+        h, w = px.shape
+        plane = px[..., None]
+    elif px.ndim == 2:
+        color_type, channels = 0, 1
+        h, w = px.shape
+        plane = px[..., None]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        color_type, channels = 2, 3
+        h, w, _ = px.shape
+        plane = px
+    elif px.ndim == 3 and px.shape[2] == 4:
+        color_type, channels = 6, 4
+        h, w, _ = px.shape
+        plane = px
+    else:
+        raise ValueError("encode_png expects (h, w)[, 3|4] uint8 (or indices + palette)")
+    if not 0 <= filter_type <= 4:
+        raise ValueError("filter_type must be 0..4")
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = plane[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty passes contribute no scanlines at all
+            parts.append(
+                _png_filter_rows(
+                    sub.reshape(sub.shape[0], sub.shape[1] * channels), channels, filter_type
+                )
+            )
+        scanlines = b"".join(parts)
+    else:
+        scanlines = _png_filter_rows(plane.reshape(h, w * channels), channels, filter_type)
+    idat = zlib.compress(scanlines, level)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += _png_chunk(b"PLTE", pal.tobytes())
+    return out + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b"")
+
+
+def _png_unfilter(data: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """(h, stride+1) filter-byte-prefixed scanlines -> (h, stride) recon.
+    Sub/Average/Paeth reconstruct pixel by pixel along the row (the spec's
+    data dependency — each byte needs the reconstructed left neighbour);
+    None/Up are fully vectorized and Sub uses a cumulative-sum closed form."""
     ftypes, rows = data[:, 0], data[:, 1:]
     recon = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -266,7 +272,80 @@ def decode_png(payload: bytes | np.ndarray) -> np.ndarray:
             raise ValueError(f"invalid PNG filter type {ft}")
         recon[y] = r
         prev = r
-    return recon.reshape(h, w) if channels == 1 else recon.reshape(h, w, 3)
+    return recon
+
+
+def decode_png(payload: bytes | np.ndarray) -> np.ndarray:
+    """PNG bytes -> uint8 (h, w) grayscale, (h, w, 3) RGB (palette images
+    resolve through their PLTE) or (h, w, 4) RGBA.
+
+    Full chunk walk with CRC verification; multiple IDAT chunks concatenate;
+    all five row filters unfilter; sequential AND Adam7-interlaced row
+    order; color types 0/2/3/6 at depth 8. 16-bit depth and gray+alpha
+    raise — never mis-read."""
+    import zlib
+
+    raw = payload.tobytes() if isinstance(payload, np.ndarray) else bytes(payload)
+    if len(raw) < len(_PNG_SIG) + 12 or raw[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte = len(_PNG_SIG), None, [], None
+    while pos + 8 <= len(raw):
+        length = struct.unpack_from(">I", raw, pos)[0]
+        ctype = raw[pos + 4 : pos + 8]
+        body = raw[pos + 8 : pos + 8 + length]
+        crc = struct.unpack_from(">I", raw, pos + 8 + length)[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG payload missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if depth != 8 or color_type not in (0, 2, 3, 6) or comp != 0 or filt_method != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={color_type}): scope "
+            "is 8-bit gray/RGB/palette/RGBA"
+        )
+    if color_type == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE chunk")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+    data = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if interlace == 0:
+        stride = w * channels
+        if len(data) != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        recon = _png_unfilter(data.reshape(h, stride + 1), h, stride, channels)
+        img = recon.reshape(h, w) if channels == 1 else recon.reshape(h, w, channels)
+    elif interlace == 1:
+        img = np.zeros((h, w) if channels == 1 else (h, w, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            hp = (h - y0 + dy - 1) // dy
+            wp = (w - x0 + dx - 1) // dx
+            if hp == 0 or wp == 0:
+                continue
+            stride = wp * channels
+            end = off + hp * (stride + 1)
+            if end > len(data):
+                raise ValueError("PNG pixel data length mismatch")
+            recon = _png_unfilter(data[off:end].reshape(hp, stride + 1), hp, stride, channels)
+            off = end
+            sub = recon.reshape(hp, wp) if channels == 1 else recon.reshape(hp, wp, channels)
+            img[y0::dy, x0::dx] = sub
+        if off != len(data):
+            raise ValueError("PNG pixel data length mismatch")
+    else:
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    if color_type == 3:
+        return plte[img]
+    return img
 
 
 # --- JPEG (ITU-T T.81 baseline sequential DCT) -------------------------------

@@ -613,3 +613,57 @@ def test_jpeg_progressive_fuzz():
         np.testing.assert_array_equal(prog, base)
 
     run()
+
+
+# --- PNG Adam7 / palette / RGBA ------------------------------------------------
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_adam7_round_trip_all_filters(filter_type):
+    from epichypersketch_jl_ray.functions.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(300 + filter_type)
+    for shape in [(11, 7), (1, 1), (8, 8), (13, 9, 3), (5, 3, 4)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = decode_png(encode_png(px, filter_type=filter_type, interlace=True))
+        np.testing.assert_array_equal(got, px)
+
+
+def test_png_palette_and_rgba_round_trip():
+    from epichypersketch_jl_ray.functions.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(42)
+    pal = rng.integers(0, 256, size=(200, 3), dtype=np.uint8)
+    idx = rng.integers(0, 200, size=(12, 9), dtype=np.uint8)
+    for interlace in (False, True):
+        got = decode_png(encode_png(idx, palette=pal, interlace=interlace, filter_type=4))
+        np.testing.assert_array_equal(got, pal[idx])  # palette resolves to RGB
+    rgba = rng.integers(0, 256, size=(7, 5, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(rgba, filter_type=2)), rgba)
+    with pytest.raises(ValueError, match="out of range"):
+        encode_png(np.array([[250]], np.uint8), palette=pal[:100])
+
+
+def test_png_adam7_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from epichypersketch_jl_ray.functions.codecs import decode_png, encode_png
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 21),
+        h=st.integers(1, 19),
+        ft=st.integers(0, 4),
+        ch=st.sampled_from([1, 3, 4]),
+        seed=st.integers(0, 2**16),
+    )
+    def run(w, h, ft, ch, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        np.testing.assert_array_equal(
+            decode_png(encode_png(px, filter_type=ft, interlace=True)), px
+        )
+
+    run()
