@@ -4,7 +4,8 @@ with typed metadata, processed by actor-pool map_batches stages.
 Decode dispatches on the row's ``mime``:
 - REAL decodes with the pure-numpy/stdlib codecs in functions/codecs.py —
   image/bmp (BI_RGB 8/24-bit), image/png (stdlib-zlib DEFLATE + numpy
-  unfiltering, 8-bit gray/RGB, all five row filters), image/jpeg (T.81
+  unfiltering, 8-bit gray/RGB/palette/RGBA, all five row filters, Adam7
+  interlace), image/jpeg (T.81
   table-driven Huffman + matrix IDCT, gray/YCbCr, any declared sampling,
   DRI/RSTn, baseline SOF0/SOF1 AND progressive SOF2 with spectral
   selection / successive approximation / EOB runs), image/gif
