@@ -4,11 +4,13 @@ BMP (BI_RGB), WAV (PCM) and raw concatenated video frames are fixed headers
 plus raw sample bytes, parseable with struct/numpy alone. PNG rides on
 stdlib zlib (DEFLATE) with numpy unfiltering, JPEG (baseline SOF0/SOF1 and
 progressive SOF2) is an 8x8 matrix DCT plus table-driven Huffman coding,
-and GIF (still + animated) is variable-width LZW — no codec library needed
-for any of them. These give the multimodal pipelines a REAL decode path
-inside this container; the remaining compressed formats (MP3, H.264, webp)
-stay documented NotImplementedError seams in stages/multimodal.py because
-their decoders genuinely are absent here.
+GIF (still + animated) is variable-width LZW, and lossless WebP (VP8L,
+in functions/webp.py, re-exported here) is canonical prefix codes + LZ77
++ color cache + the four VP8L transforms — no codec library needed for
+any of them. These give the multimodal pipelines a REAL decode path
+inside this container; the remaining compressed formats (MP3, H.264,
+lossy-VP8 WebP) stay documented NotImplementedError seams in
+stages/multimodal.py because their decoders genuinely are absent here.
 
 Layouts implemented (public file-format specs):
 - BMP: 14-byte BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER, BI_RGB only;
@@ -1509,3 +1511,11 @@ def decode_gif_frames(payload: bytes | np.ndarray) -> np.ndarray:
                 pal[bg, 0] if gray else pal[min(bg, len(pal) - 1)]
             )
     return out
+
+
+# Lossless WebP (VP8L) lives in functions/webp.py; re-exported here so the
+# multimodal stages import every codec from one module.
+from epichypersketch_jl_ray.functions.webp import (  # noqa: E402
+    decode_webp,
+    encode_webp_lossless,
+)

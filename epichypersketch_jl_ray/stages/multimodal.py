@@ -9,11 +9,13 @@ Decode dispatches on the row's ``mime``:
   table-driven Huffman + matrix IDCT, gray/YCbCr, any declared sampling,
   DRI/RSTn, baseline SOF0/SOF1 AND progressive SOF2 with spectral
   selection / successive approximation / EOB runs), image/gif
-  (variable-width LZW, interlace, local palettes), audio/wav (PCM mono),
+  (variable-width LZW, interlace, local palettes), image/webp (lossless
+  VP8L: prefix codes, LZ77, color cache, meta-prefix image and all four
+  transforms; lossy VP8 raises — that needs libvpx), audio/wav (PCM mono),
   video/raw-gray8 (concatenated raw frames, ffmpeg's rawvideo layout),
   video/gif (animated GIF89a with patch-frame compositing, transparency
   and disposal 0/1/2).
-- Remaining COMPRESSED formats (MP3/H.264/webp) are honest
+- Remaining COMPRESSED formats (MP3/H.264/lossy-WebP) are honest
   NotImplementedError seams — their codec libraries are absent from this
   container; a real deployment loads the codec once per actor in
   ``__init__`` (the reason these stages are callable classes).
@@ -108,32 +110,44 @@ def make_mixed_image_table(n: int, *, seed: int = 7, side: int = 8) -> pa.Table:
     so every unfilter path runs in production queries, not just unit tests) /
     JPEG alternating baseline and progressive SOF2 (quality=100, so the only
     loss is IDCT rounding) / GIF (alternating sequential and interlaced row
-    order)."""
+    order) / lossless WebP (VP8L, alternating plain literals and the
+    subtract-green + color-cache + LZ77 feature set)."""
     from epichypersketch_jl_ray.functions.codecs import (
         encode_bmp_gray8,
         encode_gif,
         encode_jpeg_baseline,
         encode_jpeg_progressive,
         encode_png,
+        encode_webp_lossless,
     )
 
     rng = np.random.default_rng(seed)
     payloads, mimes = [], []
     for i in range(n):
         px = rng.integers(0, 256, size=(side, side), dtype=np.uint8)
-        if i % 4 == 0:
+        if i % 5 == 0:
             payloads.append(encode_bmp_gray8(px))
             mimes.append("image/bmp")
-        elif i % 4 == 1:
-            payloads.append(encode_png(px, filter_type=i % 5))
+        elif i % 5 == 1:
+            payloads.append(encode_png(px, filter_type=(i // 5) % 5))
             mimes.append("image/png")
-        elif i % 4 == 2:
-            enc = encode_jpeg_progressive if i % 8 == 6 else encode_jpeg_baseline
+        elif i % 5 == 2:
+            enc = encode_jpeg_progressive if i % 10 == 7 else encode_jpeg_baseline
             payloads.append(enc(px, quality=100))
             mimes.append("image/jpeg")
-        else:
-            payloads.append(encode_gif(px, interlace=bool(i % 8 == 3)))
+        elif i % 5 == 3:
+            payloads.append(encode_gif(px, interlace=bool(i % 10 == 3)))
             mimes.append("image/gif")
+        else:
+            if i % 10 == 4:
+                payloads.append(encode_webp_lossless(px))
+            else:
+                payloads.append(
+                    encode_webp_lossless(
+                        px, subtract_green=True, cache_bits=4, use_lz77=True
+                    )
+                )
+            mimes.append("image/webp")
     return pa.table(
         {
             "id": pa.array(range(n), pa.int64()),
@@ -163,6 +177,7 @@ class DecodeImage:
             decode_gif,
             decode_jpeg,
             decode_png,
+            decode_webp,
         )
 
         payloads = batch["payload"]
@@ -175,12 +190,13 @@ class DecodeImage:
         parts: list[np.ndarray] = []
         for i, mime in enumerate(mimes):
             blob = values[offsets[i] : offsets[i + 1]]
-            if mime in ("image/bmp", "image/png", "image/jpeg", "image/gif"):
+            if mime in ("image/bmp", "image/png", "image/jpeg", "image/gif", "image/webp"):
                 dec = {
                     "image/bmp": decode_bmp,
                     "image/png": decode_png,
                     "image/jpeg": decode_jpeg,
                     "image/gif": decode_gif,
+                    "image/webp": decode_webp,
                 }
                 img = dec[mime](blob)
                 if img.shape[0] != heights[i] or img.shape[1] != widths[i]:
@@ -200,8 +216,8 @@ class DecodeImage:
             else:
                 raise NotImplementedError(
                     f"decoding {mime} requires a codec library not present in this "
-                    "container (bmp/png/baseline-jpeg decode natively; other "
-                    "formats need a codec loaded once per actor here)"
+                    "container (bmp/png/jpeg/gif/lossless-webp decode natively; "
+                    "other formats need a codec loaded once per actor here)"
                 )
         lengths = np.array([len(p) for p in parts], dtype=np.int64)
         lists = pa.ListArray.from_arrays(

@@ -96,7 +96,7 @@ def test_decode_image_stage_rejects_compressed_mime():
 
     tbl = make_bmp_image_table(1)
     tbl = tbl.set_column(
-        tbl.schema.get_field_index("mime"), "mime", pa.array(["image/webp"], pa.string())
+        tbl.schema.get_field_index("mime"), "mime", pa.array(["image/avif"], pa.string())
     )
     with pytest.raises(NotImplementedError):
         DecodeImage()(tbl)
@@ -168,15 +168,15 @@ def test_png_round_trip_fuzz():
     png_case()
 
 
-def test_decode_image_stage_mixed_bmp_png_jpeg_gif():
+def test_decode_image_stage_mixed_bmp_png_jpeg_gif_webp():
     from epichypersketch_jl_ray.stages.multimodal import DecodeImage, make_mixed_image_table
 
-    tbl = make_mixed_image_table(16, seed=7, side=8)
+    tbl = make_mixed_image_table(20, seed=7, side=8)
     mimes = tbl["mime"].to_pylist()
-    assert set(mimes) == {"image/bmp", "image/png", "image/jpeg", "image/gif"}
+    assert set(mimes) == {"image/bmp", "image/png", "image/jpeg", "image/gif", "image/webp"}
     out = DecodeImage()(tbl)
     rng = np.random.default_rng(7)  # regenerate the fixture's pixel truth
-    for i in range(16):
+    for i in range(20):
         want = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
         got = np.asarray(out["pixels"][i].as_py(), dtype=np.float32)
         # jpeg is quality=100: loss limited to IDCT rounding (a few LSB)
