@@ -4,10 +4,12 @@ BMP (BI_RGB), WAV (PCM) and raw concatenated video frames are fixed headers
 plus raw sample bytes, parseable with struct/numpy alone. PNG rides on
 stdlib zlib (DEFLATE) with numpy unfiltering, JPEG (baseline SOF0/SOF1 and
 progressive SOF2) is an 8x8 matrix DCT plus table-driven Huffman coding,
-GIF (still + animated) is variable-width LZW, and lossless WebP (VP8L,
-in functions/webp.py, re-exported here) is canonical prefix codes + LZ77
-+ color cache + the four VP8L transforms — no codec library needed for
-any of them. These give the multimodal pipelines a REAL decode path
+GIF (still + animated) is variable-width LZW, lossless WebP (VP8L, in
+functions/webp.py, re-exported here) is canonical prefix codes + LZ77
++ color cache + the four VP8L transforms, and FLAC (functions/flac.py,
+re-exported here) is Rice coding + fixed/LPC predictors — no codec
+library needed for any of them. These give the multimodal pipelines a
+REAL decode path
 inside this container; the remaining compressed formats (MP3, H.264,
 lossy-VP8 WebP) stay documented NotImplementedError seams in
 stages/multimodal.py because their decoders genuinely are absent here.
@@ -1513,8 +1515,14 @@ def decode_gif_frames(payload: bytes | np.ndarray) -> np.ndarray:
     return out
 
 
-# Lossless WebP (VP8L) lives in functions/webp.py; re-exported here so the
-# multimodal stages import every codec from one module.
+# Lossless WebP (VP8L) lives in functions/webp.py and FLAC in
+# functions/flac.py; re-exported here so the multimodal stages import
+# every codec from one module.
+from epichypersketch_jl_ray.functions.flac import (  # noqa: E402
+    decode_flac,
+    decode_flac_int,
+    encode_flac,
+)
 from epichypersketch_jl_ray.functions.webp import (  # noqa: E402
     decode_webp,
     encode_webp_lossless,

@@ -2,11 +2,12 @@
 featurize → embedding column.
 
 The driver queries run REAL decodes end-to-end — the fixtures are valid
-BMP / PNG / baseline+progressive-JPEG / GIF / WAV-PCM / raw-video /
-animated-GIF payloads and the decoders are the pure-numpy/stdlib parsers
-in functions/codecs.py. The remaining compressed formats (MP3/H.264/webp)
-stay behind the documented NotImplementedError seams in
-stages/multimodal.py, exercised by the fake fixtures in tests.
+BMP / PNG / baseline+progressive-JPEG / GIF / lossless-WebP / WAV-PCM /
+FLAC / raw-video / animated-GIF payloads and the decoders are the
+pure-numpy/stdlib parsers in functions/codecs.py. The remaining
+compressed formats (MP3/H.264/lossy-WebP) stay behind the documented
+NotImplementedError seams in stages/multimodal.py, exercised by the fake
+fixtures in tests.
 Rows-only driver check — binary fixtures have no SQL oracle; decode
 round-trip exactness is pinned by tests/test_codecs.py.
 """
@@ -22,17 +23,17 @@ from epichypersketch_jl_ray.stages.multimodal import (
     FeaturizeImage,
     FrameSampleVideo,
     WindowAudio,
+    make_mixed_audio_table,
     make_mixed_image_table,
     make_mixed_video_table,
-    make_wav_audio_table,
 )
 
 
 def image_features(sf_dir: str, *, n: int = 512, dim: int = 16) -> pd.DataFrame:
-    """Deterministic mixed BMP+PNG+JPEG+GIF corpus → REAL decode (pure-numpy
-    BI_RGB parser; stdlib-zlib + numpy-unfilter PNG across all five row
-    filters; table-driven JPEG, baseline and progressive SOF2; LZW GIF
-    incl. interlace; actor pool) → feature vectors.
+    """Deterministic mixed BMP+PNG+JPEG+GIF+WebP corpus → REAL decode
+    (pure-numpy BI_RGB parser; stdlib-zlib + numpy-unfilter PNG across all
+    five row filters; table-driven JPEG, baseline and progressive SOF2; LZW
+    GIF incl. interlace; VP8L WebP; actor pool) → feature vectors.
 
     ``sf_dir`` only scales the corpus (the multimodal fixture is generated,
     not read from the sf tables).
@@ -81,11 +82,12 @@ def video_frame_features(sf_dir: str, *, n: int = 64, stride: int = 8, dim: int 
 
 
 def audio_window_features(sf_dir: str, *, n: int = 64, window: int = 1024, dim: int = 8) -> pd.DataFrame:
-    """WAV-PCM corpus → REAL decode (pure-numpy RIFF parser) + window
-    chunking (actor pool) → per-window feature vectors. One output row per
-    analysis window."""
+    """Mixed WAV-PCM + FLAC corpus → REAL decode (pure-numpy RIFF parser /
+    full-spec FLAC with Rice, LPC, partitions and escapes) + window chunking
+    (actor pool) → per-window feature vectors. One output row per analysis
+    window."""
     scale = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 4}.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 1)
-    tbl = make_wav_audio_table(n * scale)
+    tbl = make_mixed_audio_table(n * scale)
     ds = ray.data.from_arrow(tbl)
     windows = ds.map_batches(
         WindowAudio,

@@ -12,6 +12,8 @@ Decode dispatches on the row's ``mime``:
   (variable-width LZW, interlace, local palettes), image/webp (lossless
   VP8L: prefix codes, LZ77, color cache, meta-prefix image and all four
   transforms; lossy VP8 raises — that needs libvpx), audio/wav (PCM mono),
+  audio/flac (full-spec: fixed+LPC predictors, Rice partitions incl.
+  escapes, all stereo decorrelations, CRC+MD5 verified),
   video/raw-gray8 (concatenated raw frames, ffmpeg's rawvideo layout),
   video/gif (animated GIF89a with patch-frame compositing, transparency
   and disposal 0/1/2).
@@ -465,14 +467,53 @@ def make_wav_audio_table(n: int, *, seed: int = 17, samples: int = 4096, rate: i
     )
 
 
+def make_mixed_audio_table(n: int, *, seed: int = 17, samples: int = 4096, rate: int = 16000) -> pa.Table:
+    """Deterministic REAL-format fixture mixing audio the way a scraped
+    corpus would: ids cycle WAV-PCM16 / FLAC (alternating best-of-fixed,
+    forced-LPC, multi-partition Rice and escape-partition streams, so every
+    FLAC decode path runs in production queries, not just unit tests)."""
+    from epichypersketch_jl_ray.functions.codecs import encode_flac, encode_wav_pcm16
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(samples)
+    payloads, mimes = [], []
+    for i in range(n):
+        # smooth-ish signal so FLAC's predictors actually engage
+        sig = (
+            6000 * np.sin(t / (20 + (i % 7) * 9)) + rng.normal(0, 80, samples)
+        ).astype(np.int16)
+        if i % 2 == 0:
+            payloads.append(encode_wav_pcm16(sig, sample_rate=rate))
+            mimes.append("audio/wav")
+        else:
+            kw = [
+                {},
+                {"force_subframe": "lpc"},
+                {"partition_order": 2},
+                {"rice_escape": True},
+            ][(i // 2) % 4]
+            payloads.append(encode_flac(sig, sample_rate=rate, block_size=2048, **kw))
+            mimes.append("audio/flac")
+    return pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(mimes, pa.string()),
+            "sample_rate": pa.array([rate] * n, pa.int32()),
+            "n_samples": pa.array([samples] * n, pa.int32()),
+        }
+    )
+
+
 class WindowAudio:
     """Actor stage: audio payload -> fixed-size analysis windows, one row
     per ``window``-sample hop (the flat layout featurize consumes, same
     contract as video frame sampling).
 
-    audio/wav decodes FOR REAL (pure-numpy RIFF/PCM parser); audio/fake
-    treats the payload as raw 8-bit samples behind ``fake=True``;
-    compressed mimes (mp3/ogg/flac) raise the documented codec seam.
+    audio/wav and audio/flac decode FOR REAL (pure-numpy RIFF/PCM parser;
+    full-spec FLAC in functions/flac.py); audio/fake treats the payload as
+    raw 8-bit samples behind ``fake=True``; remaining compressed mimes
+    (mp3/ogg) raise the documented codec seam.
     """
 
     def __init__(self, *, window: int = 1024, fake: bool = False) -> None:
@@ -483,7 +524,7 @@ class WindowAudio:
 
     def _decode_samples(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         """(flat float32 samples, int64 offsets) for the whole batch."""
-        from epichypersketch_jl_ray.functions.codecs import decode_wav
+        from epichypersketch_jl_ray.functions.codecs import decode_flac, decode_wav
 
         payloads = batch["payload"]
         if isinstance(payloads, pa.ChunkedArray):
@@ -496,6 +537,11 @@ class WindowAudio:
             if mime == "audio/wav":
                 samples, _rate = decode_wav(blob)
                 parts.append(samples)
+            elif mime == "audio/flac":
+                samples, _rate = decode_flac(blob)
+                if samples.ndim != 1:
+                    samples = samples.mean(axis=1)  # downmix stereo
+                parts.append(samples.astype(np.float32))
             elif mime == "audio/fake":
                 if not self.fake:
                     raise NotImplementedError(
@@ -505,7 +551,7 @@ class WindowAudio:
             else:
                 raise NotImplementedError(
                     f"decoding {mime} requires an audio library not present in "
-                    "this container (wav decodes natively; mp3/ogg need "
+                    "this container (wav/flac decode natively; mp3/ogg need "
                     "soundfile/torchaudio loaded once per actor here)"
                 )
         lengths = np.array([len(p) for p in parts], dtype=np.int64)
