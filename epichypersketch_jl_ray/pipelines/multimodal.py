@@ -58,9 +58,10 @@ def image_features(sf_dir: str, *, n: int = 512, dim: int = 16) -> pd.DataFrame:
 
 
 def video_frame_features(sf_dir: str, *, n: int = 64, stride: int = 8, dim: int = 8) -> pd.DataFrame:
-    """Mixed raw + animated-GIF video corpus (ffmpeg rawvideo layout /
-    GIF89a LZW streams) → frame sampling (actor pool, REAL decode on both
-    paths) → per-frame feature vectors. One output row per sampled frame."""
+    """Mixed raw + animated-GIF + MJPEG-AVI + Y4M video corpus (ffmpeg
+    rawvideo layout / GIF89a LZW / RIFF-AVI with per-frame JPEGs / YUV4MPEG2)
+    → frame sampling (actor pool, REAL decode on all four container paths)
+    → per-frame feature vectors. One output row per sampled frame."""
     scale = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 4}.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 1)
     tbl = make_mixed_video_table(n * scale)
     ds = ray.data.from_arrow(tbl)

@@ -16,7 +16,8 @@ Decode dispatches on the row's ``mime``:
   escapes, all stereo decorrelations, CRC+MD5 verified),
   video/raw-gray8 (concatenated raw frames, ffmpeg's rawvideo layout),
   video/gif (animated GIF89a with patch-frame compositing, transparency
-  and disposal 0/1/2).
+  and disposal 0/1/2), video/avi (MJPEG: RIFF walk + the JPEG codec per
+  frame; DHT-less MJPEG raises), video/y4m (YUV4MPEG2 mono/444/420).
 - Remaining COMPRESSED formats (MP3/H.264/lossy-WebP) are honest
   NotImplementedError seams — their codec libraries are absent from this
   container; a real deployment loads the codec once per actor in
@@ -255,13 +256,46 @@ def make_gif_video_table(n: int, *, seed: int = 13, side: int = 4, frames: int =
 
 
 def make_mixed_video_table(n: int, *, seed: int = 13, side: int = 4, frames: int = 24) -> pa.Table:
-    """Raw-gray8 and animated-GIF payloads interleaved the way a scraped
-    corpus mixes containers; even ids raw, odd ids GIF."""
+    """Raw-gray8 / animated-GIF / MJPEG-AVI / Y4M payloads interleaved the
+    way a scraped corpus mixes containers (ids cycle the four formats).
+    MJPEG frames are quality-100 JPEGs (loss limited to IDCT rounding);
+    the rest are lossless."""
+    from epichypersketch_jl_ray.functions.video import encode_avi_mjpeg, encode_y4m
+
     raw = make_raw_video_table(n, seed=seed, side=side, frames=frames)
     gif = make_gif_video_table(n, seed=seed + 1, side=side, frames=frames)
-    mask = np.arange(n) % 2 == 0
+    rng = np.random.default_rng(seed + 2)
+    stacks = [
+        rng.integers(0, 256, size=(frames, side, side), dtype=np.uint8) for _ in range(n)
+    ]
+    kinds = np.arange(n) % 4
+    payloads, mimes = [], []
+    for i in range(n):
+        if kinds[i] == 2:
+            payloads.append(encode_avi_mjpeg(stacks[i], quality=100))
+            mimes.append("video/avi")
+        elif kinds[i] == 3:
+            payloads.append(encode_y4m(stacks[i]))
+            mimes.append("video/y4m")
+        else:
+            payloads.append(b"")
+            mimes.append("")
+    extra = pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(mimes, pa.string()),
+            "width": pa.array([side] * n, pa.int32()),
+            "height": pa.array([side] * n, pa.int32()),
+            "n_frames": pa.array([frames] * n, pa.int32()),
+        }
+    )
     return pa.concat_tables(
-        [raw.filter(pa.array(mask)), gif.filter(pa.array(~mask))]
+        [
+            raw.filter(pa.array(kinds == 0)),
+            gif.filter(pa.array(kinds == 1)),
+            extra.filter(pa.array(kinds >= 2)),
+        ]
     ).sort_by("id")
 
 
@@ -318,10 +352,23 @@ class FrameSampleVideo:
         self.stride = stride
         self.fake = fake
 
+    @staticmethod
+    def _stack_decoders() -> dict:
+        """mime -> (payload bytes -> (n, h, w[, 3]) frame-stack decoder)."""
+        from epichypersketch_jl_ray.functions.codecs import decode_gif_frames
+        from epichypersketch_jl_ray.functions.video import decode_avi_mjpeg, decode_y4m
+
+        return {
+            "video/gif": decode_gif_frames,
+            "video/avi": decode_avi_mjpeg,
+            "video/y4m": decode_y4m,
+        }
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         mimes = batch["mime"].to_pylist()
+        decoders = self._stack_decoders()
         for mime in set(mimes):
-            if mime in ("video/raw-gray8", "video/gif"):
+            if mime == "video/raw-gray8" or mime in decoders:
                 continue
             if mime == "video/fake":
                 if not self.fake:
@@ -331,21 +378,24 @@ class FrameSampleVideo:
             else:
                 raise NotImplementedError(
                     f"decoding {mime} requires a codec library not present in this "
-                    "container (raw-gray8 and animated GIF decode natively; "
-                    "h264/vp9 need pyav/ffmpeg loaded once per actor here)"
+                    "container (raw-gray8, animated GIF, MJPEG-AVI and Y4M decode "
+                    "natively; h264/vp9 need pyav/ffmpeg loaded once per actor here)"
                 )
-        gif_mask = np.array([m == "video/gif" for m in mimes], dtype=bool)
-        if gif_mask.any():
+        stacked_mimes = sorted({m for m in mimes if m in decoders})
+        if stacked_mimes:
             parts = []
-            if (~gif_mask).any():
-                parts.append(self._raw_frames(batch.filter(pa.array(~gif_mask))))
-            parts.append(self._gif_frames(batch.filter(pa.array(gif_mask))))
+            raw_mask = np.array([m not in decoders for m in mimes], dtype=bool)
+            if raw_mask.any():
+                parts.append(self._raw_frames(batch.filter(pa.array(raw_mask))))
+            for mime in stacked_mimes:
+                mask = np.array([m == mime for m in mimes], dtype=bool)
+                parts.append(
+                    self._stacked_frames(batch.filter(pa.array(mask)), decoders[mime])
+                )
             return pa.concat_tables(parts)
         return self._raw_frames(batch)
 
-    def _gif_frames(self, batch: pa.Table) -> pa.Table:
-        from epichypersketch_jl_ray.functions.codecs import decode_gif_frames
-
+    def _stacked_frames(self, batch: pa.Table, decode_frames) -> pa.Table:
         payloads = batch["payload"]
         if isinstance(payloads, pa.ChunkedArray):
             payloads = payloads.combine_chunks()
@@ -356,10 +406,10 @@ class FrameSampleVideo:
         out_fidx: list[int] = []
         parts: list[np.ndarray] = []
         for i in range(len(ids)):
-            frames = decode_gif_frames(values[offsets[i] : offsets[i + 1]])
+            frames = decode_frames(values[offsets[i] : offsets[i + 1]])
             if len(frames) != n_frames[i]:
                 raise ValueError(
-                    f"GIF stream has {len(frames)} frames, metadata says {n_frames[i]}"
+                    f"video stream has {len(frames)} frames, metadata says {n_frames[i]}"
                 )
             for fidx in range(0, len(frames), self.stride):
                 out_ids.append(int(ids[i]))

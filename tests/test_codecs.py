@@ -508,28 +508,34 @@ def test_gif_round_trip_fuzz():
     run()
 
 
-def test_frame_sample_video_mixed_raw_gif(ray_session):
-    """The mixed raw+GIF video fixture decodes both container paths to the
-    same row layout; GIF rows match a direct decode of their payloads."""
+def test_frame_sample_video_mixed_containers(ray_session):
+    """The mixed raw+GIF+AVI+Y4M video fixture decodes all four container
+    paths to the same row layout; every row matches a direct decode of its
+    payload (MJPEG within quality-100 IDCT rounding)."""
     from epichypersketch_jl_ray.functions.codecs import decode_gif_frames
+    from epichypersketch_jl_ray.functions.video import decode_avi_mjpeg, decode_y4m
     from epichypersketch_jl_ray.stages.multimodal import (
         FrameSampleVideo,
         make_mixed_video_table,
     )
 
-    tbl = make_mixed_video_table(4, seed=13, side=4, frames=24)
-    assert tbl["mime"].to_pylist() == ["video/raw-gray8", "video/gif"] * 2
+    tbl = make_mixed_video_table(8, seed=13, side=4, frames=24)
+    assert tbl["mime"].to_pylist() == [
+        "video/raw-gray8", "video/gif", "video/avi", "video/y4m",
+    ] * 2
     out = FrameSampleVideo(stride=8)(tbl)
-    assert len(out) == 4 * 3
+    assert len(out) == 8 * 3
     by_id = {}
     for i in range(len(out)):
         by_id.setdefault(out["id"][i].as_py(), []).append(i)
+    decoders = {"video/gif": decode_gif_frames, "video/avi": decode_avi_mjpeg,
+                "video/y4m": decode_y4m}
     for row, mime in enumerate(tbl["mime"].to_pylist()):
-        if mime != "video/gif":
+        if mime not in decoders:
             continue
-        frames = decode_gif_frames(tbl["payload"][row].as_py())
+        frames = decoders[mime](tbl["payload"][row].as_py())
         rid = tbl["id"][row].as_py()
-        for j, i in enumerate(by_id[rid]):
+        for j, i in enumerate(sorted(by_id[rid], key=lambda k: out["frame_idx"][k].as_py())):
             assert out["frame_idx"][i].as_py() == j * 8
             got = np.asarray(out["pixels"][i].as_py(), np.float32)
             np.testing.assert_allclose(got, frames[j * 8].astype(np.float32).ravel() / 255.0)
