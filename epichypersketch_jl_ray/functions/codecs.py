@@ -76,18 +76,81 @@ def decode_bmp(payload: bytes | np.ndarray) -> np.ndarray:
     raise ValueError(f"unsupported BMP bit depth {bpp}")
 
 
-def encode_wav_pcm16(samples: np.ndarray, *, sample_rate: int = 16000) -> bytes:
-    """mono int16 samples -> RIFF/WAVE PCM bytes."""
-    s = np.asarray(samples, dtype="<i2")
-    data = s.tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+def _wav_container(fmt_code: int, channels: int, sample_rate: int, bits: int, data: bytes) -> bytes:
+    block = channels * (bits // 8)
+    fmt = struct.pack("<HHIIHH", fmt_code, channels, sample_rate, sample_rate * block, block, bits)
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def encode_wav_pcm16(samples: np.ndarray, *, sample_rate: int = 16000) -> bytes:
+    """int16 samples -> RIFF/WAVE PCM bytes. 1-D input writes mono; 2-D
+    ``(n, channels)`` input writes interleaved multi-channel frames."""
+    s = np.asarray(samples, dtype="<i2")
+    channels = 1 if s.ndim == 1 else s.shape[1]
+    return _wav_container(1, channels, sample_rate, 16, np.ascontiguousarray(s).tobytes())
+
+
+def encode_wav_float32(samples: np.ndarray, *, sample_rate: int = 16000) -> bytes:
+    """mono float samples in [-1, 1) -> RIFF/WAVE IEEE-float (format 3) bytes."""
+    s = np.asarray(samples, dtype="<f4")
+    return _wav_container(3, 1, sample_rate, 32, s.tobytes())
+
+
+# --- G.711 companding (ITU-T, 1972) ------------------------------------------
+# Telephony / call-center speech corpora ship as 8 kHz companded WAV (format
+# code 6 = A-law, 7 = mu-law). Both laws are pure formulas — the 256-entry
+# decode tables below are COMPUTED from the piecewise-linear segment
+# definitions, no copied constants. The encoder quantizes to the decoder's
+# exact reproduction levels (nearest level wins), which makes
+# encode(decode(cw)) == cw an identity the tests assert for all 256 codes.
+
+
+def _g711_decode_table(law: str) -> np.ndarray:
+    cw = np.arange(256, dtype=np.int64)
+    if law == "mu":
+        u = (~cw) & 0xFF  # mu-law codewords are transmitted complemented
+        sign = (u >> 7) & 1
+        exponent = (u >> 4) & 7
+        mantissa = u & 0x0F
+        magnitude = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    elif law == "a":
+        a = cw ^ 0x55  # even bits inverted on the wire
+        sign = 1 - ((a >> 7) & 1)  # A-law sign bit is 1 for POSITIVE
+        exponent = (a >> 4) & 7
+        mantissa = a & 0x0F
+        seg0 = (mantissa << 4) + 8
+        segN = ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0)
+        magnitude = np.where(exponent == 0, seg0, segN)
+    else:
+        raise ValueError(f"unknown companding law {law!r}")
+    return np.where(sign == 1, -magnitude, magnitude).astype(np.int16)
+
+
+def _g711_encode(samples_i16: np.ndarray, law: str) -> np.ndarray:
+    levels = _g711_decode_table(law)
+    order = np.argsort(levels, kind="stable")
+    sorted_levels = levels[order].astype(np.int32)
+    x = samples_i16.astype(np.int32)
+    idx = np.searchsorted(sorted_levels, x)
+    lo = np.clip(idx - 1, 0, 255)
+    hi = np.clip(idx, 0, 255)
+    pick = np.where(np.abs(sorted_levels[hi] - x) < np.abs(x - sorted_levels[lo]), hi, lo)
+    return order[pick].astype(np.uint8)
+
+
+def encode_wav_g711(samples: np.ndarray, *, law: str = "mu", sample_rate: int = 8000) -> bytes:
+    """mono int16 samples -> RIFF/WAVE G.711 bytes (format 7 mu-law / 6 A-law)."""
+    s = np.asarray(samples, dtype=np.int16)
+    return _wav_container(7 if law == "mu" else 6, 1, sample_rate, 8, _g711_encode(s, law).tobytes())
+
+
 def decode_wav(payload: bytes | np.ndarray) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM bytes -> (mono float32 samples in [-1, 1), sample_rate).
-    Walks the chunk list, so extra chunks (LIST/fact/...) are tolerated."""
+    """RIFF/WAVE bytes -> (mono float32 samples in [-1, 1), sample_rate).
+    Walks the chunk list, so extra chunks (LIST/fact/...) are tolerated.
+    Formats: 1 = integer PCM (8/16-bit), 3 = IEEE float32, 6 = G.711 A-law,
+    7 = G.711 mu-law. Multi-channel frames are downmixed to mono by
+    averaging (the analysis stages are single-channel)."""
     raw = payload.tobytes() if isinstance(payload, np.ndarray) else bytes(payload)
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
@@ -103,14 +166,22 @@ def decode_wav(payload: bytes | np.ndarray) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("WAV payload missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1 or channels != 1:
-        raise ValueError(f"only PCM mono supported (format={audio_format}, ch={channels})")
-    if bits == 16:
+    if channels < 1:
+        raise ValueError("WAV fmt declares zero channels")
+    if audio_format == 1 and bits == 16:
         s = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
-    elif bits == 8:
+    elif audio_format == 1 and bits == 8:
         s = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif audio_format == 3 and bits == 32:
+        s = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    elif audio_format in (6, 7) and bits == 8:
+        table = _g711_decode_table("a" if audio_format == 6 else "mu")
+        s = table[np.frombuffer(data, dtype=np.uint8)].astype(np.float32) / 32768.0
     else:
-        raise ValueError(f"unsupported PCM bit depth {bits}")
+        raise ValueError(f"unsupported WAV encoding (format={audio_format}, bits={bits})")
+    if channels > 1:
+        n = (len(s) // channels) * channels
+        s = s[:n].reshape(-1, channels).mean(axis=1)
     return s, int(sample_rate)
 
 

@@ -521,8 +521,13 @@ def make_mixed_audio_table(n: int, *, seed: int = 17, samples: int = 4096, rate:
     """Deterministic REAL-format fixture mixing audio the way a scraped
     corpus would: ids cycle WAV-PCM16 / FLAC (alternating best-of-fixed,
     forced-LPC, multi-partition Rice and escape-partition streams, so every
-    FLAC decode path runs in production queries, not just unit tests)."""
-    from epichypersketch_jl_ray.functions.codecs import encode_flac, encode_wav_pcm16
+    FLAC decode path runs in production queries, not just unit tests); every
+    sixth WAV is G.711 mu-law (telephony-corpus shape, format code 7)."""
+    from epichypersketch_jl_ray.functions.codecs import (
+        encode_flac,
+        encode_wav_g711,
+        encode_wav_pcm16,
+    )
 
     rng = np.random.default_rng(seed)
     t = np.arange(samples)
@@ -533,7 +538,10 @@ def make_mixed_audio_table(n: int, *, seed: int = 17, samples: int = 4096, rate:
             6000 * np.sin(t / (20 + (i % 7) * 9)) + rng.normal(0, 80, samples)
         ).astype(np.int16)
         if i % 2 == 0:
-            payloads.append(encode_wav_pcm16(sig, sample_rate=rate))
+            if (i // 2) % 3 == 2:
+                payloads.append(encode_wav_g711(sig, law="mu", sample_rate=rate))
+            else:
+                payloads.append(encode_wav_pcm16(sig, sample_rate=rate))
             mimes.append("audio/wav")
         else:
             kw = [

@@ -65,16 +65,83 @@ def test_wav_pcm16_round_trip_with_extra_chunk():
     np.testing.assert_allclose(out, samples.astype(np.float32) / 32768.0)
 
 
-def test_wav_rejects_stereo_and_nonpcm():
+def test_wav_rejects_unknown_encoding():
     samples = np.zeros(16, dtype=np.int16)
     blob = bytearray(encode_wav_pcm16(samples))
-    struct.pack_into("<H", blob, 22, 2)  # channels = 2
+    struct.pack_into("<H", blob, 20, 2)  # format 2 = MS-ADPCM (unsupported)
     with pytest.raises(ValueError):
         decode_wav(bytes(blob))
-    blob = bytearray(encode_wav_pcm16(samples))
-    struct.pack_into("<H", blob, 20, 3)  # format = IEEE float
-    with pytest.raises(ValueError):
-        decode_wav(bytes(blob))
+
+
+def test_wav_stereo_downmixes_to_mono():
+    rng = np.random.default_rng(5)
+    frames = rng.integers(-30000, 30000, size=(200, 2)).astype(np.int16)
+    out, rate = decode_wav(encode_wav_pcm16(frames, sample_rate=44100))
+    assert rate == 44100
+    want = (frames.astype(np.float32) / 32768.0).mean(axis=1)
+    np.testing.assert_allclose(out, want, rtol=0, atol=1e-7)
+
+
+def test_wav_ieee_float32_round_trip():
+    from epichypersketch_jl_ray.functions.codecs import encode_wav_float32
+
+    rng = np.random.default_rng(6)
+    samples = rng.uniform(-1, 1, 333).astype(np.float32)
+    out, rate = decode_wav(encode_wav_float32(samples, sample_rate=48000))
+    assert rate == 48000
+    np.testing.assert_array_equal(out, samples)
+
+
+def test_g711_decode_tables_match_standard_anchors():
+    from epichypersketch_jl_ray.functions.codecs import _g711_decode_table
+
+    mu = _g711_decode_table("mu")
+    # published mu-law anchor points (transmitted-complement convention):
+    # 0xFF -> +0, 0x7F -> -0, 0x00 -> -32124, 0x80 -> +32124
+    assert mu[0xFF] == 0
+    assert mu[0x7F] == 0
+    assert mu[0x00] == -32124 and mu[0x80] == 32124
+    assert mu.min() == -32124 and mu.max() == 32124
+    a = _g711_decode_table("a")
+    # A-law has no zero level; extremes are +/-32256 (13-bit 4032 scaled x8)
+    assert 0 not in a
+    assert a.min() == -32256 and a.max() == 32256
+    assert abs(int(a[0x55 ^ 0x00])) == 8  # wire 0x55 = raw 0x00 = smallest negative
+    # both tables are odd-symmetric over magnitudes
+    assert sorted(-v for v in mu[mu < 0]) == sorted(v for v in mu[mu > 0])
+    assert sorted(-v for v in a[a < 0]) == sorted(v for v in a[a > 0])
+
+
+def test_g711_encode_decode_involution_and_round_trip():
+    from epichypersketch_jl_ray.functions.codecs import (
+        _g711_decode_table,
+        _g711_encode,
+        encode_wav_g711,
+    )
+
+    for law in ("mu", "a"):
+        table = _g711_decode_table(law)
+        cw = np.arange(256, dtype=np.uint8)
+        back = _g711_encode(table[cw], law)
+        if law == "a":
+            np.testing.assert_array_equal(back, cw)
+        else:
+            # mu-law 0x7F/0xFF are -0/+0: both decode to 0; encode picks one
+            keep = table[cw] != 0
+            np.testing.assert_array_equal(back[keep], cw[keep])
+            assert np.all(table[back[~keep]] == 0)
+        # WAV round trip: decoded output must be the exact quantized levels
+        rng = np.random.default_rng(9)
+        sig = rng.integers(-32768, 32768, 1000).astype(np.int16)
+        out, rate = decode_wav(encode_wav_g711(sig, law=law, sample_rate=8000))
+        assert rate == 8000
+        want = table[_g711_encode(sig, law)].astype(np.float32) / 32768.0
+        np.testing.assert_array_equal(out, want)
+        # quantization error bounded by the widest segment step (mu: 256*4;
+        # a: 1024 at the top segment) -- nearest-level quantization is closer
+        # than half a step everywhere
+        err = np.abs(out * 32768.0 - sig.astype(np.float32))
+        assert err.max() <= (1024 if law == "mu" else 512) + 4
 
 
 def test_decode_image_stage_real_bmp_known_pixels():

@@ -100,10 +100,15 @@ def test_window_audio_stage_mixed_wav_flac():
     out = WindowAudio(window=512)(tbl)
     assert out.num_rows == 8 * (2048 // 512)
     # regenerate the fixture's ground truth and compare decoded windows
+    from epichypersketch_jl_ray.functions.codecs import _g711_decode_table, _g711_encode
+
     rng = np.random.default_rng(17)
     t = np.arange(2048)
     for i in range(8):
         sig = (6000 * np.sin(t / (20 + (i % 7) * 9)) + rng.normal(0, 80, 2048)).astype(np.int16)
+        if i % 2 == 0 and (i // 2) % 3 == 2:
+            # the fixture's mu-law row: ground truth is the companded levels
+            sig = _g711_decode_table("mu")[_g711_encode(sig, "mu")]
         want = sig.astype(np.float32) / 32768.0
         rows = [r for r in range(out.num_rows) if out["id"][r].as_py() == i]
         got = np.concatenate([np.asarray(out["pixels"][r].as_py(), np.float32) for r in rows])
