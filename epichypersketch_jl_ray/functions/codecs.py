@@ -20,7 +20,8 @@ Layouts implemented (public file-format specs):
   grayscale convention) and 24-bit BGR; rows padded to 4 bytes; bottom-up
   (positive height) or top-down (negative height).
 - WAV: RIFF/WAVE chunk walk ("fmt " then "data", tolerating extra chunks),
-  PCM (format 1) 16-bit or 8-bit, mono.
+  integer PCM (format 1, 8/16-bit), IEEE float32 (3), G.711 A-law/mu-law
+  (6/7) and IMA/DVI ADPCM (0x11); multi-channel PCM downmixes to mono.
 """
 
 from __future__ import annotations
@@ -145,27 +146,143 @@ def encode_wav_g711(samples: np.ndarray, *, law: str = "mu", sample_rate: int = 
     return _wav_container(7 if law == "mu" else 6, 1, sample_rate, 8, _g711_encode(s, law).tobytes())
 
 
+# --- IMA / DVI ADPCM (WAV format 0x11) ----------------------------------------
+# The other big telephony/speech-corpus encoding: 4 bits per sample, blocks of
+# (block_align) bytes each carrying its own (predictor, step-index) header, so
+# blocks decode independently — which is exactly what lets both directions be
+# vectorized ACROSS blocks here: the data-dependent recurrence runs as a loop
+# over sample positions with numpy ops over the whole block axis, never a
+# Python loop per sample. Step/index tables are the published IMA ADPCM
+# reference constants (Intel/DVI, reproduced in RFC 3551 §4.5.1 and the
+# Microsoft WAVE format docs).
+
+_IMA_STEP_TABLE = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int32)
+
+
+def _ima_reconstruct(pred: np.ndarray, index: np.ndarray, code: np.ndarray):
+    """One IMA update step, vectorized over blocks: (pred, index, 4-bit code)
+    -> (new pred, new index). Shared by encoder and decoder so they can never
+    drift apart."""
+    step = _IMA_STEP_TABLE[index]
+    diff = (step >> 3) + np.where(code & 1, step >> 2, 0)
+    diff += np.where(code & 2, step >> 1, 0) + np.where(code & 4, step, 0)
+    pred = np.clip(pred + np.where(code & 8, -diff, diff), -32768, 32767)
+    index = np.clip(index + _IMA_INDEX_TABLE[code], 0, 88)
+    return pred, index
+
+
+def _ima_decode_blocks(blocks: np.ndarray, samples_per_block: int) -> np.ndarray:
+    """(n_blocks, block_align) uint8 -> (n_blocks, samples_per_block) int16."""
+    n = blocks.shape[0]
+    pred = blocks[:, :2].copy().view("<i2")[:, 0].astype(np.int32)
+    index = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
+    body = blocks[:, 4:]
+    nib = np.empty((n, body.shape[1] * 2), dtype=np.uint8)
+    nib[:, 0::2] = body & 0x0F  # low nibble carries the earlier sample
+    nib[:, 1::2] = body >> 4
+    out = np.empty((n, samples_per_block), dtype=np.int16)
+    out[:, 0] = pred
+    for i in range(samples_per_block - 1):
+        pred, index = _ima_reconstruct(pred, index, nib[:, i].astype(np.int32))
+        out[:, i + 1] = pred
+    return out
+
+
+def _ima_encode_blocks(x: np.ndarray) -> np.ndarray:
+    """(n_blocks, samples_per_block) int16 -> (n_blocks, block_align) uint8.
+    Each block is self-contained (header predictor = its first sample, step
+    index restarts at 0), which is valid per spec and lets all blocks encode
+    in one vectorized pass."""
+    n, spb = x.shape
+    pred = x[:, 0].astype(np.int32)
+    index = np.zeros(n, dtype=np.int32)
+    header = np.zeros((n, 4), dtype=np.uint8)
+    header[:, :2] = pred.astype("<i2")[:, None].view(np.uint8).reshape(n, 2)
+    codes = np.empty((n, spb - 1), dtype=np.uint8)
+    for i in range(1, spb):
+        step = _IMA_STEP_TABLE[index]
+        diff = x[:, i].astype(np.int32) - pred
+        sign = diff < 0
+        mag = np.abs(diff)
+        code = np.where(sign, 8, 0).astype(np.int32)
+        for bit, shift in ((4, 0), (2, 1), (1, 2)):
+            th = step >> shift
+            hit = mag >= th
+            code |= np.where(hit, bit, 0)
+            mag -= np.where(hit, th, 0)
+        pred, index = _ima_reconstruct(pred, index, code)
+        codes[:, i - 1] = code
+    if codes.shape[1] % 2:
+        codes = np.concatenate([codes, np.zeros((n, 1), np.uint8)], axis=1)
+    packed = codes[:, 0::2] | (codes[:, 1::2] << 4)
+    return np.concatenate([header, packed], axis=1)
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, *, sample_rate: int = 8000, block_align: int = 256
+) -> bytes:
+    """mono int16 samples -> RIFF/WAVE IMA ADPCM bytes (format 0x11). The
+    fmt extension carries samples-per-block and a fact chunk carries the true
+    sample count so the padded tail of the final block trims on decode."""
+    s = np.asarray(samples, dtype=np.int16).ravel()
+    if len(s) == 0:
+        raise ValueError("cannot encode an empty signal")
+    spb = (block_align - 4) * 2 + 1
+    n_blocks = (len(s) + spb - 1) // spb
+    padded = np.full(n_blocks * spb, s[-1], dtype=np.int16)
+    padded[: len(s)] = s
+    data = _ima_encode_blocks(padded.reshape(n_blocks, spb)).tobytes()
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, sample_rate,
+        (sample_rate * block_align + spb - 1) // spb,  # avg bytes/sec
+        block_align, 4,
+        2, spb,  # cbSize=2 extension: samples per block
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, len(s))
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def decode_wav(payload: bytes | np.ndarray) -> tuple[np.ndarray, int]:
     """RIFF/WAVE bytes -> (mono float32 samples in [-1, 1), sample_rate).
     Walks the chunk list, so extra chunks (LIST/fact/...) are tolerated.
     Formats: 1 = integer PCM (8/16-bit), 3 = IEEE float32, 6 = G.711 A-law,
-    7 = G.711 mu-law. Multi-channel frames are downmixed to mono by
-    averaging (the analysis stages are single-channel)."""
+    7 = G.711 mu-law, 0x11 = IMA/DVI ADPCM (mono). Multi-channel frames are
+    downmixed to mono by averaging (the analysis stages are single-channel)."""
     raw = payload.tobytes() if isinstance(payload, np.ndarray) else bytes(payload)
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_body, data, fact = 12, None, b"", None, None
     while pos + 8 <= len(raw):
         cid, size = raw[pos : pos + 4], struct.unpack_from("<I", raw, pos + 4)[0]
         body = raw[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            fact = struct.unpack_from("<I", body, 0)[0]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV payload missing fmt/data chunk")
-    audio_format, channels, sample_rate, _, _, bits = fmt
+    audio_format, channels, sample_rate, _, block_align, bits = fmt
     if channels < 1:
         raise ValueError("WAV fmt declares zero channels")
     if audio_format == 1 and bits == 16:
@@ -177,6 +294,21 @@ def decode_wav(payload: bytes | np.ndarray) -> tuple[np.ndarray, int]:
     elif audio_format in (6, 7) and bits == 8:
         table = _g711_decode_table("a" if audio_format == 6 else "mu")
         s = table[np.frombuffer(data, dtype=np.uint8)].astype(np.float32) / 32768.0
+    elif audio_format == 0x11 and bits == 4:
+        if channels != 1:
+            raise ValueError("IMA ADPCM decode supports mono only")
+        if block_align < 5:
+            raise ValueError(f"IMA ADPCM block_align {block_align} too small")
+        if len(fmt_body) >= 20 and struct.unpack_from("<H", fmt_body, 16)[0] >= 2:
+            spb = struct.unpack_from("<H", fmt_body, 18)[0]
+        else:
+            spb = (block_align - 4) * 2 + 1
+        n_blocks = len(data) // block_align
+        blocks = np.frombuffer(data[: n_blocks * block_align], dtype=np.uint8)
+        pcm = _ima_decode_blocks(blocks.reshape(n_blocks, block_align), spb)
+        s = pcm.reshape(-1).astype(np.float32) / 32768.0
+        if fact is not None:
+            s = s[:fact]
     else:
         raise ValueError(f"unsupported WAV encoding (format={audio_format}, bits={bits})")
     if channels > 1:

@@ -521,11 +521,13 @@ def make_mixed_audio_table(n: int, *, seed: int = 17, samples: int = 4096, rate:
     """Deterministic REAL-format fixture mixing audio the way a scraped
     corpus would: ids cycle WAV-PCM16 / FLAC (alternating best-of-fixed,
     forced-LPC, multi-partition Rice and escape-partition streams, so every
-    FLAC decode path runs in production queries, not just unit tests); every
-    sixth WAV is G.711 mu-law (telephony-corpus shape, format code 7)."""
+    FLAC decode path runs in production queries, not just unit tests); WAV
+    rows cycle PCM16 / IMA ADPCM (format 0x11) / G.711 mu-law (format 7),
+    the telephony-corpus shapes."""
     from epichypersketch_jl_ray.functions.codecs import (
         encode_flac,
         encode_wav_g711,
+        encode_wav_ima_adpcm,
         encode_wav_pcm16,
     )
 
@@ -538,8 +540,11 @@ def make_mixed_audio_table(n: int, *, seed: int = 17, samples: int = 4096, rate:
             6000 * np.sin(t / (20 + (i % 7) * 9)) + rng.normal(0, 80, samples)
         ).astype(np.int16)
         if i % 2 == 0:
-            if (i // 2) % 3 == 2:
+            variant = (i // 2) % 3
+            if variant == 2:
                 payloads.append(encode_wav_g711(sig, law="mu", sample_rate=rate))
+            elif variant == 1:
+                payloads.append(encode_wav_ima_adpcm(sig, sample_rate=rate))
             else:
                 payloads.append(encode_wav_pcm16(sig, sample_rate=rate))
             mimes.append("audio/wav")
@@ -568,8 +573,9 @@ class WindowAudio:
     per ``window``-sample hop (the flat layout featurize consumes, same
     contract as video frame sampling).
 
-    audio/wav and audio/flac decode FOR REAL (pure-numpy RIFF/PCM parser;
-    full-spec FLAC in functions/flac.py); audio/fake treats the payload as
+    audio/wav and audio/flac decode FOR REAL (pure-numpy RIFF parser —
+    PCM, IEEE float, G.711 and IMA ADPCM encodings; full-spec FLAC in
+    functions/flac.py); audio/fake treats the payload as
     raw 8-bit samples behind ``fake=True``; remaining compressed mimes
     (mp3/ogg) raise the documented codec seam.
     """

@@ -144,6 +144,85 @@ def test_g711_encode_decode_involution_and_round_trip():
         assert err.max() <= (1024 if law == "mu" else 512) + 4
 
 
+def _ima_reference_decode(blob: bytes, block_align: int, spb: int) -> np.ndarray:
+    """Independent scalar IMA ADPCM decoder (straight from the spec text),
+    used to pin the vectorized implementation."""
+    step_table = [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ]
+    index_table = [-1, -1, -1, -1, 2, 4, 6, 8]
+    out = []
+    for b0 in range(0, len(blob), block_align):
+        block = blob[b0 : b0 + block_align]
+        pred = struct.unpack_from("<h", block, 0)[0]
+        index = min(max(block[2], 0), 88)
+        out.append(pred)
+        nibbles = []
+        for byte in block[4:]:
+            nibbles.append(byte & 0x0F)
+            nibbles.append(byte >> 4)
+        for code in nibbles[: spb - 1]:
+            step = step_table[index]
+            diff = step >> 3
+            if code & 1:
+                diff += step >> 2
+            if code & 2:
+                diff += step >> 1
+            if code & 4:
+                diff += step
+            pred = min(max(pred + (-diff if code & 8 else diff), -32768), 32767)
+            index = min(max(index + index_table[code & 7], 0), 88)
+            out.append(pred)
+    return np.array(out, dtype=np.int16)
+
+
+def test_ima_adpcm_matches_scalar_reference_and_round_trips():
+    from epichypersketch_jl_ray.functions.codecs import encode_wav_ima_adpcm
+
+    rng = np.random.default_rng(11)
+    t = np.arange(3000)
+    sig = (9000 * np.sin(t / 17) + rng.normal(0, 500, len(t))).astype(np.int16)
+    blob = encode_wav_ima_adpcm(sig, sample_rate=8000, block_align=256)
+    out, rate = decode_wav(blob)
+    assert rate == 8000 and len(out) == len(sig)
+    # pin the vectorized decoder against the scalar spec transcription
+    pos, data = 12, None
+    while pos + 8 <= len(blob):
+        cid, size = blob[pos : pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
+        if cid == b"data":
+            data = blob[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    want = _ima_reference_decode(data, 256, (256 - 4) * 2 + 1)[: len(sig)]
+    np.testing.assert_array_equal((out * 32768.0).astype(np.int16), want)
+    # ADPCM is lossy but must track the signal: SNR well above 20 dB here
+    err = out * 32768.0 - sig.astype(np.float64)
+    snr = 10 * np.log10(np.mean(sig.astype(np.float64) ** 2) / np.mean(err**2))
+    assert snr > 20.0
+
+
+def test_ima_adpcm_fact_trim_and_block_independence():
+    from epichypersketch_jl_ray.functions.codecs import encode_wav_ima_adpcm
+
+    spb = (64 - 4) * 2 + 1  # 121 samples per 64-byte block
+    rng = np.random.default_rng(12)
+    # a length that is NOT a multiple of spb: fact chunk must trim the pad
+    sig = rng.integers(-20000, 20000, spb + 37).astype(np.int16)
+    out, _ = decode_wav(encode_wav_ima_adpcm(sig, block_align=64))
+    assert len(out) == len(sig)
+    # blocks are self-contained: decoding the second block alone must equal
+    # the tail of the full decode
+    full = encode_wav_ima_adpcm(sig, block_align=64)
+    head = encode_wav_ima_adpcm(sig[:spb], block_align=64)
+    out_head, _ = decode_wav(head)
+    np.testing.assert_array_equal(out[:spb], out_head)
+
+
 def test_decode_image_stage_real_bmp_known_pixels():
     from epichypersketch_jl_ray.stages.multimodal import DecodeImage, make_bmp_image_table
 

@@ -100,7 +100,12 @@ def test_window_audio_stage_mixed_wav_flac():
     out = WindowAudio(window=512)(tbl)
     assert out.num_rows == 8 * (2048 // 512)
     # regenerate the fixture's ground truth and compare decoded windows
-    from epichypersketch_jl_ray.functions.codecs import _g711_decode_table, _g711_encode
+    from epichypersketch_jl_ray.functions.codecs import (
+        _g711_decode_table,
+        _g711_encode,
+        _ima_decode_blocks,
+        _ima_encode_blocks,
+    )
 
     rng = np.random.default_rng(17)
     t = np.arange(2048)
@@ -109,6 +114,15 @@ def test_window_audio_stage_mixed_wav_flac():
         if i % 2 == 0 and (i // 2) % 3 == 2:
             # the fixture's mu-law row: ground truth is the companded levels
             sig = _g711_decode_table("mu")[_g711_encode(sig, "mu")]
+        elif i % 2 == 0 and (i // 2) % 3 == 1:
+            # the fixture's IMA ADPCM row: ground truth is the quantized
+            # reconstruction (lossy codec, pinned separately in test_codecs)
+            spb = (256 - 4) * 2 + 1
+            n_blocks = (2048 + spb - 1) // spb
+            padded = np.full(n_blocks * spb, sig[-1], dtype=np.int16)
+            padded[:2048] = sig
+            blocks = _ima_encode_blocks(padded.reshape(n_blocks, spb))
+            sig = _ima_decode_blocks(blocks, spb).reshape(-1)[:2048]
         want = sig.astype(np.float32) / 32768.0
         rows = [r for r in range(out.num_rows) if out["id"][r].as_py() == i]
         got = np.concatenate([np.asarray(out["pixels"][r].as_py(), np.float32) for r in rows])

@@ -114,3 +114,30 @@ def test_read_warc_keeps_all_types(ray_session, tmp_path):
     p.write_bytes(encode_warc(recs, gzip_per_record=False))
     assert read_warc(str(p), record_types=None).count() == 2
     assert read_warc(str(p)).count() == 1
+
+
+def test_read_wet_conversion_records(ray_session, tmp_path):
+    """Common Crawl WET layout: a .warc.gz whose records are warc_type
+    'conversion' with text/plain extracted text — read_warc handles it via
+    record_types=('conversion',), no separate reader needed."""
+    recs = [
+        {
+            "warc_type": "conversion",
+            "url": f"http://site{i}.example/page",
+            "payload": f"extracted plain text of page {i}\nsecond line".encode(),
+            "content_type": "text/plain",
+        }
+        for i in range(6)
+    ]
+    # WET files also open with a warcinfo record
+    recs.insert(0, {"warc_type": "warcinfo", "payload": b"format: WET", "content_type": "application/warc-fields"})
+    p = tmp_path / "seg.warc.wet.gz"
+    p.write_bytes(encode_warc(recs, gzip_per_record=True))
+    ds = read_warc(str(p), record_types=("conversion",))
+    rows = ds.take_all()
+    assert len(rows) == 6
+    assert {r["warc_type"] for r in rows} == {"conversion"}
+    assert all(r["content_type"] == "text/plain" for r in rows)
+    assert all(b"extracted plain text" in r["payload"] for r in rows)
+    # payload is already text: no HTTP envelope on conversion records
+    assert all(not bytes(r["payload"]).startswith(b"HTTP/") for r in rows)
