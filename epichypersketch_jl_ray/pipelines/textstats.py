@@ -17,12 +17,52 @@ from epichypersketch_jl_ray.functions.text import (
 from epichypersketch_jl_ray.sources.tables import read_table
 
 
+def _augment_pii(doc_id: pa.ChunkedArray | pa.Array, text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Append deterministic doc_id-derived PII to selected rows. The synthetic
+    documents table contains no real PII, which would make a redaction oracle
+    vacuously green (all zeros) — this augmentation, mirrored token-for-token
+    in the SQL CTE below, makes the cross-engine regex comparison real:
+    every-2nd row gains an email, every-3rd an IPv4, every-5th a phone."""
+    import pyarrow.compute as pc
+
+    did = np.asarray(doc_id, dtype=np.int64)
+    did_s = pc.cast(pa.array(did), pa.string())
+    empty = pa.array([""] * len(did))
+    email = pc.if_else(
+        pa.array(did % 2 == 0),
+        pc.binary_join_element_wise(pa.array([" u"] * len(did)), did_s, pa.array(["@ex.com"] * len(did)), ""),
+        empty,
+    )
+    ip = pc.if_else(
+        pa.array(did % 3 == 0),
+        pc.binary_join_element_wise(
+            pa.array([" 10.1."] * len(did)), pc.cast(pa.array(did % 256), pa.string()), pa.array([".7"] * len(did)), ""
+        ),
+        empty,
+    )
+    phone = pc.if_else(
+        pa.array(did % 5 == 0),
+        pc.binary_join_element_wise(
+            pa.array([" +1 555 0"] * len(did)), pc.cast(pa.array(did % 100), pa.string()), ""
+        ),
+        empty,
+    )
+    t = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    return pc.binary_join_element_wise(t, email, ip, phone, "")
+
+
 def doc_stats(sf_dir: str) -> ray.data.Dataset:
-    """Per-document quality features with SQL-expressible definitions."""
+    """Per-document quality features + PII redaction, all with
+    SQL-expressible definitions (the redaction regexes are RE2 in both
+    engines and shared verbatim with the oracle)."""
+    from epichypersketch_jl_ray.functions.pii import pii_counts, redact_pii
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def stats(batch: pa.Table) -> pa.Table:
         qf = quality_features(batch["text"])
+        aug = _augment_pii(batch["doc_id"], batch["text"])
+        counts = pii_counts(aug)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -30,6 +70,10 @@ def doc_stats(sf_dir: str) -> ray.data.Dataset:
                 "n_tokens": pa.array(qf["n_tokens"], pa.int64()),
                 "n_uniq_tokens": pa.array(qf["n_uniq_tokens"], pa.int64()),
                 "ttr": pa.array(qf["ttr"], pa.float64()),
+                "n_emails": pa.array(counts["n_emails"], pa.int64()),
+                "n_ips": pa.array(counts["n_ips"], pa.int64()),
+                "n_phones": pa.array(counts["n_phones"], pa.int64()),
+                "redacted": redact_pii(aug),
             }
         )
 
@@ -37,13 +81,31 @@ def doc_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 def doc_stats_sql() -> str:
-    return """
+    from epichypersketch_jl_ray.functions.pii import EMAIL_PATTERN, IPV4_PATTERN, PHONE_PATTERN
+
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text,
+         text
+         || CASE WHEN doc_id % 2 = 0 THEN ' u' || CAST(doc_id AS VARCHAR) || '@ex.com' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN ' 10.1.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' +1 555 0' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+         AS a
+  FROM documents
+)
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
-       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr
-FROM documents
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr,
+       CAST(len(regexp_extract_all(a, '{EMAIL_PATTERN}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(a, '{IPV4_PATTERN}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(a, '{PHONE_PATTERN}')) AS BIGINT) AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(a,
+           '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+           '{IPV4_PATTERN}', '<IP>', 'g'),
+           '{PHONE_PATTERN}', '<PHONE>', 'g') AS redacted
+FROM aug
 """
 
 

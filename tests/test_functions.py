@@ -215,3 +215,72 @@ def test_json_int_field_flat_and_missing():
     assert json_string_field(
         pa.array(['{"a": {"lang": "de"}, "lang": "en"}']), "lang"
     ).to_pylist() == [None]
+
+
+def test_pii_redaction_and_counts():
+    import re
+
+    from epichypersketch_jl_ray.functions.pii import (
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+        PHONE_PATTERN,
+        pii_counts,
+        redact_pii,
+    )
+
+    texts = pa.array(
+        [
+            "mail bob.smith+tag@ex-mail.co.uk or alice@sub.example.org today",
+            "origin 10.1.200.7 proxied via 192.168.0.1; port 8080 stays",
+            "call +1 555 0123 or +44 20 7946 0958, not 555-0123 alone",
+            "version 1.2.3 is not an IP and neither is 1.2.3.4.5's head? (it is)",
+            "no pii at all",
+            "",
+        ]
+    )
+    red = redact_pii(texts).to_pylist()
+    assert red[0] == "mail <EMAIL> or <EMAIL> today"
+    assert red[1] == "origin <IP> proxied via <IP>; port 8080 stays"
+    assert red[2] == "call <PHONE> or <PHONE>, not 555-0123 alone"
+    assert red[4] == "no pii at all" and red[5] == ""
+    counts = pii_counts(texts)
+    # pin against independent Python-re counts (re and RE2 agree on these)
+    for key, pat in (("n_emails", EMAIL_PATTERN), ("n_ips", IPV4_PATTERN), ("n_phones", PHONE_PATTERN)):
+        want = [len(re.findall(pat, t)) for t in texts.to_pylist()]
+        assert list(counts[key]) == want, key
+
+
+def test_pii_redaction_order_email_with_ip_domain():
+    from epichypersketch_jl_ray.functions.pii import pii_counts, redact_pii
+
+    # user@ip is NOT an email match (the email pattern requires an alphabetic
+    # TLD) — the IP pass still masks the address part, and ordering keeps the
+    # email pass from ever seeing '<IP>' tokens as domains
+    texts = pa.array(["root@10.1.2.3 logged in from 10.9.9.9 by ops@corp.net"])
+    assert redact_pii(texts).to_pylist() == ["root@<IP> logged in from <IP> by <EMAIL>"]
+    c = pii_counts(texts)
+    assert list(c["n_emails"]) == [1] and list(c["n_ips"]) == [2]
+
+
+def test_pii_matches_duckdb_regexp_semantics():
+    import duckdb
+
+    from epichypersketch_jl_ray.functions.pii import REDACTIONS, pii_counts, redact_pii
+
+    texts = [
+        "a@b.co c@10.0.0.1 +7 123 4567 end",
+        "edge .1.2.3.4. and @nope and +1 2 3",
+        "x" * 50 + " deep@net.example " + "10.0.0.255",
+    ]
+    arr = pa.array(texts)
+    got_red = redact_pii(arr).to_pylist()
+    got_counts = pii_counts(arr)
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        expr, params = "?", [t]
+        for _, pat, tok in REDACTIONS:
+            expr = f"regexp_replace({expr}, '{pat}', '{tok}', 'g')"
+        assert con.execute(f"select {expr}", params).fetchone()[0] == got_red[i]
+        for key, (_, pat, _) in zip(("n_emails", "n_ips", "n_phones"), REDACTIONS):
+            want = con.execute("select len(regexp_extract_all(?, ?))", [t, pat]).fetchone()[0]
+            assert got_counts[key][i] == want, (key, t)
