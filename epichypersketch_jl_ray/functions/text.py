@@ -131,7 +131,8 @@ def quality_features(texts: pa.Array | pa.ChunkedArray) -> dict[str, np.ndarray]
 
     Matches the SQL-expressible definitions used by the DuckDB oracle:
     n_chars = length(text); n_tokens = len(string_split(text,' '));
-    n_uniq_tokens = len(list_distinct(...)); ttr = n_uniq/n_tokens.
+    n_uniq_tokens = len(list_distinct(...)); ttr = n_uniq/n_tokens;
+    top_token_share = max per-token count / n_tokens (unnest + groupby).
     """
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
@@ -143,11 +144,30 @@ def quality_features(texts: pa.Array | pa.ChunkedArray) -> dict[str, np.ndarray]
     _, uniq_off = _dedupe_per_row(flat, offsets)
     n_uniq = np.diff(uniq_off)
     ttr = n_uniq / np.maximum(n_tokens, 1)
+    # Gopher-style repetition signal: the share of the doc claimed by its
+    # single most frequent token (boilerplate/spam pages score high).
+    # Vectorized: sort (row, hash) pairs once, run-length the runs, max per
+    # row — no per-row loop.
+    n_rows = len(offsets) - 1
+    top_share = np.zeros(n_rows, dtype=np.float64)
+    if len(flat):
+        row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), n_tokens)
+        order = np.lexsort((flat, row_ids))
+        rr, ff = row_ids[order], flat[order]
+        new_run = np.empty(len(ff), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (ff[1:] != ff[:-1]) | (rr[1:] != rr[:-1])
+        starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(starts, len(ff)))
+        top = np.zeros(n_rows, dtype=np.int64)
+        np.maximum.at(top, rr[starts], run_len)
+        top_share = top / np.maximum(n_tokens, 1)
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens.astype(np.int64),
         "n_uniq_tokens": n_uniq.astype(np.int64),
         "ttr": ttr.astype(np.float64),
+        "top_token_share": top_share.astype(np.float64),
     }
 
 

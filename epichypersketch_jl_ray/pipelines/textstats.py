@@ -70,6 +70,7 @@ def doc_stats(sf_dir: str) -> ray.data.Dataset:
                 "n_tokens": pa.array(qf["n_tokens"], pa.int64()),
                 "n_uniq_tokens": pa.array(qf["n_uniq_tokens"], pa.int64()),
                 "ttr": pa.array(qf["ttr"], pa.float64()),
+                "top_token_share": pa.array(qf["top_token_share"], pa.float64()),
                 "n_emails": pa.array(counts["n_emails"], pa.int64()),
                 "n_ips": pa.array(counts["n_ips"], pa.int64()),
                 "n_phones": pa.array(counts["n_phones"], pa.int64()),
@@ -92,12 +93,22 @@ WITH aug AS (
          || CASE WHEN doc_id % 5 = 0 THEN ' +1 555 0' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
          AS a
   FROM documents
+),
+tok_share AS (
+  SELECT doc_id, CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_token_share
+  FROM (
+    SELECT doc_id, tok, count(*) AS cnt
+    FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+    GROUP BY doc_id, tok
+  )
+  GROUP BY doc_id
 )
-SELECT doc_id,
+SELECT aug.doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr,
+       tok_share.top_token_share,
        CAST(len(regexp_extract_all(a, '{EMAIL_PATTERN}')) AS BIGINT) AS n_emails,
        CAST(len(regexp_extract_all(a, '{IPV4_PATTERN}')) AS BIGINT) AS n_ips,
        CAST(len(regexp_extract_all(a, '{PHONE_PATTERN}')) AS BIGINT) AS n_phones,
@@ -105,7 +116,7 @@ SELECT doc_id,
            '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
            '{IPV4_PATTERN}', '<IP>', 'g'),
            '{PHONE_PATTERN}', '<PHONE>', 'g') AS redacted
-FROM aug
+FROM aug JOIN tok_share USING (doc_id)
 """
 
 

@@ -104,6 +104,9 @@ def test_quality_features_match_sql_definitions():
     assert qf["n_chars"].tolist() == [r[0] for r in rows]
     assert qf["n_tokens"].tolist() == [r[1] for r in rows]
     assert qf["n_uniq_tokens"].tolist() == [r[2] for r in rows]
+    # top_token_share: "a b a c" -> 2/4; "" -> 1 token ('') -> 1/1;
+    # "x" -> 1/1; "w w w w w" -> 5/5
+    assert qf["top_token_share"].tolist() == [0.5, 1.0, 1.0, 1.0]
 
 
 def test_langid_heuristic():
