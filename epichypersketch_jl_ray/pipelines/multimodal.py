@@ -15,8 +15,10 @@ round-trip exactness is pinned by tests/test_codecs.py.
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 
 import ray
+
 
 from epichypersketch_jl_ray.stages.multimodal import (
     DecodeImage,
@@ -27,6 +29,15 @@ from epichypersketch_jl_ray.stages.multimodal import (
     make_mixed_image_table,
     make_mixed_video_table,
 )
+
+
+def _as_blocks(tbl: pa.Table, rows_per_block: int) -> list[pa.Table]:
+    """Split a driver-built fixture table into batch-sized blocks so the
+    decode actor pools actually fan out. A real deployment reads payloads
+    with read_parquet/read_binary_files and gets many blocks for free; a
+    single from_arrow block would pin the whole decode on one actor (Ray
+    warns 'operator only received 1 input')."""
+    return [tbl.slice(i, rows_per_block) for i in range(0, tbl.num_rows, rows_per_block)]
 
 
 def image_features(sf_dir: str, *, n: int = 512, dim: int = 16) -> pd.DataFrame:
@@ -40,12 +51,12 @@ def image_features(sf_dir: str, *, n: int = 512, dim: int = 16) -> pd.DataFrame:
     """
     scale = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 8}.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 1)
     tbl = make_mixed_image_table(n * scale)
-    ds = ray.data.from_arrow(tbl)
+    ds = ray.data.from_arrow(_as_blocks(tbl, 256))
     decoded = ds.map_batches(
         DecodeImage,
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=2,
+        concurrency=4,
     )
     feats = decoded.map_batches(
         FeaturizeImage,
@@ -64,13 +75,13 @@ def video_frame_features(sf_dir: str, *, n: int = 64, stride: int = 8, dim: int 
     → per-frame feature vectors. One output row per sampled frame."""
     scale = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 4}.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 1)
     tbl = make_mixed_video_table(n * scale)
-    ds = ray.data.from_arrow(tbl)
+    ds = ray.data.from_arrow(_as_blocks(tbl, 32))
     frames = ds.map_batches(
         FrameSampleVideo,
         fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=2,
+        concurrency=4,
     )
     feats = frames.map_batches(
         FeaturizeImage,
@@ -89,13 +100,13 @@ def audio_window_features(sf_dir: str, *, n: int = 64, window: int = 1024, dim: 
     window."""
     scale = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 4}.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 1)
     tbl = make_mixed_audio_table(n * scale)
-    ds = ray.data.from_arrow(tbl)
+    ds = ray.data.from_arrow(_as_blocks(tbl, 32))
     windows = ds.map_batches(
         WindowAudio,
         fn_constructor_kwargs={"window": window},
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=2,
+        concurrency=4,
     )
     feats = windows.map_batches(
         FeaturizeImage,
