@@ -10,15 +10,24 @@ NotImplementedError seams in stages/multimodal.py, exercised by the fake
 fixtures in tests.
 Rows-only driver check — binary fixtures have no SQL oracle; decode
 round-trip exactness is pinned by tests/test_codecs.py.
+
+The fixture corpus is encoded once and cached as sharded parquet under
+/tmp (source-hash keyed), so the timed pipeline starts from
+ray.data.read_parquet like a real deployment would.
 """
 
 from __future__ import annotations
+
+import functools
+import hashlib
+import os
+import shutil
+from collections.abc import Callable
 
 import pandas as pd
 import pyarrow as pa
 
 import ray
-
 
 from epichypersketch_jl_ray.stages.multimodal import (
     DecodeImage,
@@ -31,13 +40,46 @@ from epichypersketch_jl_ray.stages.multimodal import (
 )
 
 
-def _as_blocks(tbl: pa.Table, rows_per_block: int) -> list[pa.Table]:
-    """Split a driver-built fixture table into batch-sized blocks so the
-    decode actor pools actually fan out. A real deployment reads payloads
-    with read_parquet/read_binary_files and gets many blocks for free; a
-    single from_arrow block would pin the whole decode on one actor (Ray
-    warns 'operator only received 1 input')."""
-    return [tbl.slice(i, rows_per_block) for i in range(0, tbl.num_rows, rows_per_block)]
+@functools.lru_cache(maxsize=1)
+def _fixture_fingerprint() -> str:
+    """Short hash of the fixture-generating source (encoders + table
+    builders), so a codec or fixture change invalidates cached payloads."""
+    import epichypersketch_jl_ray.functions.codecs as codecs
+    import epichypersketch_jl_ray.functions.flac as flac
+    import epichypersketch_jl_ray.functions.webp as webp
+    import epichypersketch_jl_ray.stages.multimodal as mm
+
+    h = hashlib.sha1()
+    for mod in (codecs, webp, flac, mm):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
+
+
+def _cached_media_dir(
+    kind: str, n: int, make: Callable[[int], pa.Table], rows_per_file: int
+) -> str:
+    """Sharded-parquet fixture cache under /tmp (built on first use, same
+    contract as sources.webpages.webpages_dir_for). The timed pipeline then
+    starts from ray.data.read_parquet — the shape a real deployment has —
+    instead of re-encoding the corpus on the driver per run; one file per
+    decode batch gives the actor pool its block fan-out for free."""
+    import pyarrow.parquet as pq
+
+    out = f"/tmp/graft_media/{kind}_n{n}_{_fixture_fingerprint()}"
+    if not os.path.isdir(out):
+        tmp = f"{out}.tmp{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        tbl = make(n)
+        for i in range(0, tbl.num_rows, rows_per_file):
+            pq.write_table(
+                tbl.slice(i, rows_per_file), f"{tmp}/part-{i // rows_per_file:05d}.parquet"
+            )
+        try:
+            os.rename(tmp, out)
+        except OSError:  # lost a concurrent-creation race; the winner's dir is identical
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def image_features(sf_dir: str, *, n: int = 512, dim: int = 16) -> pd.DataFrame:
@@ -50,20 +92,21 @@ def image_features(sf_dir: str, *, n: int = 512, dim: int = 16) -> pd.DataFrame:
     not read from the sf tables).
     """
     scale = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 8}.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 1)
-    tbl = make_mixed_image_table(n * scale)
-    ds = ray.data.from_arrow(_as_blocks(tbl, 256))
+    ds = ray.data.read_parquet(
+        _cached_media_dir("image", n * scale, make_mixed_image_table, 256)
+    )
     decoded = ds.map_batches(
         DecodeImage,
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=4,
+        concurrency=(1, 4),
     )
     feats = decoded.map_batches(
         FeaturizeImage,
         fn_constructor_kwargs={"dim": dim},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=2,
+        concurrency=(1, 2),
     )
     return feats.to_pandas()
 
@@ -74,21 +117,22 @@ def video_frame_features(sf_dir: str, *, n: int = 64, stride: int = 8, dim: int 
     → frame sampling (actor pool, REAL decode on all four container paths)
     → per-frame feature vectors. One output row per sampled frame."""
     scale = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 4}.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 1)
-    tbl = make_mixed_video_table(n * scale)
-    ds = ray.data.from_arrow(_as_blocks(tbl, 32))
+    ds = ray.data.read_parquet(
+        _cached_media_dir("video", n * scale, make_mixed_video_table, 32)
+    )
     frames = ds.map_batches(
         FrameSampleVideo,
         fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=4,
+        concurrency=(1, 4),
     )
     feats = frames.map_batches(
         FeaturizeImage,
         fn_constructor_kwargs={"dim": dim},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=2,
+        concurrency=(1, 2),
     )
     return feats.to_pandas()
 
@@ -99,20 +143,21 @@ def audio_window_features(sf_dir: str, *, n: int = 64, window: int = 1024, dim: 
     (actor pool) → per-window feature vectors. One output row per analysis
     window."""
     scale = {"sf0.001": 1, "sf0.01": 2, "sf0.1": 4}.get(sf_dir.rstrip("/").rsplit("/", 1)[-1], 1)
-    tbl = make_mixed_audio_table(n * scale)
-    ds = ray.data.from_arrow(_as_blocks(tbl, 32))
+    ds = ray.data.read_parquet(
+        _cached_media_dir("audio", n * scale, make_mixed_audio_table, 32)
+    )
     windows = ds.map_batches(
         WindowAudio,
         fn_constructor_kwargs={"window": window},
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=4,
+        concurrency=(1, 4),
     )
     feats = windows.map_batches(
         FeaturizeImage,
         fn_constructor_kwargs={"dim": dim},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=2,
+        concurrency=(1, 2),
     )
     return feats.to_pandas()
