@@ -119,6 +119,9 @@ def run_queries() -> dict[str, float]:
         if hasattr(res, "to_pandas"):
             res = res.to_pandas() if not hasattr(res, "materialize") else res.materialize()
         out[name] = round(time.monotonic() - t0, 3)
+        # stderr progress (stdout stays the single JSON line) — long runs on
+        # this phase-y box are otherwise undiagnosable mid-flight
+        print(f"[bench] {name} {out[name]:.2f}s", file=sys.stderr, flush=True)
     return out
 
 
