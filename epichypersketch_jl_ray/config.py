@@ -8,7 +8,7 @@ sizes).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # Reference defaults: /root/reference/src/EpicHyperSketch.jl:14-20
 DEFAULT_CMS_DELTA = 1e-4

@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
-from ray.data.aggregate import Count, Max, Min
+from ray.data.aggregate import Max, Min
 
 from epichypersketch_jl_ray.pipelines.dedup import SHINGLE_N, minhash_pairs
 from epichypersketch_jl_ray.stages.dedup import content_key_table

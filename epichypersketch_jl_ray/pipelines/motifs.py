@@ -37,7 +37,6 @@ from epichypersketch_jl_ray.sources.activation import activation_from_table
 from epichypersketch_jl_ray.sources.tables import read_table
 from epichypersketch_jl_ray.stages.motifs import MotifCounter, MotifSelector
 from epichypersketch_jl_ray.stages.udaf import tree_merge
-from epichypersketch_jl_ray.state.countmin import CountMin
 
 # collision-free-at-test-scale sketch geometry (see module docstring)
 ORACLE_DELTA = 9e-3  # 5 rows
