@@ -29,13 +29,47 @@ from epichypersketch_jl_ray.stages.dedup import content_key_table
 from epichypersketch_jl_ray.sources.tables import read_table
 
 
-# session-level cache of the chain head shared by curate_corpus and
-# curate_corpus_cc: both run in one driver/bench session over the same
-# sf_dir, and the quality->exact-dedup->minhash-verify head is ~80% of
-# either pipeline's wall. MATERIALIZED datasets pin blocks in the object
-# store (spillable), not driver memory — same pattern as the motif
-# activation cache (pipelines/motifs.py).
+# session-level cache of the chain head shared by curate_corpus,
+# curate_corpus_cc and decontaminate_corpus: all run in one driver/bench
+# session over the same sf_dir, and the quality->exact-dedup(->minhash-
+# verify) head is ~80% of either pipeline's wall. MATERIALIZED datasets pin
+# blocks in the object store (spillable), not driver memory — same pattern
+# as the motif activation cache (pipelines/motifs.py).
 _CHAIN_CACHE: dict = {}
+_KEEPER_CACHE: dict = {}
+
+
+def _keeper_docs(sf_dir: str, *, min_chars: int) -> ray.data.Dataset:
+    """Quality-filtered exact-dedup keepers WITH text (doc_id, text) —
+    the shared first two stages of every curation chain, materialized into
+    the object store once per (sf_dir, min_chars) for the session."""
+    key = (sf_dir, min_chars)
+    if key in _KEEPER_CACHE:
+        return _KEEPER_CACHE[key]
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def quality(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["n_chars"], min_chars)
+        return batch.filter(keep).select(["doc_id", "text"])
+
+    filtered = docs.map_batches(quality, batch_format="pyarrow")
+
+    # ONE groupby carries the text through the exact-dedup shuffle: all rows
+    # of a (h1, h2) group share the same text by construction (content
+    # hash), so Max("text") is just "pick it" — this replaces the earlier
+    # groupby + rejoin-on-doc_id, which shuffled the text a second time
+    keeper_docs = (
+        filtered.map_batches(
+            lambda b: content_key_table(b, keep=("text",)), batch_format="pyarrow"
+        )
+        .groupby(["h1", "h2"])
+        .aggregate(Min("doc_id", alias_name="doc_id"), Max("text", alias_name="text"))
+        .drop_columns(["h1", "h2"])
+        .materialize()
+    )
+    _KEEPER_CACHE[key] = keeper_docs
+    return keeper_docs
 
 
 def _keepers_and_pairs(
@@ -58,27 +92,7 @@ def _keepers_and_pairs(
 def _keepers_and_pairs_uncached(
     sf_dir: str, *, min_chars: int, threshold: float, num_partitions: int
 ) -> tuple[ray.data.Dataset, ray.data.Dataset]:
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
-
-    def quality(batch: pa.Table) -> pa.Table:
-        keep = pc.greater_equal(batch["n_chars"], min_chars)
-        return batch.filter(keep).select(["doc_id", "text"])
-
-    filtered = docs.map_batches(quality, batch_format="pyarrow")
-
-    # ONE groupby carries the text through the exact-dedup shuffle: all rows
-    # of a (h1, h2) group share the same text by construction (content
-    # hash), so Max("text") is just "pick it" — this replaces the earlier
-    # groupby + rejoin-on-doc_id, which shuffled the text a second time
-    keeper_docs = (
-        filtered.map_batches(
-            lambda b: content_key_table(b, keep=("text",)), batch_format="pyarrow"
-        )
-        .groupby(["h1", "h2"])
-        .aggregate(Min("doc_id", alias_name="doc_id"), Max("text", alias_name="text"))
-        .drop_columns(["h1", "h2"])
-        .materialize()
-    )
+    keeper_docs = _keeper_docs(sf_dir, min_chars=min_chars)
     keepers = keeper_docs.select_columns(["doc_id"])
 
     pairs = minhash_pairs(keeper_docs, threshold=threshold, num_partitions=num_partitions)
@@ -219,4 +233,208 @@ j AS (SELECT da, db, i::DOUBLE / (x.n + y.n - i) jac FROM inter
       JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db),
 drops AS (SELECT DISTINCT db FROM j WHERE jac >= {threshold})
 SELECT doc_id FROM k WHERE doc_id NOT IN (SELECT db FROM drops)
+"""
+
+
+# --- benchmark decontamination ---------------------------------------------
+#
+# The GPT-3-style training-data decontamination op (Brown et al. 2020, app. C;
+# also Dodge et al. 2021 "C4 documenting"): drop every training document that
+# shares any token n-gram with a held-out evaluation set. Here the eval set is
+# carved deterministically out of the same documents table (doc_id % eval_mod
+# == 0 stands in for "the benchmark"); contamination = any shared contiguous
+# ngram_n-token window after the quality + exact-dedup head.
+#
+# Two exact paths, size-gated like the repo's other adaptive joins:
+# - broadcast (default): the distinct eval n-gram hash set is benchmark-sized
+#   (real decontamination lists are MBs), so it ships once via ray.put and the
+#   training side is ONE shuffle-free map_batches membership pass.
+# - semi-join: when the eval side exceeds broadcast_cap, both sides' n-gram
+#   hashes meet in a bucketed groupby (union + per-bucket vectorized segment
+#   scan) — no broadcast, candidate traffic bounded by n-gram count.
+# N-gram identity is the 64-bit combined token hash (functions/text.py), the
+# same family the oracle-matched Jaccard pipelines rely on; collisions are
+# ~n²/2⁶⁴ (document-count scale, not token scale) — widen to 128-bit for
+# >10⁹-n-gram eval sets.
+
+
+def _split_ngram_rows(
+    batch: pa.Table, *, eval_mod: int, ngram_n: int, want_eval: bool, with_ids: bool
+) -> pa.Table:
+    """(g[, doc_id]) n-gram hash rows for the eval or train half of a batch."""
+    from epichypersketch_jl_ray.functions.text import ngram_hashes, token_hashes
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mask = (ids % eval_mod == 0) if want_eval else (ids % eval_mod != 0)
+    sub = batch.filter(pa.array(mask))
+    cols: dict = {"g": pa.array(np.empty(0, np.int64), pa.int64())}
+    if with_ids:
+        cols["doc_id"] = pa.array(np.empty(0, np.int64), pa.int64())
+    if sub.num_rows == 0:
+        return pa.table(cols)
+    flat, off = token_hashes(sub["text"])
+    g, goff = ngram_hashes(flat, off, ngram_n)
+    cols["g"] = pa.array(np.unique(g).view(np.int64) if not with_ids else g.view(np.int64))
+    if with_ids:
+        sub_ids = sub["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols["doc_id"] = pa.array(np.repeat(sub_ids, np.diff(goff)), pa.int64())
+    return pa.table(cols)
+
+
+def _contaminated_semijoin(
+    ev: ray.data.Dataset, keeper_docs: ray.data.Dataset, *, eval_mod: int, ngram_n: int,
+    num_buckets: int,
+) -> ray.data.Dataset:
+    """Distributed exact semi-join: train doc_ids whose n-gram hash set meets
+    the eval set — union both sides, bucket by hash, one vectorized segment
+    scan per bucket. The scale path when the eval side can't broadcast."""
+
+    def tag_eval(batch: pa.Table) -> pa.Table:
+        g = batch["g"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "g": batch["g"],
+                "doc_id": pa.array(np.full(len(g), -1, np.int64), pa.int64()),
+                "bucket": pa.array(g.view(np.uint64) % num_buckets, pa.int64()),
+            }
+        )
+
+    def train_rows(batch: pa.Table) -> pa.Table:
+        t = _split_ngram_rows(
+            batch, eval_mod=eval_mod, ngram_n=ngram_n, want_eval=False, with_ids=True
+        )
+        g = t["g"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(g.view(np.uint64) % num_buckets, pa.int64()))
+
+    both = ev.map_batches(tag_eval, batch_format="pyarrow").union(
+        keeper_docs.map_batches(train_rows, batch_format="pyarrow")
+    )
+
+    def bucket_scan(group: pa.Table) -> pa.Table:
+        g = group["g"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        gs, ds_ = g[order], d[order]
+        new = np.ones(len(gs), dtype=bool)
+        new[1:] = gs[1:] != gs[:-1]
+        seg = np.cumsum(new) - 1
+        n_seg = int(seg[-1]) + 1 if len(seg) else 0
+        has_eval = np.bincount(seg[ds_ == -1], minlength=n_seg) > 0
+        hits = ds_[(ds_ != -1) & has_eval[seg]]
+        return pa.table({"doc_id": pa.array(np.unique(hits), pa.int64())})
+
+    return both.groupby("bucket").map_groups(bucket_scan, batch_format="pyarrow")
+
+
+def decontaminate_corpus(
+    sf_dir: str,
+    *,
+    min_chars: int = 120,
+    ngram_n: int = 8,
+    eval_mod: int = 11,
+    broadcast_cap: int = 2_000_000,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Training doc_ids (quality + exact-dedup keepers outside the eval set)
+    that share NO ngram_n-token window with any eval-set document."""
+    keeper_docs = _keeper_docs(sf_dir, min_chars=min_chars)
+
+    ev = (
+        keeper_docs.map_batches(
+            lambda b: _split_ngram_rows(
+                b, eval_mod=eval_mod, ngram_n=ngram_n, want_eval=True, with_ids=False
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .count()
+        .select_columns(["g"])
+        .materialize()
+    )
+
+    n_ev = ev.count()
+    if n_ev <= broadcast_cap:
+        # broadcast path: one shuffle-free membership pass over the corpus
+        evset = (
+            np.sort(ev.to_pandas()["g"].to_numpy().astype(np.int64))
+            if n_ev
+            else np.empty(0, np.int64)  # empty groupby loses its schema
+        )
+        evset_ref = ray.put(evset)
+
+        def survivors(batch: pa.Table) -> pa.Table:
+            from epichypersketch_jl_ray.functions.text import ngram_hashes, token_hashes
+
+            evset = ray.get(evset_ref)  # zero-copy shared-memory numpy
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sub = batch.filter(pa.array(ids % eval_mod != 0))
+            if sub.num_rows == 0:
+                return pa.table({"doc_id": pa.array(np.empty(0, np.int64), pa.int64())})
+            flat, off = token_hashes(sub["text"])
+            g, goff = ngram_hashes(flat, off, ngram_n)
+            g = g.view(np.int64)
+            if len(evset) and len(g):
+                idx = np.minimum(np.searchsorted(evset, g), len(evset) - 1)
+                hit = evset[idx] == g
+            else:
+                hit = np.zeros(len(g), dtype=bool)
+            row_ids = np.repeat(np.arange(sub.num_rows), np.diff(goff))
+            dirty = np.bincount(row_ids[hit], minlength=sub.num_rows) > 0
+            sub_ids = sub["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"doc_id": pa.array(sub_ids[~dirty], pa.int64())})
+
+        return keeper_docs.map_batches(survivors, batch_format="pyarrow")
+
+    # semi-join path: anti-join train keepers against the contaminated set
+    contaminated = _contaminated_semijoin(
+        ev, keeper_docs, eval_mod=eval_mod, ngram_n=ngram_n, num_buckets=num_buckets
+    )
+
+    def keeps(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids % eval_mod != 0]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "dropped": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+            }
+        )
+
+    def drops(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "dropped": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+            }
+        )
+
+    flagged = keeper_docs.map_batches(keeps, batch_format="pyarrow").union(
+        contaminated.map_batches(drops, batch_format="pyarrow")
+    )
+    agg = flagged.groupby("doc_id").aggregate(Max("dropped", alias_name="dropped"))
+
+    def only_clean(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["dropped"], 0)).select(["doc_id"])
+
+    return agg.map_batches(only_clean, batch_format="pyarrow")
+
+
+def decontaminate_corpus_sql(
+    min_chars: int = 120, ngram_n: int = 8, eval_mod: int = 11
+) -> str:
+    """Exact string-n-gram oracle (the Ray side matches on 64-bit n-gram
+    hashes; any mismatch would surface as a value-hash diff at the gate)."""
+    terms = "||' '||".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(ngram_n))
+    return f"""
+WITH f AS (SELECT doc_id, text FROM documents WHERE n_chars >= {min_chars}),
+k AS (SELECT MIN(doc_id) AS doc_id, text FROM f GROUP BY text),
+ev AS (SELECT string_split(text,' ') toks FROM k WHERE doc_id % {eval_mod} = 0),
+tr AS (SELECT doc_id, string_split(text,' ') toks FROM k WHERE doc_id % {eval_mod} <> 0),
+evg AS (SELECT DISTINCT {terms} g
+        FROM ev, LATERAL unnest(range(1, len(toks)-{ngram_n - 2})) r(i)),
+trg AS (SELECT DISTINCT doc_id, {terms} g
+        FROM tr, LATERAL unnest(range(1, len(toks)-{ngram_n - 2})) r(i)),
+cont AS (SELECT DISTINCT doc_id FROM trg JOIN evg USING(g))
+SELECT doc_id FROM k
+WHERE doc_id % {eval_mod} <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
 """

@@ -332,14 +332,16 @@ def windowed_events_sql() -> str:
 
 
 def curate_corpus(sf_dir: str) -> ray.data.Dataset:
-    """Both curation chains (pairwise-prune and connected-components
-    cluster-dedup) in one oracled union (method column); the expensive
-    quality->dedup->near-dup head is session-cached and shared."""
+    """All three curation chains — pairwise-prune, connected-components
+    cluster-dedup, and eval-set decontamination (GPT-3-style shared-n-gram
+    drop) — in one oracled union (method column); the expensive
+    quality->exact-dedup head is session-cached and shared by all three."""
     from epichypersketch_jl_ray.pipelines import curate
 
     base = _tag(curate.curate_corpus(sf_dir), "method", "pairwise")
     cc = _tag(curate.curate_corpus_cc(sf_dir), "method", "cc")
-    return base.union(cc)
+    dec = _tag(curate.decontaminate_corpus(sf_dir), "method", "decontam")
+    return base.union(cc).union(dec)
 
 
 def curate_corpus_sql() -> str:
@@ -348,6 +350,8 @@ def curate_corpus_sql() -> str:
     return (
         f"SELECT 'pairwise' AS method, doc_id FROM ({curate.curate_corpus_sql()})"
         f" UNION ALL SELECT 'cc' AS method, doc_id FROM ({curate.curate_corpus_cc_sql()})"
+        f" UNION ALL SELECT 'decontam' AS method, doc_id"
+        f" FROM ({curate.decontaminate_corpus_sql()})"
     )
 
 
