@@ -1718,13 +1718,19 @@ def decode_gif_frames(payload: bytes | np.ndarray) -> np.ndarray:
     return out
 
 
-# Lossless WebP (VP8L) lives in functions/webp.py and FLAC in
-# functions/flac.py; re-exported here so the multimodal stages import
+# Lossless WebP (VP8L) lives in functions/webp.py, FLAC in
+# functions/flac.py and the Ogg container (+ Ogg-FLAC mapping) in
+# functions/ogg.py; re-exported here so the multimodal stages import
 # every codec from one module.
 from epichypersketch_jl_ray.functions.flac import (  # noqa: E402
     decode_flac,
     decode_flac_int,
     encode_flac,
+)
+from epichypersketch_jl_ray.functions.ogg import (  # noqa: E402
+    decode_ogg_flac,
+    decode_ogg_flac_int,
+    encode_ogg_flac,
 )
 from epichypersketch_jl_ray.functions.webp import (  # noqa: E402
     decode_webp,

@@ -521,6 +521,31 @@ def encode_flac(
     {"verbatim", "lpc"}, ``stereo_mode`` in {"independent", "left-side",
     "right-side", "mid-side"}, ``partition_order`` > 0 for multi-partition
     Rice residuals, ``rice_escape`` for the escaped raw partition form."""
+    header, frames = encode_flac_parts(
+        samples,
+        sample_rate=sample_rate,
+        block_size=block_size,
+        stereo_mode=stereo_mode,
+        force_subframe=force_subframe,
+        partition_order=partition_order,
+        rice_escape=rice_escape,
+    )
+    return header + b"".join(frames)
+
+
+def encode_flac_parts(
+    samples: np.ndarray,
+    *,
+    sample_rate: int = 16000,
+    block_size: int = 4096,
+    stereo_mode: str = "independent",
+    force_subframe: str | None = None,
+    partition_order: int = 0,
+    rice_escape: bool = False,
+) -> tuple[bytes, list[bytes]]:
+    """Same encode, split as (b"fLaC"+STREAMINFO header bytes, [frame bytes])
+    — the per-packet granularity the Ogg-FLAC mapping needs (one audio frame
+    per Ogg packet, functions/ogg.py)."""
     s = np.asarray(samples, dtype=np.int16)
     if s.ndim == 1:
         s = s[:, None]
@@ -548,6 +573,7 @@ def encode_flac(
     info += struct.pack(">I", n & 0xFFFFFFFF)
     info += md5
     stream += bytes([0x80]) + struct.pack(">I", len(info))[1:] + info
+    frames: list[bytes] = []
     for fi, start in enumerate(range(0, n, block_size)):
         blk = s[start : start + block_size]
         bs = blk.shape[0]
@@ -591,5 +617,5 @@ def encode_flac(
         bw.align()
         frame = bytes(bw.out)
         bw.write(_crc16(frame), 16)
-        stream += bw.finish()
-    return bytes(stream)
+        frames.append(bw.finish())
+    return bytes(stream), frames

@@ -46,11 +46,12 @@ def _fixture_fingerprint() -> str:
     builders), so a codec or fixture change invalidates cached payloads."""
     import epichypersketch_jl_ray.functions.codecs as codecs
     import epichypersketch_jl_ray.functions.flac as flac
+    import epichypersketch_jl_ray.functions.ogg as oggmod
     import epichypersketch_jl_ray.functions.webp as webp
     import epichypersketch_jl_ray.stages.multimodal as mm
 
     h = hashlib.sha1()
-    for mod in (codecs, webp, flac, mm):
+    for mod in (codecs, webp, flac, oggmod, mm):
         with open(mod.__file__, "rb") as f:
             h.update(f.read())
     return h.hexdigest()[:12]

@@ -13,7 +13,9 @@ Decode dispatches on the row's ``mime``:
   VP8L: prefix codes, LZ77, color cache, meta-prefix image and all four
   transforms; lossy VP8 raises — that needs libvpx), audio/wav (PCM mono),
   audio/flac (full-spec: fixed+LPC predictors, Rice partitions incl.
-  escapes, all stereo decorrelations, CRC+MD5 verified),
+  escapes, all stereo decorrelations, CRC+MD5 verified), audio/ogg
+  (Ogg-FLAC: RFC 3533 page framing with CRC + packet reassembly across
+  pages; Ogg-Vorbis/Opus raise — their codebooks need external libs),
   video/raw-gray8 (concatenated raw frames, ffmpeg's rawvideo layout),
   video/gif (animated GIF89a with patch-frame compositing, transparency
   and disposal 0/1/2), video/avi (MJPEG: RIFF walk + the JPEG codec per
@@ -520,16 +522,17 @@ def make_wav_audio_table(n: int, *, seed: int = 17, samples: int = 4096, rate: i
 def make_mixed_audio_table(n: int, *, seed: int = 17, samples: int = 4096, rate: int = 16000) -> pa.Table:
     """Deterministic REAL-format fixture mixing audio the way a scraped
     corpus would: ids cycle WAV-PCM16 / FLAC (alternating best-of-fixed,
-    forced-LPC, multi-partition Rice and escape-partition streams, so every
-    FLAC decode path runs in production queries, not just unit tests); WAV
-    rows cycle PCM16 / IMA ADPCM (format 0x11) / G.711 mu-law (format 7),
-    the telephony-corpus shapes."""
+    forced-LPC, multi-partition Rice, escape-partition and Ogg-contained
+    streams, so every FLAC decode path runs in production queries, not just
+    unit tests); WAV rows cycle PCM16 / IMA ADPCM (format 0x11) / G.711
+    mu-law (format 7), the telephony-corpus shapes."""
     from epichypersketch_jl_ray.functions.codecs import (
         encode_flac,
         encode_wav_g711,
         encode_wav_ima_adpcm,
         encode_wav_pcm16,
     )
+    from epichypersketch_jl_ray.functions.ogg import encode_ogg_flac
 
     rng = np.random.default_rng(seed)
     t = np.arange(samples)
@@ -549,14 +552,25 @@ def make_mixed_audio_table(n: int, *, seed: int = 17, samples: int = 4096, rate:
                 payloads.append(encode_wav_pcm16(sig, sample_rate=rate))
             mimes.append("audio/wav")
         else:
+            variant = (i // 2) % 5
             kw = [
                 {},
                 {"force_subframe": "lpc"},
                 {"partition_order": 2},
                 {"rice_escape": True},
-            ][(i // 2) % 4]
-            payloads.append(encode_flac(sig, sample_rate=rate, block_size=2048, **kw))
-            mimes.append("audio/flac")
+                {},
+            ][variant]
+            if variant == 4:
+                # Ogg-contained FLAC, paged small enough that packets span
+                # pages (the continuation path runs in production, not just
+                # unit tests)
+                payloads.append(
+                    encode_ogg_flac(sig, sample_rate=rate, block_size=2048, max_page_segments=4)
+                )
+                mimes.append("audio/ogg")
+            else:
+                payloads.append(encode_flac(sig, sample_rate=rate, block_size=2048, **kw))
+                mimes.append("audio/flac")
     return pa.table(
         {
             "id": pa.array(range(n), pa.int64()),
@@ -573,11 +587,12 @@ class WindowAudio:
     per ``window``-sample hop (the flat layout featurize consumes, same
     contract as video frame sampling).
 
-    audio/wav and audio/flac decode FOR REAL (pure-numpy RIFF parser —
-    PCM, IEEE float, G.711 and IMA ADPCM encodings; full-spec FLAC in
-    functions/flac.py); audio/fake treats the payload as
-    raw 8-bit samples behind ``fake=True``; remaining compressed mimes
-    (mp3/ogg) raise the documented codec seam.
+    audio/wav, audio/flac and audio/ogg (Ogg-FLAC) decode FOR REAL
+    (pure-numpy RIFF parser — PCM, IEEE float, G.711 and IMA ADPCM
+    encodings; full-spec FLAC in functions/flac.py; RFC 3533 Ogg framing in
+    functions/ogg.py); audio/fake treats the payload as raw 8-bit samples
+    behind ``fake=True``; remaining compressed mimes (mp3, Ogg-Vorbis/Opus)
+    raise the documented codec seam.
     """
 
     def __init__(self, *, window: int = 1024, fake: bool = False) -> None:
@@ -601,8 +616,13 @@ class WindowAudio:
             if mime == "audio/wav":
                 samples, _rate = decode_wav(blob)
                 parts.append(samples)
-            elif mime == "audio/flac":
-                samples, _rate = decode_flac(blob)
+            elif mime in ("audio/flac", "audio/ogg"):
+                if mime == "audio/ogg":
+                    from epichypersketch_jl_ray.functions.ogg import decode_ogg_flac
+
+                    samples, _rate = decode_ogg_flac(blob)
+                else:
+                    samples, _rate = decode_flac(blob)
                 if samples.ndim != 1:
                     samples = samples.mean(axis=1)  # downmix stereo
                 parts.append(samples.astype(np.float32))
@@ -615,8 +635,9 @@ class WindowAudio:
             else:
                 raise NotImplementedError(
                     f"decoding {mime} requires an audio library not present in "
-                    "this container (wav/flac decode natively; mp3/ogg need "
-                    "soundfile/torchaudio loaded once per actor here)"
+                    "this container (wav/flac/ogg-flac decode natively; mp3 and "
+                    "Ogg-Vorbis/Opus need soundfile/torchaudio loaded once per "
+                    "actor here)"
                 )
         lengths = np.array([len(p) for p in parts], dtype=np.int64)
         flat = np.concatenate(parts) if parts else np.empty(0, np.float32)
