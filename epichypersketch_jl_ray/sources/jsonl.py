@@ -71,13 +71,19 @@ def read_jsonl_corpus(
 
 
 def write_jsonl(rows: list[dict], path: str) -> str:
-    """Test/export helper: rows -> JSONL file (gzipped when path ends .gz)."""
+    """Test/export helper: rows -> JSONL file (compressed when path ends
+    .gz or .zst — both of which ``ray.data.read_json`` auto-detects)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = "".join(json.dumps(r, ensure_ascii=False) + "\n" for r in rows).encode()
     if path.endswith(".gz"):
         # fixed mtime so identical content gives identical bytes
         with open(path, "wb") as f:
             f.write(gzip.compress(payload, mtime=0))
+    elif path.endswith(".zst"):
+        import pyarrow as pa
+
+        with pa.output_stream(path, compression="zstd") as f:
+            f.write(payload)
     else:
         with open(path, "wb") as f:
             f.write(payload)

@@ -11,7 +11,10 @@ Layout handled (both real-world variants):
 - ``.warc.gz``: one gzip MEMBER per record (the Common Crawl convention,
   chosen so byte-range access can seek to single records) — stdlib
   ``zlib`` inflates member-by-member; a whole-file single-member gzip also
-  decodes (the degenerate one-member case of the same loop).
+  decodes (the degenerate one-member case of the same loop);
+- ``.warc.zst``: zstd frames (per record or per shard) via pyarrow's
+  streaming zstd codec; skippable frames (webrecorder's seekable-index
+  convention) are skipped.
 
 For ``response`` records the HTTP message in the content block is split:
 status code, headers of interest (Content-Type), and the payload with
@@ -43,6 +46,19 @@ _CRLF2 = b"\r\n\r\n"
 # ---------------------------------------------------------------------------
 # record-level parse
 # ---------------------------------------------------------------------------
+
+
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"  # RFC 8878 frame magic, little-endian
+
+
+def _unzstd(raw: bytes) -> bytes:
+    """Decompress a zstd stream (.warc.zst layout: concatenated frames, one
+    per record or per shard; skippable frames — e.g. webrecorder's seekable
+    index — are skipped by the codec) via pyarrow's streaming zstd reader."""
+    import pyarrow as pa
+
+    with pa.input_stream(pa.BufferReader(raw), compression="zstd") as f:
+        return f.read()
 
 
 def _gunzip_members(raw: bytes) -> bytes:
@@ -89,11 +105,17 @@ def _dechunk(body: bytes) -> bytes:
 
 
 def parse_warc(raw: bytes | np.ndarray) -> list[dict]:
-    """WARC file bytes (plain or .warc.gz) -> list of record dicts with keys
-    record_id, warc_type, url, date, content_type, http_status, payload."""
+    """WARC file bytes (plain, .warc.gz or .warc.zst) -> list of record dicts
+    with keys record_id, warc_type, url, date, content_type, http_status,
+    payload."""
     data = raw.tobytes() if isinstance(raw, np.ndarray) else bytes(raw)
     if data[:2] == b"\x1f\x8b":
         data = _gunzip_members(data)
+    elif data[:4] == _ZSTD_MAGIC or (
+        # leading skippable frame: magic 0x184D2A50..0x184D2A5F
+        len(data) >= 4 and data[1:4] == b"\x2a\x4d\x18" and 0x50 <= data[0] <= 0x5F
+    ):
+        data = _unzstd(data)
     records: list[dict] = []
     pos = 0
     n = len(data)
@@ -218,13 +240,21 @@ def encode_warc(
     records: Iterable[dict],
     *,
     gzip_per_record: bool = True,
+    zstd_per_record: bool = False,
     chunked_every: int = 0,
 ) -> bytes:
     """Records ({url, payload, http_status?, content_type?, warc_type?,
     record_id?, date?}) -> WARC bytes. ``gzip_per_record`` emits the
-    .warc.gz member-per-record layout; ``chunked_every`` > 0 wraps every
-    k-th response body in HTTP chunked transfer-encoding (tests the
+    .warc.gz member-per-record layout; ``zstd_per_record`` the .warc.zst
+    analogue (one zstd frame per record, which the streaming decode
+    concatenates — takes precedence over gzip); ``chunked_every`` > 0 wraps
+    every k-th response body in HTTP chunked transfer-encoding (tests the
     de-chunker)."""
+    zc = None
+    if zstd_per_record:
+        import pyarrow as pa
+
+        zc = pa.Codec("zstd")
     out = bytearray()
     for i, rec in enumerate(records):
         payload = bytes(rec["payload"])
@@ -262,5 +292,10 @@ def encode_warc(
             + f"Content-Length: {len(block)}\r\n\r\n".encode()
         )
         record = header + block + b"\r\n\r\n"
-        out += gzip.compress(record) if gzip_per_record else record
+        if zc is not None:
+            out += zc.compress(record).to_pybytes()
+        elif gzip_per_record:
+            out += gzip.compress(record)
+        else:
+            out += record
     return bytes(out)

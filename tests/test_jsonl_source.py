@@ -18,7 +18,7 @@ ROWS = [
 
 
 def test_read_plain_and_gz_with_explicit_ids(ray_session, tmp_path):
-    for name in ("corpus.jsonl", "corpus.jsonl.gz"):
+    for name in ("corpus.jsonl", "corpus.jsonl.gz", "corpus.jsonl.zst"):
         p = write_jsonl(ROWS, str(tmp_path / name))
         df = (
             read_jsonl_corpus(p, id_field="id", keep_fields=("lang",))

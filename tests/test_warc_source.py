@@ -24,10 +24,12 @@ def _records(n: int = 12) -> list[dict]:
     return recs
 
 
-@pytest.mark.parametrize("gz", [False, True])
-def test_parse_round_trip(gz):
+@pytest.mark.parametrize("layout", ["plain", "gz", "zst"])
+def test_parse_round_trip(layout):
     recs = _records()
-    raw = encode_warc(recs, gzip_per_record=gz)
+    raw = encode_warc(
+        recs, gzip_per_record=layout == "gz", zstd_per_record=layout == "zst"
+    )
     out = parse_warc(raw)
     assert len(out) == len(recs)
     for want, got in zip(recs, out):
@@ -36,6 +38,17 @@ def test_parse_round_trip(gz):
         assert got["http_status"] == 200
         assert got["content_type"].startswith("text/html")
         assert got["payload"] == want["payload"]
+
+
+def test_parse_zst_with_leading_skippable_frame():
+    import struct
+
+    recs = _records()
+    raw = encode_warc(recs, zstd_per_record=True)
+    # webrecorder-style seekable streams carry skippable index frames
+    skippable = struct.pack("<II", 0x184D2A50, 8) + b"IDXBYTES"
+    out = parse_warc(skippable + raw)
+    assert [r["url"] for r in out] == [r["url"] for r in recs]
 
 
 def test_chunked_and_content_encoding():
