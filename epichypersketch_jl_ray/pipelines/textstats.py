@@ -235,3 +235,111 @@ def export_by_lang_sql() -> str:
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
 """
+
+
+def distinctive_terms(sf_dir: str, *, k: int = 3, num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-document top-k distinctive terms, tf-idf-style but integer-exact:
+    score = tf / df as one IEEE double division (bit-identical in numpy and
+    DuckDB — no transcendentals), ties broken by term.
+
+    Scale shape: ONE map_batches builds the distinct (doc_id, term, tf) pairs
+    (pandas groupby per batch — the minimal pre-aggregation; df cannot be
+    combined below distinct-pair granularity), then two bucketed groupbys:
+    term-hash buckets compute df per term AND attach it in the same segment
+    scan (df is just the per-term row count over distinct pairs — no separate
+    df shuffle or join), doc-hash buckets take the per-doc top-k. No
+    broadcast, no driver state; skewed terms spread across buckets by hash.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from epichypersketch_jl_ray.functions.hashing import hash_strings_fast
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"].combine_chunks(), pattern=" ")
+        flat = toks.flatten().to_pandas()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        row_of = np.repeat(ids, np.asarray(toks.value_lengths(), dtype=np.int64))
+        tf = (
+            pd.DataFrame({"doc_id": row_of, "term": flat})
+            .groupby(["doc_id", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        terms = pa.array(tf["term"], pa.string())
+        bucket = hash_strings_fast(terms).view(np.int64) % num_buckets
+        return pa.table(
+            {
+                "doc_id": pa.array(tf["doc_id"].to_numpy(), pa.int64()),
+                "term": terms,
+                "tf": pa.array(tf["tf"].to_numpy().astype(np.int64), pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    pairs = docs.map_batches(tf_pairs, batch_format="pyarrow")
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        term = group["term"].to_numpy(zero_copy_only=False)
+        order = np.argsort(term, kind="stable")
+        t_sorted = term[order]
+        new = np.ones(len(t_sorted), dtype=bool)
+        new[1:] = t_sorted[1:] != t_sorted[:-1]
+        seg = np.cumsum(new) - 1
+        df_per_seg = np.bincount(seg)
+        df = np.empty(len(term), np.int64)
+        df[order] = df_per_seg[seg]
+        doc_ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": group["doc_id"],
+                "term": group["term"],
+                "tf": group["tf"],
+                "df": pa.array(df, pa.int64()),
+                "doc_bucket": pa.array(
+                    doc_ids.view(np.uint64) % num_buckets, pa.int64()
+                ),
+            }
+        )
+
+    with_df = pairs.groupby("bucket").map_groups(attach_df, batch_format="pyarrow")
+
+    def topk(group: pa.Table) -> pa.Table:
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = group["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        term = group["term"].to_numpy(zero_copy_only=False)
+        score = tf / df  # one correctly-rounded IEEE op: oracle-identical
+        order = np.lexsort((term, -score, doc))
+        d_sorted = doc[order]
+        new = np.ones(len(d_sorted), dtype=bool)
+        new[1:] = d_sorted[1:] != d_sorted[:-1]
+        seg_start = np.flatnonzero(new)
+        rank = np.arange(len(d_sorted)) - np.repeat(seg_start, np.diff(np.append(seg_start, len(d_sorted))))
+        take = order[rank < k]
+        return pa.table(
+            {
+                "doc_id": group["doc_id"].take(take),
+                "term": group["term"].take(take),
+                "tf": group["tf"].take(take),
+                "df": group["df"].take(take),
+                "score": pa.array(score[take], pa.float64()),
+            }
+        )
+
+    return with_df.groupby("doc_bucket").map_groups(topk, batch_format="pyarrow")
+
+
+def distinctive_terms_sql(k: int = 3) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+s AS (SELECT doc_id, term, tf, df, tf::DOUBLE / df AS score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tf::DOUBLE / df DESC, term) AS rn
+      FROM tf JOIN df USING (term))
+SELECT doc_id, term, tf, df, score FROM s WHERE rn <= {k}
+"""
