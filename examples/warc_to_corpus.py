@@ -74,8 +74,14 @@ def make_fixture_warc(
             recs.append(
                 {"url": f"https://ex.com/doc{i:04d}", "payload": html.encode()}
             )
-        with open(f"{out_dir}/part-{s:03d}.warc.gz", "wb") as f:
-            f.write(encode_warc(recs, gzip_per_record=True))
+        if s % 3 == 2:
+            # every third shard ships zstd-compressed — real archives mix
+            # layouts across crawls; the reader dispatches per file
+            with open(f"{out_dir}/part-{s:03d}.warc.zst", "wb") as f:
+                f.write(encode_warc(recs, zstd_per_record=True))
+        else:
+            with open(f"{out_dir}/part-{s:03d}.warc.gz", "wb") as f:
+                f.write(encode_warc(recs, gzip_per_record=True))
     return {"n_docs": n_docs, "n_dup": n_dup, "n_short": n_short, "n_spam": n_spam}
 
 
