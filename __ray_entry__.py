@@ -72,7 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_embedding": dedup.dedup_embedding,
-        "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
+        "dedup_embedding_lsh": merged.embedding_neardup_pairs,  # lsh + semantic (SemDeDup)
         "curate_corpus": merged.curate_corpus,
         # similarity search
         "ann_cosine_topk": ann.ann_cosine_topk,

@@ -854,3 +854,138 @@ def dedup_simhash(sf_dir: str, *, max_hamming: int = 3) -> ray.data.Dataset:
         .groupby("chunk_bucket")
         .map_groups(verified_from_chunk, batch_format="pyarrow")
     )
+
+
+# --- semantic dedup (SemDeDup, Abbas et al. 2023) ---------------------------
+
+
+def semantic_pairs(
+    sf_dir: str,
+    *,
+    threshold: float = 0.45,
+    k: int = 8,
+    iters: int = 6,
+    seed: int = 73,
+    table: str = "embeddings",
+    materialize: bool = True,
+) -> ray.data.Dataset:
+    """Within-cluster near-dup pairs after DISTRIBUTED k-means clustering —
+    the SemDeDup candidate structure (cluster first, compare only inside a
+    cluster) with exact cosine verification, so precision is 1 and recall
+    misses only pairs split across clusters (asserted vs the exact
+    block-pair pipeline in tests).
+
+    Scale shape: kmeans_fit streams the corpus (fixed-point exact partials —
+    stages/kmeans.py — so the model is identical at any parallelism);
+    assignment is one map_batches pass; pair generation is a
+    groupby(cluster) whose per-group cost is |cluster|² dot products.
+    Pick k ~ N/target_cluster_size (SemDeDup uses ~11k clusters at 100M+
+    scale) so groups stay bounded; the fixture default k=8 keeps the test
+    corpus in a handful of groups.
+
+    ``materialize=True`` (default) pins the pruned (id, vector) read in the
+    object store so the k-means iterations don't re-scan parquet — right
+    whenever the embedding table fits the cluster's aggregate store. At
+    100 TB-of-vectors scale pass False: kmeans_fit then streams a fresh
+    read per iteration instead of spilling.
+    """
+    from epichypersketch_jl_ray.stages.kmeans import assign_clusters, kmeans_fit
+
+    ds = read_table(sf_dir, table, columns=["vec_id", "embedding"])
+    if materialize:
+        ds = ds.materialize()
+    model = kmeans_fit(ds, k=k, iters=iters, seed=seed, spherical=True)
+    tagged = assign_clusters(ds, model, keep_embedding=True)
+
+    def cluster_pairs(group: pa.Table) -> pa.Table:
+        from epichypersketch_jl_ray.stages.ann import _embedding_matrix
+
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        e = _embedding_matrix(group, "emb")  # already unit-norm
+        sims = e @ e.T
+        ii, jj = np.nonzero(sims >= threshold)
+        keep = ids[ii] < ids[jj]
+        ii, jj = ii[keep], jj[keep]
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ii], pa.int64()),
+                "vec_b": pa.array(ids[jj], pa.int64()),
+                "cosine": pa.array(np.round(sims[ii, jj], 12), pa.float64()),
+            }
+        )
+
+    return tagged.groupby("cluster").map_groups(cluster_pairs, batch_format="pyarrow")
+
+
+def dedup_semantic(
+    sf_dir: str,
+    *,
+    threshold: float = 0.45,
+    k: int = 8,
+    iters: int = 6,
+    seed: int = 73,
+    table: str = "embeddings",
+    materialize: bool = True,
+) -> ray.data.Dataset:
+    """SemDeDup keep/drop decision per vector: within each cluster, connected
+    components of the cosine>=threshold graph; each component KEEPS the
+    member with the LOWEST centroid similarity (the paper's policy — keep
+    the least prototypical example, drop the redundant near-copies) and
+    drops the rest. Ties break to the smallest vec_id.
+
+    Returns (cluster, vec_id, cent_sim, keep). Per-group work is a numpy
+    union-find over the in-cluster near-dup edges — component structure
+    never leaves the group, so there is no global connected-components
+    round (cross-cluster duplicate pairs are exactly the recall loss the
+    method accepts; stages/cc.py is the exact-CC alternative when edges
+    span partitions).
+    """
+    from epichypersketch_jl_ray.stages.kmeans import assign_clusters, kmeans_fit
+
+    ds = read_table(sf_dir, table, columns=["vec_id", "embedding"])
+    if materialize:
+        ds = ds.materialize()
+    model = kmeans_fit(ds, k=k, iters=iters, seed=seed, spherical=True)
+    tagged = assign_clusters(ds, model, keep_embedding=True)
+
+    def decide(group: pa.Table) -> pa.Table:
+        from epichypersketch_jl_ray.stages.ann import _embedding_matrix
+
+        ids = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")  # deterministic within-group order
+        ids = ids[order]
+        cent_sim = group["cent_sim"].to_numpy(zero_copy_only=False)[order]
+        e = _embedding_matrix(group, "emb")[order]
+        n = len(ids)
+        sims = e @ e.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, 1))
+        parent = np.arange(n)
+
+        def find(a: int) -> int:
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        root = np.array([find(i) for i in range(n)])
+        # keep = the component member with the lowest cent_sim (vec_id ties)
+        comp_order = np.lexsort((ids, cent_sim, root))  # by root, then sim, id
+        first_of_comp = np.ones(n, dtype=bool)
+        first_of_comp[1:] = root[comp_order][1:] != root[comp_order][:-1]
+        keep = np.zeros(n, dtype=bool)
+        keep[comp_order[first_of_comp]] = True
+        cluster = group["cluster"].to_numpy(zero_copy_only=False)[order]
+        return pa.table(
+            {
+                "cluster": pa.array(cluster.astype(np.int64), pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "cent_sim": pa.array(np.round(cent_sim, 12), pa.float64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return tagged.groupby("cluster").map_groups(decide, batch_format="pyarrow")

@@ -228,6 +228,20 @@ def ann_approx_topk(sf_dir: str) -> pd.DataFrame:
     return pd.concat([lsh[cols], ivf[cols]], ignore_index=True)
 
 
+def embedding_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Both sub-quadratic embedding near-dup scale paths in one frame
+    (method column): 'lsh' = hyperplane-bucketed pairs, 'semantic' =
+    SemDeDup within-k-means-cluster pairs (distributed fixed-point k-means,
+    stages/kmeans.py). Registry key stays dedup_embedding_lsh. Rows-only;
+    precision-1 and recall bounds vs the exact block-pair pipeline in
+    pytest (tests/test_dedup.py, tests/test_kmeans.py)."""
+    from epichypersketch_jl_ray.pipelines import dedup
+
+    lsh = _tag(dedup.dedup_embedding_lsh(sf_dir), "method", "lsh")
+    sem = _tag(dedup.semantic_pairs(sf_dir), "method", "semantic")
+    return lsh.union(sem)
+
+
 # --- text analysis ----------------------------------------------------------
 
 
