@@ -67,7 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_suppliers_countsketch": sketches.top_suppliers_countsketch,
         "doc_sample": merged.doc_sample,
         # dedup suite
-        "dedup_exact": dedup.dedup_exact,
+        "dedup_exact": merged.dedup_exact_and_spans,  # doc-level + Lee-2022 spans
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_simhash": dedup.dedup_simhash,
@@ -134,7 +134,7 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams_spacesaving": merged.top_ngrams_spacesaving_sql(),
         "doc_sample": merged.doc_sample_sql(),
         "top_suppliers_spacesaving": sketches.top_suppliers_spacesaving_sql(),
-        "dedup_exact": dedup.dedup_exact_sql(),
+        "dedup_exact": merged.dedup_exact_and_spans_sql(),
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh_sql(),
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_sql(),
         "dedup_embedding": dedup.dedup_embedding_sql(),

@@ -183,3 +183,58 @@ def hash_int64(x: np.ndarray, seed: int = 0) -> np.ndarray:
     """Deterministic uint64 hash of an int64/uint64 array."""
     with np.errstate(over="ignore"):
         return splitmix64(np.asarray(x).astype(np.uint64) ^ splitmix64(np.uint64(seed)))
+
+
+def rolling_gram_hashes(
+    texts: "pa.Array | pa.ChunkedArray", gram_len: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """128-bit polynomial rolling hashes of every ``gram_len``-BYTE substring.
+
+    Returns (h1, h2, row_ids, pos): two independent uint64 hashes per gram
+    (position-independent — equal byte substrings hash equal anywhere in the
+    corpus), the emitting row index, and the byte offset within the row.
+    For ASCII text byte offsets equal character offsets (the fixture case;
+    non-ASCII corpora get byte-offset span semantics).
+
+    Vectorized over the batch's whole UTF-8 buffer: with odd base B (hence
+    invertible mod 2^64), T[i] = Σ_{j<i} b[j]·B^j wraps naturally in uint64,
+    and hash(l, l+L) = (T[l+L] − T[l]) · B^{−l} — two cumsum/cumprod passes
+    and one gather per base, no per-row Python. Grams never cross row
+    boundaries (positions stop at len(row) − L).
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    offsets, values = _string_buffers(texts)
+    n = len(offsets) - 1
+    lengths = offsets[1:] - offsets[:-1]
+    n_grams = np.maximum(lengths - (gram_len - 1), 0)
+    total = int(n_grams.sum())
+    if total == 0:
+        e = np.empty(0, np.uint64)
+        return e, e.copy(), np.empty(0, np.int64), np.empty(0, np.int64)
+
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), n_grams)
+    gram_off = np.cumsum(n_grams) - n_grams
+    pos = np.arange(total, dtype=np.int64) - np.repeat(gram_off, n_grams)
+    l = offsets[:-1][row_ids] + pos  # absolute buffer start of each gram
+
+    b = values.astype(np.uint64)
+    m = len(values)
+    h_out: list[np.ndarray] = []
+    with np.errstate(over="ignore"):
+        for base in (np.uint64(0x9E3779B97F4A7C55), np.uint64(0xC2B2AE3D27D4EB4F)):
+            # modular inverse of the odd base via Newton (x *= 2 - B*x)
+            inv = base
+            for _ in range(6):
+                inv = inv * (np.uint64(2) - base * inv)
+            pw = np.empty(m, dtype=np.uint64)
+            pw[0] = np.uint64(1)
+            np.cumprod(np.full(m - 1, base, dtype=np.uint64), out=pw[1:]) if m > 1 else None
+            ipw = np.empty(m, dtype=np.uint64)
+            ipw[0] = np.uint64(1)
+            np.cumprod(np.full(m - 1, inv, dtype=np.uint64), out=ipw[1:]) if m > 1 else None
+            t = np.concatenate(([np.uint64(0)], np.cumsum(b * pw, dtype=np.uint64)))
+            h = (t[l + gram_len] - t[l]) * ipw[l]
+            # finalize so near-equal polynomials don't correlate across bases
+            h_out.append(splitmix64(h))
+    return h_out[0], h_out[1], row_ids, pos

@@ -989,3 +989,131 @@ def dedup_semantic(
         )
 
     return tagged.groupby("cluster").map_groups(decide, batch_format="pyarrow")
+
+
+# --- exact duplicated-substring spans (Lee et al. 2022) ----------------------
+
+
+def duplicated_spans(
+    sf_dir: str,
+    *,
+    gram_len: int = 32,
+    prefilter: bool = False,
+    table: str = "documents",
+) -> ray.data.Dataset:
+    """Exact duplicated-substring spans per document — the substring-level
+    dedup of "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al. 2022), re-expressed for Ray Data: a position is duplicated
+    when its ``gram_len``-char substring occurs at >= 2 sites anywhere in
+    the corpus; overlapping/adjacent duplicated grams merge into maximal
+    spans (doc_id, span_start, span_end), span_end exclusive.
+
+    Instead of a suffix array (a global sort of every suffix — one giant
+    all-to-all), the corpus streams through a 128-bit rolling-hash gram
+    table: groupby(h1, h2) finds multi-site grams, groupby(doc_id) merges
+    sorted positions into spans. Equal-length intervals merge exactly when
+    consecutive starts differ by <= gram_len, so the per-doc pass is one
+    sort + one diff. 2^-128 collision odds stand in for byte-compare.
+
+    ``prefilter=True`` adds a CMS pass first (the repo's count-then-select
+    shape, pipelines/ngrams.py): a broadcast CountMin over gram h1 drops
+    every gram whose corpus count is 1 BEFORE the groupby — CMS never
+    underestimates, so no duplicated gram is lost, and collisions only ship
+    harmless extra rows. MEASURED OFF by default: each batch's sparse CMS
+    partial carries ~one entry per distinct gram in the batch, the same
+    order as the shuffle rows it would save, so at sf0.1 the direct groupby
+    wins 14x (11.6 s vs 163 s). The flag pays only on template-heavy
+    corpora whose DISTINCT-gram set is much smaller than the gram stream
+    (partials then cap at the distinct count while the shuffle does not).
+    """
+    from epichypersketch_jl_ray.functions.hashing import rolling_gram_hashes
+    from epichypersketch_jl_ray.pipelines.ngrams import _cms_factory
+    from epichypersketch_jl_ray.stages.udaf import tree_merge
+    from epichypersketch_jl_ray.state.countmin import CountMin
+
+    ds = read_table(sf_dir, table, columns=["doc_id", "text"])
+
+    cms_ref = None
+    if prefilter:
+        def cms_partial(batch: pa.Table) -> pa.Table:
+            h1, _, _, _ = rolling_gram_hashes(batch["text"], gram_len)
+            cms = _cms_factory().add_keys(h1)
+            return pa.table({"state": pa.array([cms.to_bytes()], type=pa.large_binary())})
+
+        states = ds.map_batches(cms_partial, batch_format="pyarrow")
+        cms_ref = ray.put(tree_merge(states, CountMin))
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        h1, h2, rows, pos = rolling_gram_hashes(batch["text"], gram_len)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[rows]
+        if cms_ref is not None:
+            keep = ray.get(cms_ref).estimate_keys(h1) >= 2
+            h1, h2, ids, pos = h1[keep], h2[keep], ids[keep], pos[keep]
+        return pa.table(
+            {
+                "h1": pa.array(h1.view(np.int64), pa.int64()),
+                "h2": pa.array(h2.view(np.int64), pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    def sites_if_multi(group: pa.Table) -> pa.Table:
+        if len(group) < 2:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+            )
+        return group.select(["doc_id", "pos"])
+
+    def merge_spans(group: pa.Table) -> pa.Table:
+        p = np.sort(group["pos"].to_numpy(zero_copy_only=False))
+        brk = np.flatnonzero(np.diff(p) > gram_len)
+        starts = p[np.concatenate(([0], brk + 1))]
+        ends = p[np.concatenate((brk, [len(p) - 1]))] + gram_len
+        doc = group["doc_id"][0].as_py()
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(len(starts), doc, np.int64), pa.int64()),
+                "span_start": pa.array(starts, pa.int64()),
+                "span_end": pa.array(ends, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby(["h1", "h2"])
+        .map_groups(sites_if_multi, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(merge_spans, batch_format="pyarrow")
+    )
+
+
+def duplicated_spans_sql(gram_len: int = 32) -> str:
+    """Maximal duplicated-substring spans in pure SQL: generate every
+    L-char gram, window-count occurrences by gram text, gaps-and-islands
+    merge of duplicated starts (equal-length intervals chain exactly when
+    consecutive starts differ by <= L)."""
+    return f"""
+WITH grams AS (
+  SELECT doc_id, i AS pos, substr(text, i + 1, {gram_len}) AS g
+  FROM documents, LATERAL unnest(range(0, GREATEST(length(text) - {gram_len} + 1, 0))) r(i)
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY g) AS c FROM grams
+  ) WHERE c >= 2
+),
+islands AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {gram_len}
+              THEN 0 ELSE 1 END AS brk
+  FROM dup
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid
+  FROM islands
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {gram_len} AS span_end
+FROM grp GROUP BY doc_id, gid
+"""

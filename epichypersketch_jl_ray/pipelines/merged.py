@@ -242,6 +242,41 @@ def embedding_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
     return lsh.union(sem)
 
 
+def dedup_exact_and_spans(sf_dir: str) -> ray.data.Dataset:
+    """Document-level exact dedup AND substring-level duplicated spans in
+    one oracled union (method column): 'doc' rows are (keep_id, dup_count)
+    as (doc_id, a; b=-1), 'span' rows are (doc_id, span_start, span_end) as
+    (doc_id, a, b) — Lee et al. 2022 exact substring dedup, rolling-hash +
+    two bucketed groupbys instead of a suffix array. Registry key stays
+    dedup_exact. -1 sentinels, never NULL (module docstring)."""
+    import numpy as np
+
+    from epichypersketch_jl_ray.pipelines import dedup
+
+    def pad_doc(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["doc_id", "a"])
+        t = t.add_column(0, "method", pa.array(["doc"] * len(t), pa.string()))
+        return t.append_column("b", pa.array(np.full(len(t), -1, np.int64), pa.int64()))
+
+    doc = dedup.dedup_exact(sf_dir).map_batches(pad_doc, batch_format="pyarrow")
+    span = dedup.duplicated_spans(sf_dir).rename_columns(
+        {"span_start": "a", "span_end": "b"}
+    )
+    span = _tag(span, "method", "span")
+    return doc.union(span)
+
+
+def dedup_exact_and_spans_sql() -> str:
+    from epichypersketch_jl_ray.pipelines import dedup
+
+    return (
+        "SELECT 'doc' AS method, keep_id AS doc_id, dup_count AS a,"
+        f" CAST(-1 AS BIGINT) AS b FROM ({dedup.dedup_exact_sql()})"
+        " UNION ALL SELECT 'span' AS method, doc_id, span_start AS a,"
+        f" span_end AS b FROM ({dedup.duplicated_spans_sql()})"
+    )
+
+
 # --- text analysis ----------------------------------------------------------
 
 
