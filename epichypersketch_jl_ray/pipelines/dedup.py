@@ -1000,6 +1000,7 @@ def duplicated_spans(
     gram_len: int = 32,
     prefilter: bool = False,
     table: str = "documents",
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Exact duplicated-substring spans per document — the substring-level
     dedup of "Deduplicating Training Data Makes Language Models Better"
@@ -1010,10 +1011,18 @@ def duplicated_spans(
 
     Instead of a suffix array (a global sort of every suffix — one giant
     all-to-all), the corpus streams through a 128-bit rolling-hash gram
-    table: groupby(h1, h2) finds multi-site grams, groupby(doc_id) merges
-    sorted positions into spans. Equal-length intervals merge exactly when
-    consecutive starts differ by <= gram_len, so the per-doc pass is one
-    sort + one diff. 2^-128 collision odds stand in for byte-compare.
+    table. Both grouping stages are BUCKETED (the repo's standard shape,
+    stages/dedup.py): the shuffle key is ``hash % num_buckets``, so the
+    group count equals ``num_buckets`` — not the multi-million distinct
+    gram / doc count — and each bucket resolves ALL its grams (or docs)
+    with one lexsort + run-length pass. A naive groupby(h1, h2).map_groups
+    pays a per-group Python call for every distinct gram; bucketing is
+    ~2.3x faster already at sf0.1 (11.6 -> 4.6-5.1 s) and the gap grows
+    with the corpus (group-count, not distinct-key, Python overhead). Size
+    ``num_buckets`` ~ total_grams / rows-that-fit-one-worker at real
+    scale. Equal-length intervals merge exactly when consecutive starts
+    differ by <= gram_len, so the per-doc pass is one sort + one diff.
+    2^-128 collision odds stand in for byte-compare.
 
     ``prefilter=True`` adds a CMS pass first (the repo's count-then-select
     shape, pipelines/ngrams.py): a broadcast CountMin over gram h1 drops
@@ -1043,6 +1052,8 @@ def duplicated_spans(
         states = ds.map_batches(cms_partial, batch_format="pyarrow")
         cms_ref = ray.put(tree_merge(states, CountMin))
 
+    nb = np.uint64(num_buckets)
+
     def gram_rows(batch: pa.Table) -> pa.Table:
         h1, h2, rows, pos = rolling_gram_hashes(batch["text"], gram_len)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[rows]
@@ -1051,6 +1062,7 @@ def duplicated_spans(
             h1, h2, ids, pos = h1[keep], h2[keep], ids[keep], pos[keep]
         return pa.table(
             {
+                "gb": pa.array((h1 % nb).astype(np.int64), pa.int64()),
                 "h1": pa.array(h1.view(np.int64), pa.int64()),
                 "h2": pa.array(h2.view(np.int64), pa.int64()),
                 "doc_id": pa.array(ids, pa.int64()),
@@ -1058,33 +1070,66 @@ def duplicated_spans(
             }
         )
 
-    def sites_if_multi(group: pa.Table) -> pa.Table:
-        if len(group) < 2:
+    def bucket_multi_sites(group: pa.Table) -> pa.Table:
+        # One lexsort resolves EVERY gram in the bucket; a run-length count
+        # keeps sites whose (h1, h2) occurs >= 2 times corpus-wide.
+        h1 = group["h1"].to_numpy(zero_copy_only=False)
+        h2 = group["h2"].to_numpy(zero_copy_only=False)
+        if len(h1) == 0:
             return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+                {
+                    "db": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
             )
-        return group.select(["doc_id", "pos"])
-
-    def merge_spans(group: pa.Table) -> pa.Table:
-        p = np.sort(group["pos"].to_numpy(zero_copy_only=False))
-        brk = np.flatnonzero(np.diff(p) > gram_len)
-        starts = p[np.concatenate(([0], brk + 1))]
-        ends = p[np.concatenate((brk, [len(p) - 1]))] + gram_len
-        doc = group["doc_id"][0].as_py()
+        order = np.lexsort((h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        new = np.concatenate(([True], (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])))
+        gid = np.cumsum(new) - 1
+        multi = np.bincount(gid)[gid] >= 2
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)[order][multi]
+        pos = group["pos"].to_numpy(zero_copy_only=False)[order][multi]
         return pa.table(
             {
-                "doc_id": pa.array(np.full(len(starts), doc, np.int64), pa.int64()),
-                "span_start": pa.array(starts, pa.int64()),
-                "span_end": pa.array(ends, pa.int64()),
+                "db": pa.array((ids.astype(np.uint64) % nb).astype(np.int64), pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    def bucket_merge_spans(group: pa.Table) -> pa.Table:
+        # All docs in the bucket at once: sort by (doc, pos), break a span
+        # where the doc changes or consecutive starts gap by > gram_len.
+        doc = group["doc_id"].to_numpy(zero_copy_only=False)
+        pos = group["pos"].to_numpy(zero_copy_only=False)
+        if len(doc) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "span_start": pa.array([], pa.int64()),
+                    "span_end": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((pos, doc))
+        d, p = doc[order], pos[order]
+        brk = np.concatenate(([True], (d[1:] != d[:-1]) | (p[1:] - p[:-1] > gram_len)))
+        idx = np.flatnonzero(brk)
+        last = np.concatenate((idx[1:] - 1, [len(p) - 1]))
+        return pa.table(
+            {
+                "doc_id": pa.array(d[idx], pa.int64()),
+                "span_start": pa.array(p[idx], pa.int64()),
+                "span_end": pa.array(p[last] + gram_len, pa.int64()),
             }
         )
 
     return (
         ds.map_batches(gram_rows, batch_format="pyarrow")
-        .groupby(["h1", "h2"])
-        .map_groups(sites_if_multi, batch_format="pyarrow")
-        .groupby("doc_id")
-        .map_groups(merge_spans, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(bucket_multi_sites, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(bucket_merge_spans, batch_format="pyarrow")
     )
 
 
