@@ -51,37 +51,280 @@ def _augment_pii(doc_id: pa.ChunkedArray | pa.Array, text: pa.ChunkedArray | pa.
     return pc.binary_join_element_wise(t, email, ip, phone, "")
 
 
-def doc_stats(sf_dir: str) -> ray.data.Dataset:
-    """Per-document quality features + PII redaction, all with
-    SQL-expressible definitions (the redaction regexes are RE2 in both
-    engines and shared verbatim with the oracle)."""
-    from epichypersketch_jl_ray.functions.pii import pii_counts, redact_pii
+def _ref_vocab_rows(batch: pa.Table, *, ref_mod: int) -> pa.Table:
+    """Distinct (kind, h) hash rows from the reference slice of one batch:
+    kind 0 = unigram token hashes, kind 1 = bigram hashes."""
+    from epichypersketch_jl_ray.functions.text import ngram_hashes, token_hashes
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sub = batch.filter(pa.array(ids % ref_mod == 0))
+    if sub.num_rows == 0:
+        return pa.table(
+            {"kind": pa.array([], pa.int64()), "h": pa.array([], pa.int64())}
+        )
+    flat, off = token_hashes(sub["text"])
+    bg, _ = ngram_hashes(flat, off, 2)
+    uni_u, bg_u = np.unique(flat), np.unique(bg)
+    kind = np.concatenate(
+        (np.zeros(len(uni_u), np.int64), np.ones(len(bg_u), np.int64))
+    )
+    h = np.concatenate((uni_u, bg_u)).view(np.int64)
+    return pa.table({"kind": pa.array(kind, pa.int64()), "h": pa.array(h, pa.int64())})
 
-    def stats(batch: pa.Table) -> pa.Table:
-        qf = quality_features(batch["text"])
-        aug = _augment_pii(batch["doc_id"], batch["text"])
-        counts = pii_counts(aug)
+
+def _member(sorted_set: np.ndarray, h: np.ndarray) -> np.ndarray:
+    h = h.view(np.int64)
+    if len(sorted_set) == 0 or len(h) == 0:
+        return np.zeros(len(h), dtype=bool)
+    idx = np.minimum(np.searchsorted(sorted_set, h), len(sorted_set) - 1)
+    return sorted_set[idx] == h
+
+
+def _lm_counts_semijoin(
+    ds: ray.data.Dataset, ref: ray.data.Dataset, *, num_buckets: int
+) -> ray.data.Dataset:
+    """Per-doc (lm_hits, oov_tokens) when the reference vocab can't broadcast:
+    union corpus token/bigram occurrence rows with the distinct reference
+    rows, bucket by hash, one vectorized segment scan per bucket emits
+    partial counts (including zeros, so every doc keeps a row), then a
+    doc-bucket merge sums partials — no driver state, no per-key groups."""
+    from epichypersketch_jl_ray.functions.text import ngram_hashes, token_hashes
+
+    nb = np.uint64(num_buckets)
+
+    def tag_ref(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": batch["doc_id"],
-                "n_chars": pa.array(qf["n_chars"], pa.int64()),
-                "n_tokens": pa.array(qf["n_tokens"], pa.int64()),
-                "n_uniq_tokens": pa.array(qf["n_uniq_tokens"], pa.int64()),
-                "ttr": pa.array(qf["ttr"], pa.float64()),
-                "top_token_share": pa.array(qf["top_token_share"], pa.float64()),
-                "n_emails": pa.array(counts["n_emails"], pa.int64()),
-                "n_ips": pa.array(counts["n_ips"], pa.int64()),
-                "n_phones": pa.array(counts["n_phones"], pa.int64()),
-                "redacted": redact_pii(aug),
+                "kind": batch["kind"],
+                "h": batch["h"],
+                "doc_id": pa.array(np.full(len(h), -1, np.int64), pa.int64()),
+                "bucket": pa.array(
+                    (h.view(np.uint64) % nb).astype(np.int64), pa.int64()
+                ),
             }
         )
 
-    return ds.map_batches(stats, batch_format="pyarrow")
+    def corpus_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, off = token_hashes(batch["text"])
+        bg, bgoff = ngram_hashes(flat, off, 2)
+        kind = np.concatenate(
+            (np.zeros(len(flat), np.int64), np.ones(len(bg), np.int64))
+        )
+        h = np.concatenate((flat, bg)).view(np.int64)
+        doc = np.concatenate(
+            (np.repeat(ids, np.diff(off)), np.repeat(ids, np.diff(bgoff)))
+        )
+        return pa.table(
+            {
+                "kind": pa.array(kind, pa.int64()),
+                "h": pa.array(h, pa.int64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "bucket": pa.array(
+                    (h.view(np.uint64) % nb).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    both = ref.map_batches(tag_ref, batch_format="pyarrow").union(
+        ds.map_batches(corpus_rows, batch_format="pyarrow")
+    )
+
+    def bucket_scan(group: pa.Table) -> pa.Table:
+        k = group["kind"].to_numpy(zero_copy_only=False)
+        h = group["h"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "lm_hits": pa.array([], pa.int64()),
+                    "oov_tokens": pa.array([], pa.int64()),
+                    "doc_bucket": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((h, k))
+        ks, hs, ds_ = k[order], h[order], d[order]
+        new = np.ones(len(ks), dtype=bool)
+        new[1:] = (ks[1:] != ks[:-1]) | (hs[1:] != hs[:-1])
+        seg = np.cumsum(new) - 1
+        n_seg = int(seg[-1]) + 1
+        has_ref = np.bincount(seg[ds_ == -1], minlength=n_seg) > 0
+        corpus = ds_ != -1
+        docs, inv = np.unique(ds_[corpus], return_inverse=True)
+        hits = np.bincount(
+            inv[(ks[corpus] == 1) & has_ref[seg[corpus]]], minlength=len(docs)
+        )
+        oov = np.bincount(
+            inv[(ks[corpus] == 0) & ~has_ref[seg[corpus]]], minlength=len(docs)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "lm_hits": pa.array(hits.astype(np.int64), pa.int64()),
+                "oov_tokens": pa.array(oov.astype(np.int64), pa.int64()),
+                "doc_bucket": pa.array(
+                    (docs.astype(np.uint64) % nb).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def merge_counts(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        if len(d) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "lm_hits": pa.array([], pa.int64()),
+                    "oov_tokens": pa.array([], pa.int64()),
+                }
+            )
+        lm = group["lm_hits"].to_numpy(zero_copy_only=False)
+        ov = group["oov_tokens"].to_numpy(zero_copy_only=False)
+        order = np.argsort(d, kind="stable")
+        ds_, lm_, ov_ = d[order], lm[order], ov[order]
+        new = np.ones(len(ds_), dtype=bool)
+        new[1:] = ds_[1:] != ds_[:-1]
+        idx = np.flatnonzero(new)
+        return pa.table(
+            {
+                "doc_id": pa.array(ds_[idx], pa.int64()),
+                "lm_hits": pa.array(np.add.reduceat(lm_, idx), pa.int64()),
+                "oov_tokens": pa.array(np.add.reduceat(ov_, idx), pa.int64()),
+            }
+        )
+
+    return (
+        both.groupby("bucket")
+        .map_groups(bucket_scan, batch_format="pyarrow")
+        .groupby("doc_bucket")
+        .map_groups(merge_counts, batch_format="pyarrow")
+    )
 
 
-def doc_stats_sql() -> str:
+DOC_STATS_COLUMNS = [
+    "doc_id", "n_chars", "n_tokens", "n_uniq_tokens", "ttr", "top_token_share",
+    "n_emails", "n_ips", "n_phones", "redacted",
+    "n_bigrams", "lm_hits", "oov_tokens", "lm_coverage",
+]
+
+
+def doc_stats(
+    sf_dir: str,
+    *,
+    ref_mod: int = 10,
+    broadcast_cap: int = 4_000_000,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-document quality features + PII redaction + reference-LM coverage,
+    all with SQL-expressible definitions (the redaction regexes are RE2 in
+    both engines and shared verbatim with the oracle).
+
+    LM coverage is the CCNet-style reference-model quality signal (Wenzek et
+    al. 2020 filter docs by LM agreement with a curated corpus): a bigram
+    vocabulary is built from the reference slice (doc_id % ref_mod == 0
+    stands in for the curated corpus) and each document reports how many of
+    its bigram positions the reference vocabulary covers (`lm_hits` /
+    `lm_coverage`) plus its out-of-vocabulary token count (`oov_tokens`).
+    All counts are integers and the coverage is one IEEE division, so the
+    oracle match is exact. Size-gated like decontaminate_corpus: the distinct
+    reference vocab broadcasts when it fits (the realistic shape — the
+    reference corpus is curated and bounded while the web corpus streams),
+    else a bucketed semi-join counts membership with zero driver state."""
+    from epichypersketch_jl_ray.functions.pii import pii_counts, redact_pii
+    from epichypersketch_jl_ray.functions.text import ngram_hashes, token_hashes
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    ref = (
+        ds.map_batches(
+            lambda b: _ref_vocab_rows(b, ref_mod=ref_mod), batch_format="pyarrow"
+        )
+        .groupby(["kind", "h"])
+        .count()
+        .select_columns(["kind", "h"])
+        .materialize()
+    )
+    n_ref = ref.count()
+
+    def base_columns(batch: pa.Table) -> dict:
+        qf = quality_features(batch["text"])
+        aug = _augment_pii(batch["doc_id"], batch["text"])
+        counts = pii_counts(aug)
+        return {
+            "doc_id": batch["doc_id"],
+            "n_chars": pa.array(qf["n_chars"], pa.int64()),
+            "n_tokens": pa.array(qf["n_tokens"], pa.int64()),
+            "n_uniq_tokens": pa.array(qf["n_uniq_tokens"], pa.int64()),
+            "ttr": pa.array(qf["ttr"], pa.float64()),
+            "top_token_share": pa.array(qf["top_token_share"], pa.float64()),
+            "n_emails": pa.array(counts["n_emails"], pa.int64()),
+            "n_ips": pa.array(counts["n_ips"], pa.int64()),
+            "n_phones": pa.array(counts["n_phones"], pa.int64()),
+            "redacted": redact_pii(aug),
+        }
+
+    if n_ref <= broadcast_cap:
+        if n_ref:
+            pdf = ref.to_pandas()  # bounded by broadcast_cap
+            hs = pdf["h"].to_numpy().astype(np.int64)
+            kd = pdf["kind"].to_numpy().astype(np.int64)
+            uni_set = np.sort(hs[kd == 0])
+            bg_set = np.sort(hs[kd == 1])
+        else:  # empty groupby loses its schema
+            uni_set = bg_set = np.empty(0, np.int64)
+        ref_ref = ray.put((uni_set, bg_set))
+
+        def stats(batch: pa.Table) -> pa.Table:
+            uni_set, bg_set = ray.get(ref_ref)  # zero-copy shared-memory numpy
+            cols = base_columns(batch)
+            flat, off = token_hashes(batch["text"])
+            bg, bgoff = ngram_hashes(flat, off, 2)
+            n = batch.num_rows
+            row_tok = np.repeat(np.arange(n), np.diff(off))
+            row_bg = np.repeat(np.arange(n), np.diff(bgoff))
+            oov = np.bincount(row_tok[~_member(uni_set, flat)], minlength=n)
+            hits = np.bincount(row_bg[_member(bg_set, bg)], minlength=n)
+            n_bigrams = np.maximum(np.diff(off) - 1, 0)
+            cols["n_bigrams"] = pa.array(n_bigrams, pa.int64())
+            cols["lm_hits"] = pa.array(hits.astype(np.int64), pa.int64())
+            cols["oov_tokens"] = pa.array(oov.astype(np.int64), pa.int64())
+            cols["lm_coverage"] = pa.array(
+                hits.astype(np.float64) / np.maximum(n_bigrams, 1), pa.float64()
+            )
+            return pa.table(cols)
+
+        return ds.map_batches(stats, batch_format="pyarrow")
+
+    # scale path: bucketed membership counts, attached by a bucketed join
+    from epichypersketch_jl_ray.stages.join import bucketed_hash_join
+
+    def base_stats(batch: pa.Table) -> pa.Table:
+        cols = base_columns(batch)
+        _, off = token_hashes(batch["text"])
+        cols["n_bigrams"] = pa.array(np.maximum(np.diff(off) - 1, 0), pa.int64())
+        return pa.table(cols)
+
+    stats_ds = ds.map_batches(base_stats, batch_format="pyarrow")
+    counts = _lm_counts_semijoin(ds, ref, num_buckets=num_buckets)
+    joined = bucketed_hash_join(
+        stats_ds, counts, left_on="doc_id", right_on="doc_id"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        hits = batch["lm_hits"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nbg = batch["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        batch = batch.append_column(
+            "lm_coverage",
+            pa.array(hits.astype(np.float64) / np.maximum(nbg, 1), pa.float64()),
+        )
+        return batch.select(DOC_STATS_COLUMNS)
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def doc_stats_sql(ref_mod: int = 10) -> str:
     from epichypersketch_jl_ray.functions.pii import EMAIL_PATTERN, IPV4_PATTERN, PHONE_PATTERN
 
     return f"""
@@ -102,6 +345,27 @@ tok_share AS (
     GROUP BY doc_id, tok
   )
   GROUP BY doc_id
+),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+toks AS (
+  SELECT doc_id, toks[i + 1] AS tok
+  FROM t, LATERAL unnest(range(0, len(toks))) r(i)
+),
+bgs AS (
+  SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS bg
+  FROM t, LATERAL unnest(range(0, GREATEST(len(toks) - 1, 0))) r(i)
+),
+ref_tok AS (SELECT DISTINCT tok FROM toks WHERE doc_id % {ref_mod} = 0),
+ref_bg AS (SELECT DISTINCT bg FROM bgs WHERE doc_id % {ref_mod} = 0),
+lm AS (
+  SELECT bgs.doc_id, COUNT(ref_bg.bg) AS hits
+  FROM bgs LEFT JOIN ref_bg ON bgs.bg = ref_bg.bg
+  GROUP BY bgs.doc_id
+),
+oov AS (
+  SELECT toks.doc_id, COUNT(*) FILTER (WHERE ref_tok.tok IS NULL) AS oov_tokens
+  FROM toks LEFT JOIN ref_tok ON toks.tok = ref_tok.tok
+  GROUP BY toks.doc_id
 )
 SELECT aug.doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
@@ -115,8 +379,16 @@ SELECT aug.doc_id,
        regexp_replace(regexp_replace(regexp_replace(a,
            '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
            '{IPV4_PATTERN}', '<IP>', 'g'),
-           '{PHONE_PATTERN}', '<PHONE>', 'g') AS redacted
-FROM aug JOIN tok_share USING (doc_id)
+           '{PHONE_PATTERN}', '<PHONE>', 'g') AS redacted,
+       CAST(GREATEST(len(string_split(text, ' ')) - 1, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(lm.hits, 0) AS BIGINT) AS lm_hits,
+       CAST(oov.oov_tokens AS BIGINT) AS oov_tokens,
+       CAST(COALESCE(lm.hits, 0) AS DOUBLE)
+         / GREATEST(len(string_split(text, ' ')) - 1, 1) AS lm_coverage
+FROM aug
+JOIN tok_share USING (doc_id)
+LEFT JOIN lm ON aug.doc_id = lm.doc_id
+JOIN oov ON aug.doc_id = oov.doc_id
 """
 
 
