@@ -258,12 +258,18 @@ def dedup_exact_and_spans(sf_dir: str) -> ray.data.Dataset:
         t = t.add_column(0, "method", pa.array(["doc"] * len(t), pa.string()))
         return t.append_column("b", pa.array(np.full(len(t), -1, np.int64), pa.int64()))
 
+    def pad_incr(t: pa.Table) -> pa.Table:
+        t = t.add_column(0, "method", pa.array(["incr"] * len(t), pa.string()))
+        t = t.append_column("a", pa.array(np.full(len(t), -1, np.int64), pa.int64()))
+        return t.append_column("b", pa.array(np.full(len(t), -1, np.int64), pa.int64()))
+
     doc = dedup.dedup_exact(sf_dir).map_batches(pad_doc, batch_format="pyarrow")
     span = dedup.duplicated_spans(sf_dir).rename_columns(
         {"span_start": "a", "span_end": "b"}
     )
     span = _tag(span, "method", "span")
-    return doc.union(span)
+    incr = dedup.dedup_incremental(sf_dir).map_batches(pad_incr, batch_format="pyarrow")
+    return doc.union(span).union(incr)
 
 
 def dedup_exact_and_spans_sql() -> str:
@@ -274,6 +280,8 @@ def dedup_exact_and_spans_sql() -> str:
         f" CAST(-1 AS BIGINT) AS b FROM ({dedup.dedup_exact_sql()})"
         " UNION ALL SELECT 'span' AS method, doc_id, span_start AS a,"
         f" span_end AS b FROM ({dedup.duplicated_spans_sql()})"
+        " UNION ALL SELECT 'incr' AS method, doc_id, CAST(-1 AS BIGINT) AS a,"
+        f" CAST(-1 AS BIGINT) AS b FROM ({dedup.dedup_incremental_sql()})"
     )
 
 

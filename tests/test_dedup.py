@@ -423,3 +423,61 @@ def test_ngram_jaccard_at_10x_planted_families(ray_session, tmp_path):
     jac = dict(zip(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)), out["jaccard"]))
     tru = dict(zip(zip(truth["doc_a"].astype(int), truth["doc_b"].astype(int)), truth["jaccard"]))
     assert all(abs(jac[k] - tru[k]) < 1e-12 for k in want)
+
+
+def test_dedup_incremental_planted(ray_session, tmp_path):
+    """Snapshot-incremental dedup: prior slice = doc_id % 3 == 0; new docs
+    survive iff their text is absent from the prior snapshot."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from epichypersketch_jl_ray.pipelines.dedup import dedup_incremental
+
+    rows = [
+        (0, "already ingested alpha"),
+        (3, "already ingested beta"),
+        (1, "already ingested alpha"),   # dup of prior 0 -> dropped
+        (2, "fresh gamma"),              # novel -> kept
+        (4, "already ingested beta"),    # dup of prior 3 -> dropped
+        (5, "fresh delta"),              # novel -> kept
+        (7, "fresh gamma"),              # dup of NEW doc 2, not of prior -> kept
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        sf / "documents.parquet",
+    )
+    got = sorted(dedup_incremental(str(sf)).to_pandas()["doc_id"])
+    assert got == [2, 5, 7]
+    # saturated Bloom (capacity 1): everything is a candidate; the exact
+    # verify path must produce the identical answer
+    sat = sorted(dedup_incremental(str(sf), bloom_capacity=1).to_pandas()["doc_id"])
+    assert sat == [2, 5, 7]
+
+
+def test_dedup_incremental_empty_prior(ray_session, tmp_path):
+    """No prior snapshot (no doc_id % 3 == 0 rows): every new doc survives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from epichypersketch_jl_ray.pipelines.dedup import dedup_incremental
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 4], pa.int64()),
+                "text": pa.array(["a", "a", "b"], pa.string()),
+            }
+        ),
+        sf / "documents.parquet",
+    )
+    got = sorted(dedup_incremental(str(sf)).to_pandas()["doc_id"])
+    assert got == [1, 2, 4]
