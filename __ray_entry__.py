@@ -83,7 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": merged.multimodal_features,
         # text analysis
         "doc_stats": textstats.doc_stats,
-        "token_count_bpe": textstats.token_count_bpe,
+        "token_count_bpe": merged.token_count_and_packing,
         "doc_lang_fingerprints": merged.doc_lang_fingerprints,
         "export_by_lang": textstats.export_by_lang,
         # relational operators
@@ -141,7 +141,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": merged.curate_corpus_sql(),
         "ann_cosine_topk": ann.ann_cosine_topk_sql(),
         "doc_stats": textstats.doc_stats_sql(),
-        "token_count_bpe": textstats.token_count_bpe_sql(),
+        "token_count_bpe": merged.token_count_and_packing_sql(),
         "export_by_lang": textstats.export_by_lang_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "top_suppliers": relational.top_suppliers_sql(),

@@ -288,6 +288,43 @@ def dedup_exact_and_spans_sql() -> str:
 # --- text analysis ----------------------------------------------------------
 
 
+def token_count_and_packing(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc BPE-ish token counts AND GPT-style sequence packing in one
+    oracled union (method column): 'count' rows are (doc_id, a=n_pieces),
+    'pack' rows are (doc_id, a=seq_id, b=tok_start, c=tok_end) slices of
+    the fixed-budget training-sequence layout (pipelines/packing.py,
+    distributed exact prefix-sum scan). Registry key stays
+    token_count_bpe. -1 sentinels, never NULL (module docstring)."""
+    import numpy as np
+
+    from epichypersketch_jl_ray.pipelines import textstats
+    from epichypersketch_jl_ray.pipelines.packing import pack_sequences
+
+    def pad_count(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["doc_id", "a"])
+        t = t.add_column(0, "method", pa.array(["count"] * len(t), pa.string()))
+        t = t.append_column("b", pa.array(np.full(len(t), -1, np.int64), pa.int64()))
+        return t.append_column("c", pa.array(np.full(len(t), -1, np.int64), pa.int64()))
+
+    cnt = textstats.token_count_bpe(sf_dir).map_batches(pad_count, batch_format="pyarrow")
+    pack = pack_sequences(sf_dir).rename_columns(
+        {"seq_id": "a", "tok_start": "b", "tok_end": "c"}
+    )
+    return cnt.union(_tag(pack, "method", "pack"))
+
+
+def token_count_and_packing_sql() -> str:
+    from epichypersketch_jl_ray.pipelines import textstats
+    from epichypersketch_jl_ray.pipelines.packing import pack_sequences_sql
+
+    return (
+        "SELECT 'count' AS method, doc_id, n_pieces AS a, CAST(-1 AS BIGINT) AS b,"
+        f" CAST(-1 AS BIGINT) AS c FROM ({textstats.token_count_bpe_sql()})"
+        " UNION ALL SELECT 'pack' AS method, doc_id, seq_id AS a, tok_start AS b,"
+        f" tok_end AS c FROM ({pack_sequences_sql()})"
+    )
+
+
 def doc_lang_fingerprints(sf_dir: str) -> ray.data.Dataset:
     """Language-ID + winnowing fingerprints per doc, joined on doc_id into
     one frame (distributed bucketed hash join — no driver merge). Rows-only;
