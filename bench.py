@@ -111,8 +111,15 @@ def run_queries() -> dict[str, float]:
     _init_ray()
     import __ray_entry__ as entrymod
 
+    # GRAFT_ONLY=comma,separated,names restricts the sweep — this box's
+    # clean phases last minutes, so targeted per-query samples are often
+    # the only way to get uncontaminated walls (full output unchanged when
+    # unset; the driver always runs the full registry).
+    only = {q for q in os.environ.get("GRAFT_ONLY", "").split(",") if q}
     out = {}
     for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
         t0 = time.monotonic()
         res = fn(SF_DIR)
         # consume to a small driver-side result so lazy pipelines execute
