@@ -326,15 +326,21 @@ def token_count_and_packing_sql() -> str:
 
 
 def doc_lang_fingerprints(sf_dir: str) -> ray.data.Dataset:
-    """Language-ID + winnowing fingerprints per doc, joined on doc_id into
-    one frame (distributed bucketed hash join — no driver merge). Rows-only;
-    langid accuracy and fingerprint determinism in pytest."""
+    """Language-ID + winnowing fingerprints + trained quality-classifier
+    probability per doc, joined on doc_id into one frame (distributed
+    bucketed hash joins — no driver merge). Rows-only; langid accuracy,
+    fingerprint determinism, and classifier learnability/determinism in
+    pytest (the classifier trains distributedly per call —
+    pipelines/classifier.py, CCNet-style reference-vs-crawl LR)."""
     from epichypersketch_jl_ray.pipelines import textstats
+    from epichypersketch_jl_ray.pipelines.classifier import quality_scores
     from epichypersketch_jl_ray.stages.join import bucketed_hash_join
 
     lp = textstats.lang_predict(sf_dir)
     fp = textstats.doc_fingerprints(sf_dir)
-    return bucketed_hash_join(lp, fp, left_on="doc_id", right_on="doc_id")
+    qs = quality_scores(sf_dir)
+    both = bucketed_hash_join(lp, fp, left_on="doc_id", right_on="doc_id")
+    return bucketed_hash_join(both, qs, left_on="doc_id", right_on="doc_id")
 
 
 # --- relational merges ------------------------------------------------------
