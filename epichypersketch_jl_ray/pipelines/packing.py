@@ -39,14 +39,19 @@ def pack_sequences(
     sf_dir: str,
     *,
     seq_len: int = 256,
-    range_size: int = 64,
+    range_size: int | None = None,
     table: str = "documents",
 ) -> ray.data.Dataset:
     """(doc_id, seq_id, tok_start, tok_end) slice rows: sequence ``seq_id``
     takes tokens [tok_start, tok_end) of ``doc_id`` (within-doc positions).
     ``range_size`` trades driver state (one int64 per range) against
-    per-range group size; at real scale set it so ranges number ~1e4."""
+    per-range group size; the default auto-sizes from the table's metadata
+    row count toward ~8k ranges, so group count — and with it per-group
+    Python overhead AND driver cumsum state — stays bounded at any corpus
+    size (sparse/uneven doc_ids only make ranges uneven, never wrong)."""
     ds = read_table(sf_dir, table, columns=["doc_id", "text"])
+    if range_size is None:
+        range_size = max(64, ds.count() // 8192)  # parquet metadata count
 
     def counts(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
