@@ -81,21 +81,23 @@ def dedup_incremental(
     is the new snapshot; output is the new docs whose content does not
     appear in the prior snapshot. Plan:
 
-    1. one pass over the prior slice builds mergeable Bloom partials over
-       the folded 128-bit content keys (``tree_merge`` via sketch_dataset →
-       ONE broadcast filter); capacity sizes from the table row count (a
-       free metadata upper bound on the prior count);
-    2. new docs probe the Bloom per batch: misses are DEFINITELY novel
+    1. ONE text pass keys every doc (128-bit content hash) and materializes
+       the tiny key table (~25 B/doc — at 1e10 docs ~250 GB across the
+       cluster's object store vs re-reading 100 TB of text per pass; every
+       later stage reads keys, never text);
+    2. the prior slice's folded keys build mergeable Bloom partials
+       (``tree_merge`` via sketch_dataset → ONE broadcast filter); capacity
+       sizes from the table row count (a free metadata upper bound);
+    3. new docs probe the Bloom per batch: misses are DEFINITELY novel
        (no false negatives) and stream straight to the output — zero
        shuffle for the overwhelmingly common novel-doc case;
-    3. bloom hits (true dups + ~fp_rate of the novel, plus any 128→64
+    4. bloom hits (true dups + ~fp_rate of the novel, plus any 128→64
        fold aliases) are candidate rows verified by one bucketed semi-join
        against the prior (h1, h2) key rows — candidate-scale traffic.
 
-    At 100 TB the prior keyset never materializes anywhere: the Bloom is
-    O(bits) broadcast once, and the verify shuffle carries only bloom-hit
-    candidates. ``bloom_capacity`` exists for tests to force a saturated
-    (high-fp) Bloom and exercise the verify path at volume."""
+    The Bloom is O(bits) broadcast once and the verify shuffle carries only
+    bloom-hit candidates. ``bloom_capacity`` exists for tests to force a
+    saturated (high-fp) Bloom and exercise the verify path at volume."""
     from epichypersketch_jl_ray.functions.hashing import hash_combine
     from epichypersketch_jl_ray.stages.udaf import sketch_dataset
     from epichypersketch_jl_ray.state.bloom import BloomFilter
@@ -104,20 +106,23 @@ def dedup_incremental(
     cap = bloom_capacity or max(1 << 14, ds.count())  # parquet metadata count
     nb = np.uint64(num_buckets)
 
-    def folded_keys(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        kt = content_key_table(batch)
-        h1 = kt["h1"].to_numpy(zero_copy_only=False).view(np.uint64)
-        h2 = kt["h2"].to_numpy(zero_copy_only=False).view(np.uint64)
-        return h1, h2, hash_combine(h1, h2)
+    # the ONE corpus text read: (doc_id, h1, h2) key table, then text drops
+    keys = ds.map_batches(content_key_table, batch_format="pyarrow").materialize()
+
+    def folded(batch: pa.Table) -> np.ndarray:
+        return hash_combine(
+            batch["h1"].to_numpy(zero_copy_only=False).view(np.uint64),
+            batch["h2"].to_numpy(zero_copy_only=False).view(np.uint64),
+        )
 
     def add_prior(bf: BloomFilter, batch: pa.Table) -> None:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         sub = batch.filter(pa.array(ids % prior_mod == 0))
         if sub.num_rows:
-            bf.add_hashed(folded_keys(sub)[2])
+            bf.add_hashed(folded(sub))
 
     bloom_ref = ray.put(
-        sketch_dataset(ds, lambda: BloomFilter(capacity=cap, p=fp_rate, seed=77), add_prior, BloomFilter)
+        sketch_dataset(keys, lambda: BloomFilter(capacity=cap, p=fp_rate, seed=77), add_prior, BloomFilter)
     )
 
     def novel_by_miss(batch: pa.Table) -> pa.Table:
@@ -126,7 +131,7 @@ def dedup_incremental(
         sub = batch.filter(pa.array(ids % prior_mod != 0))
         if sub.num_rows == 0:
             return pa.table({"doc_id": pa.array([], pa.int64())})
-        miss = ~bf.contains_hashed(folded_keys(sub)[2])
+        miss = ~bf.contains_hashed(folded(sub))
         out = sub["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[miss]
         return pa.table({"doc_id": pa.array(out, pa.int64())})
 
@@ -136,30 +141,34 @@ def dedup_incremental(
         new_mask = ids % prior_mod != 0
         sub = batch.filter(pa.array(new_mask))
         prior = batch.filter(pa.array(~new_mask))
-        cols = {"h1": [], "h2": [], "doc_id": []}
-        if sub.num_rows:
-            h1, h2, folded = folded_keys(sub)
-            hit = bf.contains_hashed(folded)
-            cols["h1"] = h1[hit].view(np.int64)
-            cols["h2"] = h2[hit].view(np.int64)
-            cols["doc_id"] = sub["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[hit]
-        if prior.num_rows:
-            # prior keys travel with doc_id = -1 (module sentinel convention)
-            p1, p2, _ = folded_keys(prior)
-            cols["h1"] = np.concatenate((cols["h1"], p1.view(np.int64))) if len(cols["h1"]) else p1.view(np.int64)
-            cols["h2"] = np.concatenate((cols["h2"], p2.view(np.int64))) if len(cols["h2"]) else p2.view(np.int64)
-            cols["doc_id"] = (
-                np.concatenate((cols["doc_id"], np.full(prior.num_rows, -1, np.int64)))
-                if len(cols["doc_id"])
-                else np.full(prior.num_rows, -1, np.int64)
+        # bloom-hit new rows keep their ids; prior keys travel with
+        # doc_id = -1 (module sentinel convention)
+        hit = bf.contains_hashed(folded(sub)) if sub.num_rows else np.zeros(0, bool)
+        sub = sub.filter(pa.array(hit))
+        h1 = np.concatenate(
+            (
+                sub["h1"].to_numpy(zero_copy_only=False),
+                prior["h1"].to_numpy(zero_copy_only=False),
             )
-        h1a = np.asarray(cols["h1"], np.int64)
+        )
+        h2 = np.concatenate(
+            (
+                sub["h2"].to_numpy(zero_copy_only=False),
+                prior["h2"].to_numpy(zero_copy_only=False),
+            )
+        )
+        d = np.concatenate(
+            (
+                sub["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+                np.full(prior.num_rows, -1, np.int64),
+            )
+        )
         return pa.table(
             {
-                "h1": pa.array(h1a, pa.int64()),
-                "h2": pa.array(np.asarray(cols["h2"], np.int64), pa.int64()),
-                "doc_id": pa.array(np.asarray(cols["doc_id"], np.int64), pa.int64()),
-                "bucket": pa.array((h1a.view(np.uint64) % nb).astype(np.int64), pa.int64()),
+                "h1": pa.array(h1, pa.int64()),
+                "h2": pa.array(h2, pa.int64()),
+                "doc_id": pa.array(d, pa.int64()),
+                "bucket": pa.array((h1.view(np.uint64) % nb).astype(np.int64), pa.int64()),
             }
         )
 
@@ -180,11 +189,11 @@ def dedup_incremental(
         return pa.table({"doc_id": pa.array(novel, pa.int64())})
 
     survivors_fp = (
-        ds.map_batches(cand_rows, batch_format="pyarrow")
+        keys.map_batches(cand_rows, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(verify_bucket, batch_format="pyarrow")
     )
-    return ds.map_batches(novel_by_miss, batch_format="pyarrow").union(survivors_fp)
+    return keys.map_batches(novel_by_miss, batch_format="pyarrow").union(survivors_fp)
 
 
 def dedup_incremental_sql(prior_mod: int = 3) -> str:
