@@ -25,3 +25,37 @@ def test_warc_to_corpus_example(ray_session, tmp_path):
     out2 = curate_warc(str(tmp_path / "warc"), str(tmp_path / "corpus2"))
     urls2 = {r["url"] for r in ray.data.read_parquet(out2).take_all()}
     assert urls2 == urls
+
+
+def test_corpus_to_training_data_example(ray_session, tmp_path):
+    """quality-classifier filter -> packed sequences -> sharded parquet;
+    the packed slices must partition the survivor token stream exactly."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    import duckdb
+    from corpus_to_training_data import build_training_data
+
+    stats = build_training_data(
+        "/root/testdata/sf0.001", str(tmp_path), seq_len=128, seqs_per_shard=16
+    )
+    assert 0 < stats["n_kept"] <= stats["n_docs"]
+    assert stats["n_sequences"] >= 1
+
+    con = duckdb.connect()
+    # total packed tokens == total survivor tokens (nothing lost or doubled)
+    total_sliced = con.sql(
+        f"SELECT SUM(tok_end - tok_start) FROM read_parquet('{stats['out_dir']}/**/*.parquet')"
+    ).fetchone()[0]
+    total_tokens = con.sql(
+        "SELECT SUM(len(string_split(text, ' ')))"
+        f" FROM read_parquet('{tmp_path}/survivors.parquet/*.parquet')"
+    ).fetchone()[0]
+    assert total_sliced == total_tokens
+    # every sequence but the last is exactly seq_len
+    full = con.sql(
+        "SELECT COUNT(*) FROM (SELECT seq_id, SUM(tok_end - tok_start) n"
+        f" FROM read_parquet('{stats['out_dir']}/**/*.parquet') GROUP BY seq_id)"
+        " WHERE n = 128"
+    ).fetchone()[0]
+    assert full >= stats["n_sequences"] - 1
