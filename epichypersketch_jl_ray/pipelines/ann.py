@@ -195,6 +195,134 @@ def ann_ivf_topk(
     return distributed_topk(cands, k=k).to_pandas()
 
 
+def ann_ivfpq_topk(
+    sf_dir: str,
+    *,
+    k: int = TOP_K,
+    n_lists: int = 16,
+    nprobe: int = 6,
+    m: int = 16,
+    ksub: int = 32,
+    shortlist: int = 40,
+    train_sample: int = 2048,
+    kmeans_iters: int = 8,
+    seed: int = 61,
+) -> pd.DataFrame:
+    """IVF-PQ with exact re-rank (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search") — the compressed-store scale path beside
+    LSH and plain IVF.
+
+    Why it matters at 100 TB: a float32 embedding store is 4·d bytes/vec;
+    PQ codes are ``m`` bytes (here 16 vs 256 — 16x). A real deployment
+    persists (vec_id, list_id, codes) and scans CODES, touching full
+    vectors only for the shortlist. This pipeline compresses, scans and
+    re-ranks in one pass per batch (the full vector is already in-batch),
+    so recall loss comes only from (coarse probe ∩ ADC shortlist) pruning
+    while final ranking stays exact.
+
+    Train (driver, bounded seeded sample like IVF): spherical k-means
+    coarse centroids + per-subspace k-means codebooks (d/m dims each).
+    Scan: per batch, assign coarse list (one matmul), PQ-encode (m small
+    matmuls), ADC-score probed candidates per query via the (m, ksub)
+    lookup table — O(m) adds per candidate instead of O(d) multiplies —
+    keep the ADC ``shortlist`` per query, re-rank those exactly, and feed
+    the distributed top-k reduce."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample_tbl = pa.Table.from_pylist(ds.limit(train_sample).take_all())
+    x = _embedding_matrix(sample_tbl, "embedding")
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = xn[rng.choice(len(xn), size=min(n_lists, len(xn)), replace=False)]
+    for _ in range(kmeans_iters):  # spherical k-means, same recipe as IVF
+        assign = np.argmax(xn @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = xn[assign == c]
+            if len(members):
+                mm = members.mean(axis=0)
+                cent[c] = mm / max(np.linalg.norm(mm), 1e-12)
+
+    d = xn.shape[1]
+    if d % m:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, ksub, dsub), dtype=np.float64)  # per-subspace codebooks
+    for j in range(m):
+        sub = xn[:, j * dsub : (j + 1) * dsub]
+        cb = sub[rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)]
+        for _ in range(kmeans_iters):
+            a = np.argmin(
+                ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2), axis=1
+            )
+            for c in range(len(cb)):
+                members = sub[a == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[j, : len(cb)] = cb
+        if len(cb) < ksub:
+            books[j, len(cb):] = cb[0]
+
+    q_ids, q = _fetch_probes(sf_dir)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    q_probes = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    probed_lists = np.unique(q_probes)
+    # ADC lookup tables: (nq, m, ksub) — query-subvector · codebook entries
+    lut = np.einsum("qjs,jks->qjk", qn.reshape(len(qn), m, dsub), books)
+    bcast = ray.put((q_ids, qn, cent, q_probes, probed_lists, books, lut))
+
+    def ivfpq_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = _embedding_matrix(batch, "embedding")
+        en = e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+        qids, qmat, centroids, probes, lists, bks, luts = ray.get(bcast)
+        assign = np.argmax(en @ centroids.T, axis=1)
+        mask = np.isin(assign, lists)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if not mask.any():
+            return empty
+        en, ids, assign = en[mask], ids[mask], assign[mask]
+        nsub = bks.shape[2]
+        # PQ encode: m bytes per vector (the store format at scale)
+        sub = en.reshape(len(en), bks.shape[0], nsub)
+        codes = np.argmin(
+            ((sub[:, :, None, :] - bks[None, :, :, :]) ** 2).sum(axis=3), axis=2
+        ).astype(np.uint8)
+        # ADC: approx sim per (query, candidate) = sum_j lut[q, j, code[j]]
+        adc = (
+            np.take_along_axis(
+                luts[:, None, :, :], codes[None, :, :, None].astype(np.int64), axis=3
+            )
+            .squeeze(3)
+            .sum(axis=2)
+        )
+        allowed = (assign[None, :, None] == probes[:, None, :]).any(axis=2)
+        adc = np.where(allowed, adc, -np.inf)
+        kk = min(shortlist, adc.shape[1])
+        part = np.argpartition(-adc, kk - 1, axis=1)[:, :kk]
+        got = np.take_along_axis(adc, part, axis=1)
+        qi, ci = np.nonzero(np.isfinite(got))
+        if not len(qi):
+            return empty
+        cand = part[qi, ci]
+        # exact re-rank of the ADC shortlist: true cosine, in-batch vectors
+        exact = np.einsum("ij,ij->i", qmat[qi], en[cand])
+        return pa.table(
+            {
+                "query_id": pa.array(qids[qi], pa.int64()),
+                "neighbor_id": pa.array(ids[cand], pa.int64()),
+                "sim": pa.array(exact, pa.float64()),
+            }
+        )
+
+    cands = ds.map_batches(ivfpq_batch, batch_format="pyarrow", batch_size=4096)
+    return distributed_topk(cands, k=k).to_pandas()
+
+
 def ann_cosine_topk_sql(k: int = TOP_K) -> str:
     return f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),

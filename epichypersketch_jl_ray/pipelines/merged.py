@@ -217,15 +217,18 @@ def multimodal_features(sf_dir: str) -> pd.DataFrame:
 
 
 def ann_approx_topk(sf_dir: str) -> pd.DataFrame:
-    """LSH-bucketed + IVF approximate top-k in one frame (method column) —
-    the two sub-quadratic scale paths beside the oracled brute-force
-    baseline. Rows-only; recall bounds vs brute force in pytest."""
+    """LSH-bucketed + IVF + IVF-PQ approximate top-k in one frame (method
+    column) — the sub-quadratic scale paths beside the oracled brute-force
+    baseline (IVF-PQ additionally models the 16x-compressed code store with
+    ADC scan + exact re-rank). Rows-only; recall bounds vs brute force in
+    pytest."""
     from epichypersketch_jl_ray.pipelines import ann
 
     lsh = ann.ann_lsh_topk(sf_dir).assign(method="lsh")
     ivf = ann.ann_ivf_topk(sf_dir).assign(method="ivf")
+    pq_ = ann.ann_ivfpq_topk(sf_dir).assign(method="ivfpq")
     cols = ["method", "query_id", "neighbor_id", "rank"]
-    return pd.concat([lsh[cols], ivf[cols]], ignore_index=True)
+    return pd.concat([lsh[cols], ivf[cols], pq_[cols]], ignore_index=True)
 
 
 def embedding_neardup_pairs(sf_dir: str) -> ray.data.Dataset:

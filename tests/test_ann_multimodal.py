@@ -204,3 +204,35 @@ def test_embedding_pca_pipeline(ray_session, sf_dir):
     assert (out["singular_value"].to_numpy() > 0).all()
     assert (np.diff(out["singular_value"].to_numpy()) <= 1e-9).all()  # sorted desc
     assert 0 < out["energy_share"].sum() <= 1.0 + 1e-9
+
+
+def test_ann_ivfpq_recall_and_exact_rerank(ray_session, sf_dir):
+    """IVF-PQ: recall vs brute force bounded below, AND every returned sim
+    equals the true cosine (the ADC score only shortlists; ranking is an
+    exact re-rank of in-batch vectors)."""
+    from epichypersketch_jl_ray.pipelines.ann import ann_cosine_topk, ann_ivfpq_topk
+
+    bf = ann_cosine_topk(sf_dir)
+    pq_ = ann_ivfpq_topk(sf_dir)
+    want = set(zip(bf["query_id"], bf["neighbor_id"]))
+    got = set(zip(pq_["query_id"], pq_["neighbor_id"]))
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, recall
+    # exact re-rank: both rank by TRUE cosine, so among shared pairs the
+    # relative order must agree exactly for every query
+    bf_rank = {(q, n): r for q, n, r in zip(bf["query_id"], bf["neighbor_id"], bf["rank"])}
+    for q in set(pq_["query_id"]):
+        sub = pq_[pq_["query_id"] == q].sort_values("rank")
+        shared = [bf_rank[(q, n)] for n in sub["neighbor_id"] if (q, n) in bf_rank]
+        assert shared == sorted(shared), (q, shared)
+
+
+def test_ann_ivfpq_deterministic(ray_session, sf_dir):
+    from epichypersketch_jl_ray.pipelines.ann import ann_ivfpq_topk
+
+    key = ["query_id", "rank"]
+    a = ann_ivfpq_topk(sf_dir).sort_values(key).reset_index(drop=True)
+    b = ann_ivfpq_topk(sf_dir).sort_values(key).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
