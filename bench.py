@@ -117,9 +117,14 @@ def run_queries() -> dict[str, float]:
     # unset; the driver always runs the full registry).
     only = {q for q in os.environ.get("GRAFT_ONLY", "").split(",") if q}
     out = {}
-    for name, fn in entrymod.queries().items():
+    for i, (name, fn) in enumerate(entrymod.queries().items()):
         if only and name not in only:
             continue
+        if i % 10 == 0:
+            # phase context next to the walls: this box throttles in
+            # minute-scale windows, so endpoint probes alone can't tell
+            # which queries ran degraded
+            print(f"[bench] probe {json.dumps(machine_probe())}", file=sys.stderr, flush=True)
         t0 = time.monotonic()
         res = fn(SF_DIR)
         # consume to a small driver-side result so lazy pipelines execute
