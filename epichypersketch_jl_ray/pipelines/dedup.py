@@ -1144,7 +1144,7 @@ def duplicated_spans(
     gram_len: int = 32,
     prefilter: bool = False,
     table: str = "documents",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Exact duplicated-substring spans per document — the substring-level
     dedup of "Deduplicating Training Data Makes Language Models Better"
@@ -1162,9 +1162,10 @@ def duplicated_spans(
     with one lexsort + run-length pass. A naive groupby(h1, h2).map_groups
     pays a per-group Python call for every distinct gram; bucketing is
     ~2.3x faster already at sf0.1 (11.6 -> 4.6-5.1 s) and the gap grows
-    with the corpus (group-count, not distinct-key, Python overhead). Size
-    ``num_buckets`` ~ total_grams / rows-that-fit-one-worker at real
-    scale. Equal-length intervals merge exactly when consecutive starts
+    with the corpus (group-count, not distinct-key, Python overhead).
+    ``num_buckets`` auto-sizes from the table's footer row count
+    (~gram-rows / 64k per bucket, stages/join.auto_bucket_count).
+    Equal-length intervals merge exactly when consecutive starts
     differ by <= gram_len, so the per-doc pass is one sort + one diff.
     2^-128 collision odds stand in for byte-compare.
 
@@ -1183,8 +1184,14 @@ def duplicated_spans(
     from epichypersketch_jl_ray.pipelines.ngrams import _cms_factory
     from epichypersketch_jl_ray.stages.udaf import tree_merge
     from epichypersketch_jl_ray.state.countmin import CountMin
+    from epichypersketch_jl_ray.sources.tables import table_rows
+    from epichypersketch_jl_ray.stages.join import auto_bucket_count
 
     ds = read_table(sf_dir, table, columns=["doc_id", "text"])
+    if num_buckets is None:
+        # gram rows ~ total chars; estimate ~300 grams/doc conservatively —
+        # a fixed 64 would mean 1e10-row buckets at web scale
+        num_buckets = auto_bucket_count(table_rows(sf_dir, table) * 300)
 
     cms_ref = None
     if prefilter:
