@@ -1209,7 +1209,9 @@ def duplicated_spans(
         h1, h2, rows, pos = rolling_gram_hashes(batch["text"], gram_len)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[rows]
         if cms_ref is not None:
-            keep = ray.get(cms_ref).estimate_keys(h1) >= 2
+            from epichypersketch_jl_ray.stages.udaf import broadcast_get
+
+            keep = broadcast_get(cms_ref).estimate_keys(h1) >= 2
             h1, h2, ids, pos = h1[keep], h2[keep], ids[keep], pos[keep]
         return pa.table(
             {

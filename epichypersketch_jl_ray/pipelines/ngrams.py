@@ -71,7 +71,9 @@ def heavy_ngrams(
     cms_ref = ray.put(merged)
 
     def select(batch: pa.Table) -> pa.Table:
-        cms: CountMin = ray.get(cms_ref)
+        from epichypersketch_jl_ray.stages.udaf import broadcast_get
+
+        cms: CountMin = broadcast_get(cms_ref)
         toks = tokenize(batch[text_col])  # tokenized ONCE; hashes derive from it
         flat_h = hash_strings_fast(toks.flatten())
         off = np.asarray(toks.offsets, dtype=np.int64)
@@ -146,7 +148,9 @@ def heavy_ngrams_by_lang(
     cms_ref = ray.put(merged)
 
     def select(batch: pa.Table) -> pa.Table:
-        cms: CountMin = ray.get(cms_ref)
+        from epichypersketch_jl_ray.stages.udaf import broadcast_get
+
+        cms: CountMin = broadcast_get(cms_ref)
         toks = tokenize(batch["text"])  # tokenized ONCE; keys derive from it
         lang_h = fnv1a64(batch["lang"])
         flat_h = hash_strings_fast(toks.flatten())

@@ -221,8 +221,9 @@ class MotifSelector:
     row per (selected combination, sequence).
 
     The merged sketch ships as a ray.put object ref captured in the callable;
-    ``ray.get`` per call is a zero-copy plasma read (numpy buffers are
-    mmapped), i.e. broadcast — never per-batch reshipping.
+    reads go through ``stages.udaf.broadcast_get`` — memoized per worker —
+    because the CM01 wire format makes a plain per-batch ``ray.get`` re-pay
+    the decode every call (measured 40x on the sf0.1 k=4 select).
     """
 
     def __init__(
@@ -243,10 +244,10 @@ class MotifSelector:
         self.max_active_len = max_active_len
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import ray
+        from epichypersketch_jl_ray.stages.udaf import broadcast_get
 
         cms: CountMin = (
-            ray.get(self.cms_ref) if not isinstance(self.cms_ref, CountMin) else self.cms_ref
+            broadcast_get(self.cms_ref) if not isinstance(self.cms_ref, CountMin) else self.cms_ref
         )
         k = self.k
         enum = enumerate_batch(

@@ -207,3 +207,25 @@ def sketch_dataset(
     partial_fn = make_partial_fn(factory, update)
     states = ds.map_batches(partial_fn, batch_format="pyarrow", batch_size=batch_size)
     return tree_merge(states, cls, fanout=fanout)
+
+
+# worker-local broadcast cache: since the CM01 wire format, ray.get of a
+# CountMin(-containing) object DECODES the state (allocating fresh arrays)
+# on every call instead of returning zero-copy plasma views — a per-batch
+# ray.get in a pass-2 stage re-paid that decode per batch (measured 40x on
+# the sf0.1 k=4 motif select: 0.5 s -> 29 s). Memoize the deserialized
+# object per worker process, keyed by the ref; entries live as long as the
+# worker, which is exactly the lifetime the broadcast needs.
+_BROADCAST_CACHE: dict = {}
+
+
+def broadcast_get(ref):
+    """ray.get memoized per worker process — use for every per-batch read of
+    a ray.put sketch/state broadcast (plain numpy broadcasts stay zero-copy
+    through vanilla ray.get and don't need this)."""
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else ref
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
