@@ -171,6 +171,86 @@ def quality_features(texts: pa.Array | pa.ChunkedArray) -> dict[str, np.ndarray]
     }
 
 
+def _per_row_run_lengths(
+    hashes: np.ndarray, row_ids: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(run lengths, row of each run) over (row, hash) groups after one
+    lexsort — the shared kernel behind the repetition signals."""
+    order = np.lexsort((hashes, row_ids))
+    rr, hh = row_ids[order], hashes[order]
+    new = np.ones(len(hh), dtype=bool)
+    new[1:] = (hh[1:] != hh[:-1]) | (rr[1:] != rr[:-1])
+    starts = np.flatnonzero(new)
+    return np.diff(np.append(starts, len(hh))), rr[starts]
+
+
+def _per_row_max(values: np.ndarray, rows_sorted: np.ndarray, n_rows: int) -> np.ndarray:
+    """max(values) per row; ``rows_sorted`` must be ascending (reduceat, not
+    the element-wise ufunc.at loop)."""
+    out = np.zeros(n_rows, dtype=values.dtype)
+    if len(values):
+        new = np.ones(len(rows_sorted), dtype=bool)
+        new[1:] = rows_sorted[1:] != rows_sorted[:-1]
+        idx = np.flatnonzero(new)
+        out[rows_sorted[idx]] = np.maximum.reduceat(values, idx)
+    return out
+
+
+def repetition_features(
+    flat_hashes: np.ndarray, offsets: np.ndarray
+) -> dict[str, np.ndarray]:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1) from
+    flat token hashes, all integer-derived so the DuckDB oracle match is
+    exact (each fraction is one IEEE division):
+
+    - ``top_bigram_share``: occurrences of the doc's most frequent bigram /
+      bigram positions (boilerplate and keyword-stuffed pages score high);
+    - ``dup_trigram_frac``: fraction of trigram positions whose trigram
+      occurs >=2 times within the doc;
+    - ``max_token_run``: longest run of consecutive identical tokens
+      (generation loops / repeated-token spam).
+    """
+    lengths = np.diff(offsets)
+    n_rows = len(lengths)
+
+    bg, bgoff = ngram_hashes(flat_hashes, offsets, 2)
+    nbg = np.diff(bgoff)
+    top_bg = np.zeros(n_rows, dtype=np.float64)
+    if len(bg):
+        rl, rr = _per_row_run_lengths(bg, np.repeat(np.arange(n_rows), nbg))
+        top_bg = _per_row_max(rl, rr, n_rows) / np.maximum(nbg, 1)
+
+    tg, tgoff = ngram_hashes(flat_hashes, offsets, 3)
+    ntg = np.diff(tgoff)
+    dup_frac = np.zeros(n_rows, dtype=np.float64)
+    if len(tg):
+        rl, rr = _per_row_run_lengths(tg, np.repeat(np.arange(n_rows), ntg))
+        keep = rl >= 2
+        dup = np.zeros(n_rows, dtype=np.int64)
+        if keep.any():
+            rr2 = rr[keep]  # still ascending: rr is sorted
+            new = np.ones(len(rr2), dtype=bool)
+            new[1:] = rr2[1:] != rr2[:-1]
+            idx = np.flatnonzero(new)
+            dup[rr2[idx]] = np.add.reduceat(rl[keep], idx)
+        dup_frac = dup / np.maximum(ntg, 1)
+
+    max_run = np.zeros(n_rows, dtype=np.int64)
+    if len(flat_hashes):
+        row_ids = np.repeat(np.arange(n_rows), lengths)
+        new = np.ones(len(flat_hashes), dtype=bool)
+        new[1:] = (flat_hashes[1:] != flat_hashes[:-1]) | (row_ids[1:] != row_ids[:-1])
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.append(starts, len(flat_hashes)))
+        max_run = _per_row_max(run_len, row_ids[starts], n_rows)
+
+    return {
+        "top_bigram_share": top_bg,
+        "dup_trigram_frac": dup_frac,
+        "max_token_run": max_run.astype(np.int64),
+    }
+
+
 def langid_scores(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Stopword-overlap language ID (n-gram heuristic, SURVEY.md graft ops).
 

@@ -205,6 +205,7 @@ def _lm_counts_semijoin(
 
 DOC_STATS_COLUMNS = [
     "doc_id", "n_chars", "n_tokens", "n_uniq_tokens", "ttr", "top_token_share",
+    "top_bigram_share", "dup_trigram_frac", "max_token_run",
     "n_emails", "n_ips", "n_phones", "redacted",
     "n_bigrams", "lm_hits", "oov_tokens", "lm_coverage",
 ]
@@ -233,7 +234,11 @@ def doc_stats(
     reference corpus is curated and bounded while the web corpus streams),
     else a bucketed semi-join counts membership with zero driver state."""
     from epichypersketch_jl_ray.functions.pii import pii_counts, redact_pii
-    from epichypersketch_jl_ray.functions.text import ngram_hashes, token_hashes
+    from epichypersketch_jl_ray.functions.text import (
+        ngram_hashes,
+        repetition_features,
+        token_hashes,
+    )
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -248,22 +253,30 @@ def doc_stats(
     )
     n_ref = ref.count()
 
-    def base_columns(batch: pa.Table) -> dict:
+    def base_columns(batch: pa.Table) -> tuple[dict, np.ndarray, np.ndarray]:
+        """Per-doc local columns plus the (flat token hashes, offsets) they
+        were derived from, so callers never tokenize twice."""
         qf = quality_features(batch["text"])
         aug = _augment_pii(batch["doc_id"], batch["text"])
         counts = pii_counts(aug)
-        return {
+        flat, off = token_hashes(batch["text"])
+        rep = repetition_features(flat, off)
+        cols = {
             "doc_id": batch["doc_id"],
             "n_chars": pa.array(qf["n_chars"], pa.int64()),
             "n_tokens": pa.array(qf["n_tokens"], pa.int64()),
             "n_uniq_tokens": pa.array(qf["n_uniq_tokens"], pa.int64()),
             "ttr": pa.array(qf["ttr"], pa.float64()),
             "top_token_share": pa.array(qf["top_token_share"], pa.float64()),
+            "top_bigram_share": pa.array(rep["top_bigram_share"], pa.float64()),
+            "dup_trigram_frac": pa.array(rep["dup_trigram_frac"], pa.float64()),
+            "max_token_run": pa.array(rep["max_token_run"], pa.int64()),
             "n_emails": pa.array(counts["n_emails"], pa.int64()),
             "n_ips": pa.array(counts["n_ips"], pa.int64()),
             "n_phones": pa.array(counts["n_phones"], pa.int64()),
             "redacted": redact_pii(aug),
         }
+        return cols, flat, off
 
     if n_ref <= broadcast_cap:
         if n_ref:
@@ -278,8 +291,7 @@ def doc_stats(
 
         def stats(batch: pa.Table) -> pa.Table:
             uni_set, bg_set = ray.get(ref_ref)  # zero-copy shared-memory numpy
-            cols = base_columns(batch)
-            flat, off = token_hashes(batch["text"])
+            cols, flat, off = base_columns(batch)
             bg, bgoff = ngram_hashes(flat, off, 2)
             n = batch.num_rows
             row_tok = np.repeat(np.arange(n), np.diff(off))
@@ -301,8 +313,7 @@ def doc_stats(
     from epichypersketch_jl_ray.stages.join import bucketed_hash_join
 
     def base_stats(batch: pa.Table) -> pa.Table:
-        cols = base_columns(batch)
-        _, off = token_hashes(batch["text"])
+        cols, _flat, off = base_columns(batch)
         cols["n_bigrams"] = pa.array(np.maximum(np.diff(off) - 1, 0), pa.int64())
         return pa.table(cols)
 
@@ -355,6 +366,35 @@ bgs AS (
   SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS bg
   FROM t, LATERAL unnest(range(0, GREATEST(len(toks) - 1, 0))) r(i)
 ),
+tgs AS (
+  SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS tg
+  FROM t, LATERAL unnest(range(0, GREATEST(len(toks) - 2, 0))) r(i)
+),
+topbg AS (
+  SELECT doc_id, max(c) AS mx
+  FROM (SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+duptg AS (
+  SELECT doc_id, COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS dup
+  FROM (SELECT doc_id, tg, count(*) AS c FROM tgs GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+posi AS (
+  SELECT doc_id, i, toks[i + 1] AS tok
+  FROM t, LATERAL unnest(range(0, len(toks))) r(i)
+),
+maxrun AS (
+  SELECT doc_id, max(run_len) AS max_run
+  FROM (
+    SELECT doc_id, count(*) AS run_len
+    FROM (SELECT doc_id, tok,
+                 i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS grp
+          FROM posi)
+    GROUP BY doc_id, tok, grp
+  )
+  GROUP BY doc_id
+),
 ref_tok AS (SELECT DISTINCT tok FROM toks WHERE doc_id % {ref_mod} = 0),
 ref_bg AS (SELECT DISTINCT bg FROM bgs WHERE doc_id % {ref_mod} = 0),
 lm AS (
@@ -373,6 +413,11 @@ SELECT aug.doc_id,
        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_tokens,
        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' ')) AS ttr,
        tok_share.top_token_share,
+       CAST(COALESCE(topbg.mx, 0) AS DOUBLE)
+         / GREATEST(len(string_split(text, ' ')) - 1, 1) AS top_bigram_share,
+       CAST(COALESCE(duptg.dup, 0) AS DOUBLE)
+         / GREATEST(len(string_split(text, ' ')) - 2, 1) AS dup_trigram_frac,
+       CAST(maxrun.max_run AS BIGINT) AS max_token_run,
        CAST(len(regexp_extract_all(a, '{EMAIL_PATTERN}')) AS BIGINT) AS n_emails,
        CAST(len(regexp_extract_all(a, '{IPV4_PATTERN}')) AS BIGINT) AS n_ips,
        CAST(len(regexp_extract_all(a, '{PHONE_PATTERN}')) AS BIGINT) AS n_phones,
@@ -387,6 +432,9 @@ SELECT aug.doc_id,
          / GREATEST(len(string_split(text, ' ')) - 1, 1) AS lm_coverage
 FROM aug
 JOIN tok_share USING (doc_id)
+LEFT JOIN topbg ON aug.doc_id = topbg.doc_id
+LEFT JOIN duptg ON aug.doc_id = duptg.doc_id
+JOIN maxrun ON aug.doc_id = maxrun.doc_id
 LEFT JOIN lm ON aug.doc_id = lm.doc_id
 JOIN oov ON aug.doc_id = oov.doc_id
 """

@@ -109,6 +109,64 @@ def test_quality_features_match_sql_definitions():
     assert qf["top_token_share"].tolist() == [0.5, 1.0, 1.0, 1.0]
 
 
+def test_repetition_features_hand_computed():
+    from epichypersketch_jl_ray.functions.text import repetition_features, token_hashes
+
+    texts = pa.array(
+        [
+            "a b a b a b",  # 'a b' x3 of 5 bigrams; all 4 trigram positions duplicated
+            "x x x y",  # 'x x' x2 of 3 bigrams; trigrams unique; run of 3 x's
+            "q",  # no bigrams/trigrams; single-token run
+            "",  # string_split('') -> [''] : one token
+        ]
+    )
+    rep = repetition_features(*token_hashes(texts))
+    assert np.allclose(rep["top_bigram_share"], [3 / 5, 2 / 3, 0.0, 0.0])
+    assert np.allclose(rep["dup_trigram_frac"], [1.0, 0.0, 0.0, 0.0])
+    assert rep["max_token_run"].tolist() == [1, 3, 1, 1]
+
+
+def test_repetition_features_match_sql_definitions():
+    """Pins the numpy kernels to the exact CTE definitions in doc_stats_sql
+    (top bigram count / bigram positions; duplicated-trigram positions /
+    trigram positions; gaps-and-islands longest equal-token run)."""
+    from epichypersketch_jl_ray.functions.text import repetition_features, token_hashes
+
+    rng = np.random.default_rng(7)
+    vocab = ["a", "b", "c", "d"]
+    texts = [" ".join(rng.choice(vocab, size=int(n))) for n in rng.integers(1, 30, 40)]
+    rep = repetition_features(*token_hashes(pa.array(texts)))
+    rows = duckdb.sql(
+        """
+WITH d AS (SELECT i AS doc_id, string_split(t, ' ') AS toks
+           FROM (SELECT unnest($1::varchar[]) t, generate_subscripts($1::varchar[], 1) i)),
+bgs AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS g
+        FROM d, LATERAL unnest(range(0, GREATEST(len(toks) - 1, 0))) r(i)),
+tgs AS (SELECT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS g
+        FROM d, LATERAL unnest(range(0, GREATEST(len(toks) - 2, 0))) r(i)),
+topbg AS (SELECT doc_id, max(c) mx FROM
+          (SELECT doc_id, g, count(*) c FROM bgs GROUP BY 1,2) GROUP BY 1),
+duptg AS (SELECT doc_id, COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) dup FROM
+          (SELECT doc_id, g, count(*) c FROM tgs GROUP BY 1,2) GROUP BY 1),
+maxrun AS (SELECT doc_id, max(run_len) mr FROM
+           (SELECT doc_id, count(*) run_len FROM
+            (SELECT doc_id, tok, i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) grp
+             FROM (SELECT doc_id, i, toks[i+1] tok
+                   FROM d, LATERAL unnest(range(0, len(toks))) r(i)))
+            GROUP BY doc_id, tok, grp) GROUP BY 1)
+SELECT CAST(COALESCE(topbg.mx, 0) AS DOUBLE) / GREATEST(len(toks) - 1, 1),
+       CAST(COALESCE(duptg.dup, 0) AS DOUBLE) / GREATEST(len(toks) - 2, 1),
+       maxrun.mr
+FROM d LEFT JOIN topbg USING (doc_id) LEFT JOIN duptg USING (doc_id)
+JOIN maxrun USING (doc_id) ORDER BY d.doc_id
+""",
+        params=[texts],
+    ).fetchall()
+    assert rep["top_bigram_share"].tolist() == [r[0] for r in rows]
+    assert rep["dup_trigram_frac"].tolist() == [r[1] for r in rows]
+    assert rep["max_token_run"].tolist() == [r[2] for r in rows]
+
+
 def test_langid_heuristic():
     texts = ["the cat and the dog", "der hund und die katze ist", "el gato y la casa es", "zz qq"]
     out = langid_scores(pa.array(texts))
