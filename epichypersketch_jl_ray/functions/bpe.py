@@ -1,11 +1,15 @@
 """Trainable byte-pair-encoding tokenizer (Sennrich et al., ACL 2016).
 
-The scale shape mirrors how real 100 TB pipelines use BPE: the merge table
-is TRAINED on a bounded sample (driver-side, like the IVF centroids in
-pipelines/ann.py — the classic algorithm is inherently iterative), then
-BROADCAST once (``ray.put``) and APPLIED distributed via ``map_batches``
-— tokenization is embarrassingly parallel and dominates the cost at
-corpus scale, training is O(sample).
+The scale shape mirrors how real 100 TB pipelines use BPE: classic BPE's
+whole training state is the WORD-FREQUENCY table, so exact corpus-wide
+training is a distributed word-count groupby (shuffle = distinct words per
+batch, never the token stream) followed by the merge loop over DISTINCT
+words on the driver (train_bpe_distributed; ``max_words`` caps the typo
+tail at web scale). A bounded-sample variant (train_bpe_on_dataset, the
+IVF-centroid pattern) remains for when even the distinct-word table is
+unwanted. Either way the tokenizer is then BROADCAST once (``ray.put``)
+and APPLIED distributed via ``map_batches`` — tokenization is
+embarrassingly parallel and dominates the cost at corpus scale.
 
 Determinism: merge selection breaks frequency ties lexicographically, so
 the same sample always yields the same merge list; the applied encoding
@@ -49,8 +53,23 @@ def train_bpe(
         if lowercase:
             t = t.lower()
         words.update(_WORD_RE.findall(t))
+    return train_bpe_from_word_counts(words, num_merges, min_freq=min_freq)
+
+
+def train_bpe_from_word_counts(
+    words,
+    num_merges: int = 200,
+    *,
+    min_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Word-frequency table (mapping word -> count) -> ordered merge list.
+
+    This is the whole training state: classic BPE never looks at the corpus
+    again once word counts exist, which is what makes EXACT corpus-scale
+    training a distributed groupby + this driver loop over DISTINCT words
+    (train_bpe_distributed)."""
     vocab: dict[tuple[str, ...], int] = {
-        _word_symbols(w): c for w, c in words.items() if w
+        _word_symbols(w): c for w, c in dict(words).items() if w
     }
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
@@ -171,4 +190,64 @@ def train_bpe_on_dataset(
         lowercase=lowercase,
         min_freq=min_freq,
     )
+    return BpeTokenizer(merges, lowercase=lowercase)
+
+
+def word_count_dataset(ds, column: str, *, lowercase: bool = True):
+    """Exact distributed word-frequency table of a text column:
+    one C-level regex scan + Counter per batch (map-side combine — the
+    shuffle ships distinct-words-per-batch, not the token stream), then a
+    groupby(word).sum. Returns a Dataset of (word, count)."""
+    import ray.data  # noqa: F401  (ds is already a Dataset; keep import local)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[column].combine_chunks()
+        # one join + one findall: a single C regex pass over the batch; the
+        # joiner '\n' never matches inside _WORD_RE tokens
+        blob = "\n".join(t for t in texts.to_pylist() if t is not None)
+        if lowercase:
+            blob = blob.lower()
+        c = Counter(_WORD_RE.findall(blob))
+        if not c:
+            return pa.table({"word": pa.array([], pa.string()), "count": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "word": pa.array(list(c.keys()), pa.string()),
+                "count": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.select_columns([column])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("count", alias_name="count"))
+    )
+
+
+def train_bpe_distributed(
+    ds,
+    column: str,
+    *,
+    num_merges: int = 200,
+    lowercase: bool = True,
+    min_freq: int = 2,
+    max_words: int | None = None,
+) -> BpeTokenizer:
+    """EXACT corpus-wide BPE training: distributed word counts (the corpus
+    is read once, the shuffle is distinct-word-scale), then the classic
+    merge loop over the DISTINCT-word table on the driver — byte-identical
+    to train_bpe() over the concatenated corpus (pinned in tests).
+
+    ``max_words`` is the 100 TB knob: keep only the top-N words by (count
+    desc, word asc) before the driver loop — the standard frequency cap
+    real tokenizer trainers apply when web-scale typo tails blow up the
+    distinct-word count. None (default) = no cap, fully exact."""
+    wc = word_count_dataset(ds, column, lowercase=lowercase)
+    if max_words is not None:
+        wc = wc.sort(["count", "word"], descending=[True, False]).limit(max_words)
+    counts = {r["word"]: r["count"] for r in wc.take_all()}
+    merges = train_bpe_from_word_counts(counts, num_merges, min_freq=min_freq)
     return BpeTokenizer(merges, lowercase=lowercase)

@@ -438,3 +438,90 @@ cont AS (SELECT DISTINCT doc_id FROM trg JOIN evg USING(g))
 SELECT doc_id FROM k
 WHERE doc_id % {eval_mod} <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
 """
+
+
+def domain_cap_sample(
+    sf_dir: str,
+    *,
+    k: int = 25,
+    num_buckets: int | None = None,
+    batch_size: int = 8192,
+) -> ray.data.Dataset:
+    """RefinedWeb-style per-domain document cap: keep the ``k`` lowest-doc_id
+    documents of every source domain (deterministic, so a re-crawl keeps the
+    same representatives).
+
+    Scale shape — exact two-level top-k, never a per-domain Python group:
+    1. map-side partial: each batch keeps <= k rows per source via ONE
+       lexsort + run-length rank pass (no pandas groupby, no Python loop),
+       so the shuffle ships at most k rows per (batch, domain) — bounded by
+       k * distinct-domains, not the corpus.
+    2. bucketed merge: partials shuffle on hash(source) % num_buckets
+       (auto-sized from the parquet footer row count / k); each bucket
+       resolves ALL its domains with the same vectorized selection. Group
+       count equals the bucket count — hot domains cost rows, not Python
+       calls, and distinct-domain cardinality (millions at web scale) never
+       becomes a per-group overhead.
+    """
+    from epichypersketch_jl_ray.functions.hashing import hash_strings_fast
+    from epichypersketch_jl_ray.sources.tables import table_rows
+    from epichypersketch_jl_ray.stages.join import auto_bucket_count
+
+    if num_buckets is None:
+        # post-partial rows are <= corpus_rows but ~k per (batch, domain);
+        # footer-count / k is a cheap upper-bound proxy for the merge input
+        num_buckets = auto_bucket_count(max(table_rows(sf_dir, "documents") // max(k, 1), 1))
+
+    def _keep_topk(src: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        """Boolean mask keeping the k smallest ids per source value.
+
+        One lexsort; rank-within-group via run starts; mask back in input
+        order."""
+        order = np.lexsort((ids, src))
+        s_sorted = src[order]
+        starts = np.flatnonzero(np.concatenate(([True], s_sorted[1:] != s_sorted[:-1])))
+        group_of = np.cumsum(np.concatenate(([0], (s_sorted[1:] != s_sorted[:-1]).astype(np.int64))))
+        rank = np.arange(len(order)) - starts[group_of]
+        mask = np.zeros(len(order), dtype=bool)
+        mask[order] = rank < k
+        return mask
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        src_hash = hash_strings_fast(batch["source"].combine_chunks())
+        mask = _keep_topk(src_hash, ids)
+        kept = batch.filter(pa.array(mask))
+        kh = src_hash[mask]
+        return pa.table(
+            {
+                "source": kept["source"],
+                "doc_id": kept["doc_id"],
+                "bucket": pa.array((kh % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["doc_id"], dtype=np.int64)
+        # resolve by the STRING, not the hash: a 64-bit hash collision would
+        # silently merge two domains' quotas
+        src = group["source"].combine_chunks()
+        codes = pc.dictionary_encode(src).indices
+        mask = _keep_topk(np.asarray(codes, dtype=np.int64), ids)
+        kept = group.filter(pa.array(mask))
+        return pa.table({"source": kept["source"], "doc_id": kept["doc_id"]})
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
+
+
+def domain_cap_sample_sql(k: int = 25) -> str:
+    return f"""
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn <= {k}
+"""

@@ -80,16 +80,20 @@ def distinct_users_hll(sf_dir: str) -> pd.DataFrame:
 
 
 def doc_sample(sf_dir: str) -> pd.DataFrame:
-    """Stratified (per-lang) + overall uniform reservoir samples in one
-    frame (overall as lang='*'). FULLY oracled: the mergeable priority
-    reservoir is deterministic bottom-k by splitmix64(doc_id ^ mix(seed)),
-    which doc_sample_sql() reproduces bit-for-bit in DuckDB (HUGEINT
-    modular arithmetic), so the sampled ids hash-match exact SQL."""
-    from epichypersketch_jl_ray.pipelines import sketches
+    """Stratified (per-lang) + overall uniform reservoir samples + per-domain
+    cap (RefinedWeb-style, rows tagged 'src:<source>') in one frame (overall
+    as lang='*'). FULLY oracled: the mergeable priority reservoir is
+    deterministic bottom-k by splitmix64(doc_id ^ mix(seed)), which
+    doc_sample_sql() reproduces bit-for-bit in DuckDB (HUGEINT modular
+    arithmetic), and the domain cap is exact k-lowest-doc_id per source
+    (window-function SQL), so every sampled id hash-matches exact SQL."""
+    from epichypersketch_jl_ray.pipelines import curate, sketches
 
     by = sketches.doc_sample_by_lang(sf_dir)
     overall = sketches.doc_sample(sf_dir).assign(lang="*")[["lang", "doc_id"]]
-    return pd.concat([by, overall], ignore_index=True)
+    cap = curate.domain_cap_sample(sf_dir).to_pandas()
+    cap = pd.DataFrame({"lang": "src:" + cap["source"], "doc_id": cap["doc_id"]})
+    return pd.concat([by, overall, cap], ignore_index=True)
 
 
 def _sql_splitmix64_prio(seed: int) -> str:
@@ -136,6 +140,7 @@ t6 AS (SELECT lang, doc_id, {xoru('z2', 'z2 // 2147483648')} AS prio FROM t5)"""
 
 
 def doc_sample_sql(k_overall: int = 100, k_lang: int = 20) -> str:
+    from epichypersketch_jl_ray.pipelines import curate
     from epichypersketch_jl_ray.pipelines.sketches import SEED
 
     return f"""
@@ -150,6 +155,9 @@ overall AS (
 SELECT lang, CAST(doc_id AS BIGINT) AS doc_id FROM by_lang WHERE rn <= {k_lang}
 UNION ALL
 SELECT lang, CAST(doc_id AS BIGINT) AS doc_id FROM overall WHERE rn <= {k_overall}
+UNION ALL
+SELECT 'src:' || source AS lang, CAST(doc_id AS BIGINT) AS doc_id
+FROM ({curate.domain_cap_sample_sql()})
 """
 
 
@@ -330,11 +338,12 @@ def token_count_and_packing_sql() -> str:
 
 def doc_lang_fingerprints(sf_dir: str) -> ray.data.Dataset:
     """Language-ID + winnowing fingerprints + trained quality-classifier
-    probability per doc, joined on doc_id into one frame (distributed
-    bucketed hash joins — no driver merge). Rows-only; langid accuracy,
-    fingerprint determinism, and classifier learnability/determinism in
-    pytest (the classifier trains distributedly per call —
-    pipelines/classifier.py, CCNet-style reference-vs-crawl LR)."""
+    probability + corpus-trained-BPE token count per doc, joined on doc_id
+    into one frame (distributed bucketed hash joins — no driver merge).
+    Rows-only; langid accuracy, fingerprint determinism, classifier
+    learnability/determinism, and distributed-BPE-trainer exactness in
+    pytest (pipelines/classifier.py CCNet-style reference-vs-crawl LR;
+    functions/bpe.py exact word-count training)."""
     from epichypersketch_jl_ray.pipelines import textstats
     from epichypersketch_jl_ray.pipelines.classifier import quality_scores
     from epichypersketch_jl_ray.stages.join import bucketed_hash_join
@@ -342,8 +351,10 @@ def doc_lang_fingerprints(sf_dir: str) -> ray.data.Dataset:
     lp = textstats.lang_predict(sf_dir)
     fp = textstats.doc_fingerprints(sf_dir)
     qs = quality_scores(sf_dir)
+    bt = textstats.bpe_trained_token_counts(sf_dir)
     both = bucketed_hash_join(lp, fp, left_on="doc_id", right_on="doc_id")
-    return bucketed_hash_join(both, qs, left_on="doc_id", right_on="doc_id")
+    both = bucketed_hash_join(both, qs, left_on="doc_id", right_on="doc_id")
+    return bucketed_hash_join(both, bt, left_on="doc_id", right_on="doc_id")
 
 
 # --- relational merges ------------------------------------------------------

@@ -518,6 +518,35 @@ def doc_fingerprints(sf_dir: str, *, k: int = 8, window: int = 4) -> ray.data.Da
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+def bpe_trained_token_counts(sf_dir: str, *, num_merges: int = 64) -> ray.data.Dataset:
+    """Per-doc token count under a tokenizer TRAINED on this corpus —
+    end-to-end trainable-BPE: exact distributed word counts -> driver merge
+    loop over DISTINCT words only (functions/bpe.train_bpe_distributed) ->
+    tokenizer broadcast once (ray.put) -> distributed apply. Rows-only check
+    (iterative training is not SQL-expressible); exactness of the
+    distributed trainer vs the single-process reference is pinned in
+    tests/test_bpe.py."""
+    from epichypersketch_jl_ray.functions.bpe import train_bpe_distributed
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    tok = train_bpe_distributed(docs, "text", num_merges=num_merges)
+    tok_ref = ray.put(tok)
+
+    class CountTokens:
+        def __init__(self) -> None:
+            self.tok = ray.get(tok_ref)  # once per actor; LRU fills per worker
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_tokens_bpe_trained": self.tok.token_counts(batch["text"]),
+                }
+            )
+
+    return docs.map_batches(CountTokens, batch_format="pyarrow", concurrency=(1, 8))
+
+
 def export_by_lang(sf_dir: str, *, out_dir: str | None = None) -> ray.data.Dataset:
     """Write-path query: documents written as lang-partitioned parquet (one
     directory per lang — the resumable partitioned-output layout), then the

@@ -78,3 +78,56 @@ def test_distributed_apply_equals_local(ray_session):
     want = [len(tok.encode(t)) for t in docs]
     assert sorted(r["n_tokens"] for r in got) == sorted(want)
     assert min(want) > 0
+
+
+def test_distributed_training_exact_vs_local(ray_session):
+    """train_bpe_distributed == train_bpe over the concatenated corpus:
+    the distributed word-count groupby + distinct-word merge loop is EXACT,
+    not sample-approximate — and partition-count invariant."""
+    import ray
+
+    from epichypersketch_jl_ray.functions.bpe import train_bpe_distributed
+
+    docs = [f"streaming sketches count {i % 7} items per pass" for i in range(120)]
+    docs += ["", None, "LOWER lower LoWeR"]
+    local = train_bpe([t for t in docs if t], num_merges=60)
+    ds = ray.data.from_items([{"text": t} for t in docs])
+    assert train_bpe_distributed(ds, "text", num_merges=60).merges == local
+    assert train_bpe_distributed(ds.repartition(9), "text", num_merges=60).merges == local
+
+
+def test_distributed_training_max_words_cap(ray_session):
+    """max_words keeps the top-N words by (count desc, word asc) — equal to
+    local training on a corpus restricted to those words."""
+    import ray
+    from collections import Counter
+
+    from epichypersketch_jl_ray.functions.bpe import (
+        train_bpe_distributed,
+        train_bpe_from_word_counts,
+        _WORD_RE,
+    )
+
+    docs = ["alpha " * 9 + "beta " * 7 + "gamma " * 5 + "delta " * 3 + "eps " * 2 + "zz"]
+    counts = Counter(_WORD_RE.findall(" ".join(docs).lower()))
+    top3 = dict(sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
+    want = train_bpe_from_word_counts(top3, 40, min_freq=2)
+    ds = ray.data.from_items([{"text": t} for t in docs])
+    got = train_bpe_distributed(ds, "text", num_merges=40, max_words=3)
+    assert got.merges == want
+
+
+def test_bpe_trained_counts_pipeline(ray_session, sf_dir):
+    """The doc_lang_fingerprints BPE column: corpus-trained tokenizer counts
+    equal direct local encode for every doc."""
+    from epichypersketch_jl_ray.functions.bpe import train_bpe_distributed
+    from epichypersketch_jl_ray.pipelines.textstats import bpe_trained_token_counts
+    from epichypersketch_jl_ray.sources.tables import read_table
+
+    out = bpe_trained_token_counts(sf_dir).to_pandas().set_index("doc_id")
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    tok = train_bpe_distributed(docs, "text", num_merges=64)
+    df = docs.to_pandas()
+    assert len(out) == len(df)
+    for _, row in df.sample(n=40, random_state=7).iterrows():
+        assert int(out.loc[row["doc_id"], "n_tokens_bpe_trained"]) == len(tok.encode(row["text"]))

@@ -96,3 +96,46 @@ def test_stratified_sample_by_lang(ray_session, sf_dir):
     # deterministic across runs
     again = doc_sample_by_lang(sf_dir)
     assert out.equals(again)
+
+
+def test_domain_cap_sample_matches_sql(ray_session, sf_dir):
+    """Per-domain cap: exact vs the window-function oracle, at default and
+    adversarial (tiny batch / few buckets) shapes, and k sweep."""
+    from oracle_util import duck_con
+
+    from epichypersketch_jl_ray.pipelines.curate import (
+        domain_cap_sample,
+        domain_cap_sample_sql,
+    )
+
+    con = duck_con(sf_dir)
+    for k in (1, 4, 25):
+        exp = (
+            con.execute(domain_cap_sample_sql(k=k))
+            .df()
+            .sort_values(["source", "doc_id"])
+            .reset_index(drop=True)
+        )
+        exp["doc_id"] = exp["doc_id"].astype("int64")
+        got = (
+            domain_cap_sample(sf_dir, k=k)
+            .to_pandas()
+            .sort_values(["source", "doc_id"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(exp), f"k={k}"
+    # partial-path stress: batches smaller than k, single-bucket merge
+    got = (
+        domain_cap_sample(sf_dir, k=4, batch_size=3, num_buckets=1)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        con.execute(domain_cap_sample_sql(k=4))
+        .df()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    exp["doc_id"] = exp["doc_id"].astype("int64")
+    assert got.equals(exp)
