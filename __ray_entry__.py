@@ -96,7 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clicks_vs_purchases": merged.clicks_vs_purchases,
         "parts_never_discounted": relational.parts_never_discounted,
         "click_purchase_set_ops": merged.click_purchase_set_ops,
-        "customer_order_counts": relational.customer_order_counts,
+        "customer_order_counts": merged.customer_orders_and_pagerank,
         "event_props_by_type": relational.event_props_by_type,
         "local_supplier_volume": relational.local_supplier_volume,
         # window-function analogues (grouped top-N / running total / rollup)
@@ -152,7 +152,7 @@ def oracle_sql() -> dict[str, str]:
         "clicks_vs_purchases": merged.clicks_vs_purchases_sql(),
         "parts_never_discounted": relational.parts_never_discounted_sql(),
         "click_purchase_set_ops": merged.click_purchase_set_ops_sql(),
-        "customer_order_counts": relational.customer_order_counts_sql(),
+        "customer_order_counts": merged.customer_orders_and_pagerank_sql(),
         "event_props_by_type": relational.event_props_by_type_sql(),
         "local_supplier_volume": relational.local_supplier_volume_sql(),
         "top_parts_per_brand": windowfns.top_parts_per_brand_sql(),

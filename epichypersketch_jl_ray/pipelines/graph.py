@@ -1,0 +1,154 @@
+"""Distributed PageRank over a derived link graph — the web-curation
+link-analysis operator (Common Crawl ranks hosts by centrality to feed
+URL/domain quality; the same shape ranks any entity graph).
+
+No link table exists in the TPC-H-ish fixture, so the graph is DERIVED:
+the customer-supplier co-purchase bipartite graph (one undirected edge per
+distinct (customer, supplier) pair that shares an order), symmetrized into
+two directed edges so no node dangles. Node encoding packs both partitions
+into one int64 key: customers as 2*c_custkey, suppliers as 2*s_suppkey+1.
+
+Determinism / oracle: all arithmetic is FIXED-POINT int64 —
+rank starts at FP_ONE, each iteration is
+``new = BASE + (85 * sum_in(rank_src // deg_src)) // 100`` —
+integer sums are order-insensitive, so the distributed result is
+byte-identical to the unrolled integer SQL (pagerank_sql generates one CTE
+per iteration; recursive CTEs cannot aggregate over the recursive term).
+Overflow bound: |rank| <= total mass = n * FP_ONE, so 85 * sum stays inside
+int64 while n * FP_ONE < 2^63/85 ~ 1.1e17 — with FP_ONE = 1e9 that is 1e8
+nodes; scale FP_ONE down for larger graphs.
+
+Scale shape: per iteration, ONE edge-scale map_batches (rank lookup via a
+broadcast, per-worker-memoized contribution vector — stages/udaf
+broadcast_get) + ONE groupby(dst) sum; driver state is NODE-scale only (the
+rank/degree vectors — the IVF-centroid bounded-driver-state pattern). The
+edge table is materialized once (object store, spillable) and re-read by
+every iteration; a graph whose NODE table outgrows the driver would swap
+the broadcast lookup for a bucketed_hash_join per iteration (edge-scale
+shuffles, zero driver state) — same iteration algebra.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data.aggregate import Count, Sum
+
+from epichypersketch_jl_ray.sources.tables import read_table, table_rows
+from epichypersketch_jl_ray.stages.join import bucketed_hash_join
+from epichypersketch_jl_ray.stages.udaf import broadcast_get
+
+FP_ONE = 10**9
+DAMP_NUM = 85
+DAMP_DEN = 100
+BASE = (FP_ONE * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
+N_ITERS = 10
+
+
+def _purchase_edges(sf_dir: str) -> ray.data.Dataset:
+    """Distinct symmetrized (src, dst) edges of the co-purchase graph."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = bucketed_hash_join(
+        li,
+        orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        size_hint_rows=table_rows(sf_dir, "lineitem"),
+    )
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        c = (np.asarray(batch["o_custkey"], dtype=np.int64) * 2).astype(np.int64)
+        s = (np.asarray(batch["l_suppkey"], dtype=np.int64) * 2 + 1).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([c, s])),
+                "dst": pa.array(np.concatenate([s, c])),
+            }
+        )
+
+    return (
+        joined.map_batches(to_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_m"))  # distinct pairs; multiplicity dropped
+        .select_columns(["src", "dst"])
+    )
+
+
+def pagerank_fixedpoint(
+    edges: ray.data.Dataset, *, n_iters: int = N_ITERS
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted node ids, final fixed-point ranks) after ``n_iters``."""
+    edges = edges.materialize()  # re-read by every iteration
+    deg_rows = edges.groupby("src").aggregate(Count(alias_name="d")).take_all()
+    nodes = np.array([r["src"] for r in deg_rows], dtype=np.int64)
+    deg = np.array([r["d"] for r in deg_rows], dtype=np.int64)
+    order = np.argsort(nodes)
+    nodes, deg = nodes[order], deg[order]
+    nodes_ref = ray.put(nodes)
+
+    rank = np.full(len(nodes), FP_ONE, dtype=np.int64)
+    for _ in range(n_iters):
+        contrib_ref = ray.put(rank // deg)
+
+        def attach(batch: pa.Table, *, _c=contrib_ref) -> pa.Table:
+            node_ids = broadcast_get(nodes_ref)
+            contrib = broadcast_get(_c)
+            src = np.asarray(batch["src"], dtype=np.int64)
+            idx = np.searchsorted(node_ids, src)  # every src is a known node
+            # map-side combine: pre-sum per dst inside the batch, so the
+            # shuffle ships distinct-dst-per-batch rows, not the edge stream
+            dst = np.asarray(batch["dst"], dtype=np.int64)
+            order = np.argsort(dst, kind="stable")
+            d_sorted = dst[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], d_sorted[1:] != d_sorted[:-1]))
+            )
+            sums = np.add.reduceat(contrib[idx][order], starts)
+            return pa.table({"dst": pa.array(d_sorted[starts]), "c": pa.array(sums)})
+
+        sums = (
+            edges.map_batches(attach, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="s"))
+            .take_all()
+        )  # node-scale
+        rank = np.full(len(nodes), BASE, dtype=np.int64)
+        dst = np.array([r["dst"] for r in sums], dtype=np.int64)
+        s = np.array([r["s"] for r in sums], dtype=np.int64)
+        rank[np.searchsorted(nodes, dst)] += (DAMP_NUM * s) // DAMP_DEN
+    return nodes, rank
+
+
+def copurchase_pagerank(sf_dir: str, *, n_iters: int = N_ITERS) -> pa.Table:
+    """(node BIGINT, rank_fp BIGINT) — even nodes are customers (id//2),
+    odd are suppliers."""
+    nodes, rank = pagerank_fixedpoint(_purchase_edges(sf_dir), n_iters=n_iters)
+    return pa.table({"node": pa.array(nodes), "rank_fp": pa.array(rank)})
+
+
+def copurchase_pagerank_sql(n_iters: int = N_ITERS) -> str:
+    """Unrolled integer-arithmetic oracle: one CTE per iteration."""
+    parts = [
+        f"""
+eb AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+e AS (SELECT src, dst FROM eb UNION ALL SELECT dst AS src, src AS dst FROM eb),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+r0 AS (SELECT node, CAST({FP_ONE} AS BIGINT) AS rank FROM deg)"""
+    ]
+    for t in range(1, n_iters + 1):
+        parts.append(
+            f"""
+r{t} AS (SELECT deg.node,
+         CAST({BASE} + ({DAMP_NUM} * CAST(COALESCE(s.c, 0) AS BIGINT)) // {DAMP_DEN} AS BIGINT) AS rank
+         FROM deg LEFT JOIN (
+           SELECT e.dst AS node, SUM(r{t-1}.rank // deg.d) AS c
+           FROM e JOIN r{t-1} ON e.src = r{t-1}.node JOIN deg ON e.src = deg.node
+           GROUP BY e.dst) s USING (node))"""
+        )
+    return (
+        "WITH " + ",".join(parts) + f"\nSELECT node, rank AS rank_fp FROM r{n_iters}"
+    )

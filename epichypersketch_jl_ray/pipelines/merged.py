@@ -357,6 +357,48 @@ def doc_lang_fingerprints(sf_dir: str) -> ray.data.Dataset:
     return bucketed_hash_join(both, bt, left_on="doc_id", right_on="doc_id")
 
 
+def customer_orders_and_pagerank(sf_dir: str) -> ray.data.Dataset:
+    """LEFT-outer order counts + co-purchase PageRank in one oracled union
+    (method column): 'orders' rows are (id=c_custkey, val=n_orders),
+    'pagerank' rows are (id=packed node, val=fixed-point rank) — the
+    iterative link-analysis operator is EXACTLY oracled because its
+    arithmetic is int64 fixed-point (pipelines/graph.py)."""
+    from epichypersketch_jl_ray.pipelines import graph, relational
+
+    def pad_orders(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "method": pa.array(["orders"] * len(t), pa.string()),
+                "id": t["c_custkey"],
+                "val": t["n_orders"],
+            }
+        )
+
+    oc = relational.customer_order_counts(sf_dir).map_batches(
+        pad_orders, batch_format="pyarrow"
+    )
+    pr = graph.copurchase_pagerank(sf_dir)
+    pr = pa.table(
+        {
+            "method": pa.array(["pagerank"] * len(pr), pa.string()),
+            "id": pr["node"],
+            "val": pr["rank_fp"],
+        }
+    )
+    return oc.union(ray.data.from_arrow(pr))
+
+
+def customer_orders_and_pagerank_sql() -> str:
+    from epichypersketch_jl_ray.pipelines import graph, relational
+
+    return (
+        "SELECT 'orders' AS method, c_custkey AS id, n_orders AS val"
+        f" FROM ({relational.customer_order_counts_sql()})"
+        " UNION ALL SELECT 'pagerank' AS method, node AS id, rank_fp AS val"
+        f" FROM ({graph.copurchase_pagerank_sql()})"
+    )
+
+
 # --- relational merges ------------------------------------------------------
 
 

@@ -1,0 +1,71 @@
+"""Fixed-point PageRank: hand-checkable tiny graph, byte-exact SQL-oracle
+parity, partition invariance, and mass bounds."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from epichypersketch_jl_ray.pipelines.graph import (
+    BASE,
+    DAMP_DEN,
+    DAMP_NUM,
+    FP_ONE,
+    copurchase_pagerank,
+    copurchase_pagerank_sql,
+    pagerank_fixedpoint,
+)
+
+
+def _local_pagerank(edges: list[tuple[int, int]], n_iters: int) -> dict[int, int]:
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = {n: 0 for n in nodes}
+    for s, _ in edges:
+        deg[s] += 1
+    rank = {n: FP_ONE for n in nodes}
+    for _ in range(n_iters):
+        s_in = {n: 0 for n in nodes}
+        for s, d in edges:
+            s_in[d] += rank[s] // deg[s]
+        rank = {n: BASE + (DAMP_NUM * s_in[n]) // DAMP_DEN for n in nodes}
+    return rank
+
+
+def test_tiny_graph_hand_checked(ray_session):
+    import ray
+
+    # triangle + pendant: 1<->2, 2<->3, 3<->1, 3<->4
+    und = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    edges = und + [(b, a) for a, b in und]
+    ds = ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
+    nodes, rank = pagerank_fixedpoint(ds, n_iters=6)
+    want = _local_pagerank(edges, 6)
+    assert {int(n): int(r) for n, r in zip(nodes, rank)} == want
+    # the 3-degree hub must outrank the pendant
+    got = dict(zip(nodes.tolist(), rank.tolist()))
+    assert got[3] > got[4]
+    # partition invariance: byte-identical under a different block split
+    nodes2, rank2 = pagerank_fixedpoint(ds.repartition(7), n_iters=6)
+    assert np.array_equal(nodes, nodes2) and np.array_equal(rank, rank2)
+
+
+def test_copurchase_pagerank_matches_sql(ray_session, sf_dir):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_util import compare, duck_con, to_pandas
+
+    for iters in (1, 10):
+        got = to_pandas(copurchase_pagerank(sf_dir, n_iters=iters))
+        exp = duck_con(sf_dir).execute(copurchase_pagerank_sql(iters)).df()
+        assert compare(f"pagerank_{iters}", got, exp) == []
+
+
+def test_mass_bound(ray_session, sf_dir):
+    """Total fixed-point mass stays within n*FP_ONE (floor divisions only
+    ever LOSE mass, never create it)."""
+    t = copurchase_pagerank(sf_dir, n_iters=4)
+    total = int(pa.compute.sum(t["rank_fp"]).as_py())
+    n = len(t)
+    assert n * BASE <= total <= n * FP_ONE
