@@ -190,13 +190,19 @@ def quality_scores(
 
     def score(batch: pa.Table) -> pa.Table:
         wv: np.ndarray = ray.get(w_ref)
-        idx, off = _featurize(batch, dim=dim)
-        p = 1.0 / (1.0 + np.exp(-_margins(wv, idx, off)))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "quality_prob": pa.array(p, pa.float64()),
+                "quality_prob": pa.array(score_probs(wv, batch, dim=dim), pa.float64()),
             }
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def score_probs(w: np.ndarray, batch: pa.Table, *, dim: int = 1 << 18) -> np.ndarray:
+    """Per-row quality probability under trained weights — the broadcastable
+    scoring kernel (shared by quality_scores and the fused per-doc frame in
+    pipelines/merged.doc_lang_fingerprints)."""
+    idx, off = _featurize(batch, dim=dim)
+    return 1.0 / (1.0 + np.exp(-_margins(w, idx, off)))

@@ -338,23 +338,59 @@ def token_count_and_packing_sql() -> str:
 
 def doc_lang_fingerprints(sf_dir: str) -> ray.data.Dataset:
     """Language-ID + winnowing fingerprints + trained quality-classifier
-    probability + corpus-trained-BPE token count per doc, joined on doc_id
-    into one frame (distributed bucketed hash joins — no driver merge).
+    probability + corpus-trained-BPE token count per doc in one frame.
     Rows-only; langid accuracy, fingerprint determinism, classifier
     learnability/determinism, and distributed-BPE-trainer exactness in
     pytest (pipelines/classifier.py CCNet-style reference-vs-crawl LR;
-    functions/bpe.py exact word-count training)."""
-    from epichypersketch_jl_ray.pipelines import textstats
-    from epichypersketch_jl_ray.pipelines.classifier import quality_scores
-    from epichypersketch_jl_ray.stages.join import bucketed_hash_join
+    functions/bpe.py exact word-count training).
 
-    lp = textstats.lang_predict(sf_dir)
-    fp = textstats.doc_fingerprints(sf_dir)
-    qs = quality_scores(sf_dir)
-    bt = textstats.bpe_trained_token_counts(sf_dir)
-    both = bucketed_hash_join(lp, fp, left_on="doc_id", right_on="doc_id")
-    both = bucketed_hash_join(both, qs, left_on="doc_id", right_on="doc_id")
-    return bucketed_hash_join(both, bt, left_on="doc_id", right_on="doc_id")
+    All four frames are PER-DOC maps, so they fuse into ONE corpus read +
+    ONE map_batches (no joins at all — per-doc column families share the
+    row); only the two bounded trainings (classifier GD over labeled
+    slices, BPE over the distinct-word table) run as separate passes. The
+    single-purpose pipelines (textstats.lang_predict / doc_fingerprints /
+    bpe_trained_token_counts, classifier.quality_scores) stay public and
+    pytest-covered."""
+    from epichypersketch_jl_ray.functions.bpe import train_bpe_distributed
+    from epichypersketch_jl_ray.functions.text import langid_scores
+    from epichypersketch_jl_ray.pipelines import textstats
+    from epichypersketch_jl_ray.pipelines.classifier import (
+        score_probs,
+        train_quality_classifier,
+    )
+    from epichypersketch_jl_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    w, _ = train_quality_classifier(sf_dir)
+    tok = train_bpe_distributed(docs, "text", num_merges=64)
+    w_ref, tok_ref = ray.put(w), ray.put(tok)
+
+    class Fused:
+        def __init__(self) -> None:
+            self.w = ray.get(w_ref)
+            self.tok = ray.get(tok_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            n_fp, digest = textstats.fingerprint_columns(batch["text"])
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "lang_declared": batch["lang"],
+                    "lang_pred": pa.array(
+                        langid_scores(batch["text"]).astype(str), pa.string()
+                    ),
+                    "n_fingerprints": pa.array(n_fp, pa.int64()),
+                    "fp_digest": pa.array(digest, pa.int64()),
+                    "quality_prob": pa.array(
+                        score_probs(self.w, batch), pa.float64()
+                    ),
+                    "n_tokens_bpe_trained": self.tok.token_counts(batch["text"]),
+                }
+            )
+
+    return docs.map_batches(Fused, batch_format="pyarrow", concurrency=(1, 8))
 
 
 def customer_orders_and_pagerank(sf_dir: str) -> ray.data.Dataset:

@@ -495,23 +495,31 @@ def lang_predict(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(predict, batch_format="pyarrow")
 
 
+def fingerprint_columns(
+    texts: pa.Array | pa.ChunkedArray, *, k: int = 8, window: int = 4
+) -> tuple[np.ndarray, np.ndarray]:
+    """(per-row fingerprint count, per-row xor digest) — the winnowing
+    summary kernel shared by doc_fingerprints and the fused per-doc frame."""
+    hashes, off = winnow_fingerprints(texts, k=k, window=window)
+    n_fp = np.diff(off)
+    digest = np.zeros(len(n_fp), dtype=np.uint64)
+    if len(hashes):
+        row_ids = np.repeat(np.arange(len(n_fp)), n_fp)
+        np.bitwise_xor.at(digest, row_ids, hashes)
+    return n_fp.astype(np.int64), digest.view(np.int64)
+
+
 def doc_fingerprints(sf_dir: str, *, k: int = 8, window: int = 4) -> ray.data.Dataset:
     """Winnowing fingerprint summary per document (rows-only check)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
-        hashes, off = winnow_fingerprints(batch["text"], k=k, window=window)
-        n_fp = np.diff(off)
-        # a stable per-doc digest: xor of its fingerprints
-        digest = np.zeros(len(n_fp), dtype=np.uint64)
-        if len(hashes):
-            row_ids = np.repeat(np.arange(len(n_fp)), n_fp)
-            np.bitwise_xor.at(digest, row_ids, hashes)
+        n_fp, digest = fingerprint_columns(batch["text"], k=k, window=window)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_fingerprints": pa.array(n_fp.astype(np.int64), pa.int64()),
-                "fp_digest": pa.array(digest.view(np.int64), pa.int64()),
+                "n_fingerprints": pa.array(n_fp, pa.int64()),
+                "fp_digest": pa.array(digest, pa.int64()),
             }
         )
 

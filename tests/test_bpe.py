@@ -131,3 +131,29 @@ def test_bpe_trained_counts_pipeline(ray_session, sf_dir):
     assert len(out) == len(df)
     for _, row in df.sample(n=40, random_state=7).iterrows():
         assert int(out.loc[row["doc_id"], "n_tokens_bpe_trained"]) == len(tok.encode(row["text"]))
+
+
+def test_fused_doc_frame_equals_singles(ray_session, sf_dir):
+    """merged.doc_lang_fingerprints (one read + one fused map, no joins)
+    byte-equals the four single-purpose per-doc pipelines."""
+    import numpy as np
+
+    from epichypersketch_jl_ray.pipelines.classifier import quality_scores
+    from epichypersketch_jl_ray.pipelines.merged import doc_lang_fingerprints
+    from epichypersketch_jl_ray.pipelines.textstats import (
+        bpe_trained_token_counts,
+        doc_fingerprints,
+        lang_predict,
+    )
+
+    o = doc_lang_fingerprints(sf_dir).to_pandas().set_index("doc_id").sort_index()
+    lp = lang_predict(sf_dir).to_pandas().set_index("doc_id").sort_index()
+    fp = doc_fingerprints(sf_dir).to_pandas().set_index("doc_id").sort_index()
+    qs = quality_scores(sf_dir).to_pandas().set_index("doc_id").sort_index()
+    bt = bpe_trained_token_counts(sf_dir).to_pandas().set_index("doc_id").sort_index()
+    assert (o["lang_pred"] == lp["lang_pred"]).all()
+    assert (o["lang_declared"] == lp["lang_declared"]).all()
+    assert (o["n_fingerprints"] == fp["n_fingerprints"]).all()
+    assert (o["fp_digest"] == fp["fp_digest"]).all()
+    assert np.array_equal(o["quality_prob"].to_numpy(), qs["quality_prob"].to_numpy())
+    assert (o["n_tokens_bpe_trained"] == bt["n_tokens_bpe_trained"]).all()
