@@ -47,47 +47,110 @@ BASE = (FP_ONE * (DAMP_DEN - DAMP_NUM)) // DAMP_DEN
 N_ITERS = 10
 
 
-def _purchase_edges(sf_dir: str) -> ray.data.Dataset:
-    """Distinct symmetrized (src, dst) edges of the co-purchase graph."""
-    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    joined = bucketed_hash_join(
-        li,
-        orders,
-        left_on="l_orderkey",
-        right_on="o_orderkey",
-        size_hint_rows=table_rows(sf_dir, "lineitem"),
-    )
+def _purchase_edges(sf_dir: str, *, broadcast_cap: int = 1 << 22) -> ray.data.Dataset:
+    """Distinct symmetrized (src, dst) edges of the co-purchase graph.
 
-    def to_edges(batch: pa.Table) -> pa.Table:
-        c = (np.asarray(batch["o_custkey"], dtype=np.int64) * 2).astype(np.int64)
-        s = (np.asarray(batch["l_suppkey"], dtype=np.int64) * 2 + 1).astype(np.int64)
-        return pa.table(
-            {
-                "src": pa.array(np.concatenate([c, s])),
-                "dst": pa.array(np.concatenate([s, c])),
-            }
+    Size-gated join (the repo's standard switch): an orders table under
+    ``broadcast_cap`` rows ships once as two sorted int64 arrays and the
+    whole edge build is ONE map_batches over lineitem (plus the distinct
+    groupby); a corpus-scale orders table goes through the bucketed hash
+    join. Each batch emits its pairs pre-DEDUPED (lexsort + run-length),
+    so the distinct shuffle ships per-batch-distinct rows only."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def _dedup_pairs(c: np.ndarray, s: np.ndarray) -> pa.Table:
+        src = np.concatenate([c, s])
+        dst = np.concatenate([s, c])
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        keep = np.concatenate(
+            ([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1]))
+        )
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+    if table_rows(sf_dir, "orders") <= broadcast_cap:
+        ok, ck = _orders_lookup(sf_dir)
+        ok_ref, ck_ref = ray.put(ok), ray.put(ck)
+
+        def to_edges_bc(batch: pa.Table) -> pa.Table:
+            okeys = broadcast_get(ok_ref)
+            custs = broadcast_get(ck_ref)
+            lok = np.asarray(batch["l_orderkey"], dtype=np.int64)
+            c = custs[np.searchsorted(okeys, lok)] * 2  # every orderkey resolves
+            s = np.asarray(batch["l_suppkey"], dtype=np.int64) * 2 + 1
+            return _dedup_pairs(c, s)
+
+        paired = li.map_batches(to_edges_bc, batch_format="pyarrow")
+    else:
+        orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+        joined = bucketed_hash_join(
+            li,
+            orders,
+            left_on="l_orderkey",
+            right_on="o_orderkey",
+            size_hint_rows=table_rows(sf_dir, "lineitem"),
         )
 
+        def to_edges(batch: pa.Table) -> pa.Table:
+            c = np.asarray(batch["o_custkey"], dtype=np.int64) * 2
+            s = np.asarray(batch["l_suppkey"], dtype=np.int64) * 2 + 1
+            return _dedup_pairs(c, s)
+
+        paired = joined.map_batches(to_edges, batch_format="pyarrow")
+
     return (
-        joined.map_batches(to_edges, batch_format="pyarrow")
-        .groupby(["src", "dst"])
+        paired.groupby(["src", "dst"])
         .aggregate(Count(alias_name="_m"))  # distinct pairs; multiplicity dropped
         .select_columns(["src", "dst"])
     )
 
 
+def _orders_lookup(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted o_orderkey, aligned o_custkey) — the broadcast side."""
+    import pyarrow.parquet as pq
+    import os
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    ok = np.asarray(t["o_orderkey"], dtype=np.int64)
+    ck = np.asarray(t["o_custkey"], dtype=np.int64)
+    order = np.argsort(ok)
+    return ok[order], ck[order]
+
+
 def pagerank_fixedpoint(
-    edges: ray.data.Dataset, *, n_iters: int = N_ITERS
+    edges: ray.data.Dataset,
+    *,
+    n_iters: int = N_ITERS,
+    driver_combine: bool | None = None,
+    driver_node_cap: int = 1 << 20,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(sorted node ids, final fixed-point ranks) after ``n_iters``."""
-    edges = edges.materialize()  # re-read by every iteration
+    """(sorted node ids, final fixed-point ranks) after ``n_iters``.
+
+    Size-gated final combine (integer sums make both paths byte-identical,
+    pinned in tests): with the node table under ``driver_node_cap`` the
+    per-batch partial sums (already combined per dst inside each batch)
+    stream straight to the driver and np.add.at finishes the reduce — ONE
+    Ray stage per iteration, no shuffle. A huge-graph node table instead
+    goes through groupby(dst).sum (per-iteration edge shuffle, zero driver
+    scaling) — the rank vector itself must fit one machine either way
+    (beyond that, swap the broadcast lookup for a bucketed join)."""
+    # re-read by every iteration; bound block count so per-iteration task
+    # scheduling doesn't dwarf the node-scale compute (a distinct groupby
+    # fans out to hundreds of tiny blocks otherwise)
+    edges = edges.materialize()
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    if edges.num_blocks() > 2 * n_cpus:
+        edges = edges.repartition(n_cpus).materialize()
     deg_rows = edges.groupby("src").aggregate(Count(alias_name="d")).take_all()
     nodes = np.array([r["src"] for r in deg_rows], dtype=np.int64)
     deg = np.array([r["d"] for r in deg_rows], dtype=np.int64)
     order = np.argsort(nodes)
     nodes, deg = nodes[order], deg[order]
     nodes_ref = ray.put(nodes)
+    if driver_combine is None:
+        driver_combine = len(nodes) <= driver_node_cap
 
     rank = np.full(len(nodes), FP_ONE, dtype=np.int64)
     for _ in range(n_iters):
@@ -98,8 +161,9 @@ def pagerank_fixedpoint(
             contrib = broadcast_get(_c)
             src = np.asarray(batch["src"], dtype=np.int64)
             idx = np.searchsorted(node_ids, src)  # every src is a known node
-            # map-side combine: pre-sum per dst inside the batch, so the
-            # shuffle ships distinct-dst-per-batch rows, not the edge stream
+            # map-side combine: pre-sum per dst inside the batch, so what
+            # leaves the task is distinct-dst-per-batch rows, never the
+            # edge stream
             dst = np.asarray(batch["dst"], dtype=np.int64)
             order = np.argsort(dst, kind="stable")
             d_sorted = dst[order]
@@ -109,16 +173,19 @@ def pagerank_fixedpoint(
             sums = np.add.reduceat(contrib[idx][order], starts)
             return pa.table({"dst": pa.array(d_sorted[starts]), "c": pa.array(sums)})
 
-        sums = (
-            edges.map_batches(attach, batch_format="pyarrow")
-            .groupby("dst")
-            .aggregate(Sum("c", alias_name="s"))
-            .take_all()
-        )  # node-scale
+        partials = edges.map_batches(attach, batch_format="pyarrow")
         rank = np.full(len(nodes), BASE, dtype=np.int64)
-        dst = np.array([r["dst"] for r in sums], dtype=np.int64)
-        s = np.array([r["s"] for r in sums], dtype=np.int64)
-        rank[np.searchsorted(nodes, dst)] += (DAMP_NUM * s) // DAMP_DEN
+        if driver_combine:
+            s_acc = np.zeros(len(nodes), dtype=np.int64)
+            for b in partials.iter_batches(batch_format="pyarrow"):
+                dst = np.asarray(b["dst"], dtype=np.int64)
+                np.add.at(s_acc, np.searchsorted(nodes, dst), np.asarray(b["c"], dtype=np.int64))
+            rank += (DAMP_NUM * s_acc) // DAMP_DEN
+        else:
+            sums = partials.groupby("dst").aggregate(Sum("c", alias_name="s")).take_all()
+            dst = np.array([r["dst"] for r in sums], dtype=np.int64)
+            s = np.array([r["s"] for r in sums], dtype=np.int64)
+            rank[np.searchsorted(nodes, dst)] += (DAMP_NUM * s) // DAMP_DEN
     return nodes, rank
 
 

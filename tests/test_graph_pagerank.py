@@ -69,3 +69,15 @@ def test_mass_bound(ray_session, sf_dir):
     total = int(pa.compute.sum(t["rank_fp"]).as_py())
     n = len(t)
     assert n * BASE <= total <= n * FP_ONE
+
+
+def test_driver_combine_equals_groupby_path(ray_session):
+    """Size-gated combine paths are byte-identical (integer sums)."""
+    import ray
+
+    und = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 1)]
+    edges = und + [(b, a) for a, b in und]
+    ds = ray.data.from_items([{"src": s, "dst": d} for s, d in edges]).repartition(4)
+    n1, r1 = pagerank_fixedpoint(ds, n_iters=8, driver_combine=True)
+    n2, r2 = pagerank_fixedpoint(ds, n_iters=8, driver_combine=False)
+    assert np.array_equal(n1, n2) and np.array_equal(r1, r2)
