@@ -98,10 +98,33 @@ def _purchase_edges(sf_dir: str, *, broadcast_cap: int = 1 << 22) -> ray.data.Da
 
         paired = joined.map_batches(to_edges, batch_format="pyarrow")
 
+    # global distinct via a BUCKET shuffle, not a 2-col sort groupby: the
+    # multi-key sort exchange measured 12.1 s vs ~3 s bucketed on 1.2M pairs
+    # at sf0.1 (the repo-wide lesson from duplicated_spans) — group count is
+    # the bucket count, each bucket dedupes all its pairs in one lexsort
+    from epichypersketch_jl_ray.functions.hashing import hash_combine
+    from epichypersketch_jl_ray.stages.join import auto_bucket_count
+
+    num_buckets = auto_bucket_count(table_rows(sf_dir, "lineitem") * 2)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        src = np.asarray(t["src"], dtype=np.int64)
+        dst = np.asarray(t["dst"], dtype=np.int64)
+        h = hash_combine(src.astype(np.uint64), dst.astype(np.uint64))
+        return t.append_column("bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    def dedup_bucket(group: pa.Table) -> pa.Table:
+        src = np.asarray(group["src"], dtype=np.int64)
+        dst = np.asarray(group["dst"], dtype=np.int64)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        keep = np.concatenate(([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])))
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
     return (
-        paired.groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_m"))  # distinct pairs; multiplicity dropped
-        .select_columns(["src", "dst"])
+        paired.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
     )
 
 
@@ -123,31 +146,43 @@ def pagerank_fixedpoint(
     edges: ray.data.Dataset,
     *,
     n_iters: int = N_ITERS,
+    engine: str = "auto",
     driver_combine: bool | None = None,
     driver_node_cap: int = 1 << 20,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(sorted node ids, final fixed-point ranks) after ``n_iters``.
 
-    Size-gated final combine (integer sums make both paths byte-identical,
-    pinned in tests): with the node table under ``driver_node_cap`` the
-    per-batch partial sums (already combined per dst inside each batch)
-    stream straight to the driver and np.add.at finishes the reduce — ONE
-    Ray stage per iteration, no shuffle. A huge-graph node table instead
-    goes through groupby(dst).sum (per-iteration edge shuffle, zero driver
-    scaling) — the rank vector itself must fit one machine either way
-    (beyond that, swap the broadcast lookup for a bucketed join)."""
-    # re-read by every iteration; bound block count so per-iteration task
-    # scheduling doesn't dwarf the node-scale compute (a distinct groupby
-    # fans out to hundreds of tiny blocks otherwise)
+    Two byte-identical engines (integer sums; equality pinned in tests):
+
+    - ``actors`` (default under ``driver_node_cap`` nodes): the one case in
+      this repo where raw Ray actors beat the Dataset API — an iterative
+      fixpoint re-reads the SAME edge set every round, so each shard actor
+      ingests its edge blocks ONCE, pre-resolves src/dst to node indices and
+      pre-sorts by dst (reduceat segments); an iteration is then one
+      broadcast of the contribution vector + one node-scale partial per
+      shard, ~no per-iteration scheduling or re-deserialization (Pregel /
+      GraphX-persisted-RDD shape). Cost: edges live in actor heaps — spread
+      across the cluster, but not spillable.
+    - ``dataset``: per iteration one edge-scale map_batches over the
+      materialized (spillable) edge table, partials combined on the driver
+      (``driver_combine``, node-scale) or via groupby(dst) for node tables
+      beyond the driver. More elastic, pays per-iteration stage overhead.
+    """
     edges = edges.materialize()
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
     if edges.num_blocks() > 2 * n_cpus:
+        # bound block count so per-iteration scheduling (dataset engine) or
+        # shard count (actor engine) doesn't dwarf node-scale compute
         edges = edges.repartition(n_cpus).materialize()
     deg_rows = edges.groupby("src").aggregate(Count(alias_name="d")).take_all()
     nodes = np.array([r["src"] for r in deg_rows], dtype=np.int64)
     deg = np.array([r["d"] for r in deg_rows], dtype=np.int64)
     order = np.argsort(nodes)
     nodes, deg = nodes[order], deg[order]
+    if engine == "auto":
+        engine = "actors" if len(nodes) <= driver_node_cap else "dataset"
+    if engine == "actors":
+        return nodes, _iterate_actor_shards(edges, nodes, deg, n_iters=n_iters)
     nodes_ref = ray.put(nodes)
     if driver_combine is None:
         driver_combine = len(nodes) <= driver_node_cap
@@ -187,6 +222,60 @@ def pagerank_fixedpoint(
             s = np.array([r["s"] for r in sums], dtype=np.int64)
             rank[np.searchsorted(nodes, dst)] += (DAMP_NUM * s) // DAMP_DEN
     return nodes, rank
+
+
+@ray.remote
+class _EdgeShard:
+    """One edge shard, ingested once: src/dst pre-resolved to node indices,
+    pre-sorted by dst with reduceat segment starts — an iteration is one
+    exact int64 segmented sum scattered into a node-scale vector."""
+
+    def __init__(self, block_refs: list, node_ids: np.ndarray) -> None:
+        # node_ids arrives resolved: Ray substitutes top-level ObjectRef
+        # args with their values; the refs INSIDE block_refs stay refs
+        tbls = [t for t in ray.get(list(block_refs)) if len(t)]
+        if tbls:
+            src = np.concatenate([np.asarray(t["src"], dtype=np.int64) for t in tbls])
+            dst = np.concatenate([np.asarray(t["dst"], dtype=np.int64) for t in tbls])
+        else:
+            src = dst = np.empty(0, dtype=np.int64)
+        src_idx = np.searchsorted(node_ids, src)
+        dst_idx = np.searchsorted(node_ids, dst)
+        order = np.argsort(dst_idx, kind="stable")
+        self.src_idx = src_idx[order]
+        d_sorted = dst_idx[order]
+        self.starts = np.flatnonzero(
+            np.concatenate(([True], d_sorted[1:] != d_sorted[:-1]))
+        )
+        self.uniq_dst = d_sorted[self.starts] if len(d_sorted) else d_sorted
+        self.n_nodes = len(node_ids)
+
+    def partial(self, contrib: np.ndarray) -> np.ndarray:
+        out = np.zeros(self.n_nodes, dtype=np.int64)
+        if len(self.src_idx):
+            out[self.uniq_dst] = np.add.reduceat(contrib[self.src_idx], self.starts)
+        return out
+
+
+def _iterate_actor_shards(
+    edges: ray.data.Dataset, nodes: np.ndarray, deg: np.ndarray, *, n_iters: int
+) -> np.ndarray:
+    refs = edges.to_arrow_refs()
+    n_shards = max(1, min(len(refs), int(ray.cluster_resources().get("CPU", 8))))
+    chunks = np.array_split(np.arange(len(refs)), n_shards)
+    nodes_ref = ray.put(nodes)
+    shards = [
+        _EdgeShard.remote([refs[i] for i in c], nodes_ref) for c in chunks if len(c)
+    ]
+    rank = np.full(len(nodes), FP_ONE, dtype=np.int64)
+    for _ in range(n_iters):
+        contrib_ref = ray.put(rank // deg)
+        partials = ray.get([s.partial.remote(contrib_ref) for s in shards])
+        s_acc = np.sum(np.stack(partials), axis=0, dtype=np.int64)
+        rank = BASE + (DAMP_NUM * s_acc) // DAMP_DEN
+    for s in shards:
+        ray.kill(s)
+    return rank
 
 
 def copurchase_pagerank(sf_dir: str, *, n_iters: int = N_ITERS) -> pa.Table:

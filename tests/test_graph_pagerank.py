@@ -81,3 +81,16 @@ def test_driver_combine_equals_groupby_path(ray_session):
     n1, r1 = pagerank_fixedpoint(ds, n_iters=8, driver_combine=True)
     n2, r2 = pagerank_fixedpoint(ds, n_iters=8, driver_combine=False)
     assert np.array_equal(n1, n2) and np.array_equal(r1, r2)
+
+
+def test_actor_engine_equals_dataset_engine(ray_session):
+    """The edge-shard actor engine (default) is byte-identical to the
+    Dataset engine on the same edges."""
+    import ray
+
+    und = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 1), (2, 5)]
+    edges = und + [(b, a) for a, b in und]
+    ds = ray.data.from_items([{"src": s, "dst": d} for s, d in edges]).repartition(5)
+    n1, r1 = pagerank_fixedpoint(ds, n_iters=9, engine="actors")
+    n2, r2 = pagerank_fixedpoint(ds, n_iters=9, engine="dataset")
+    assert np.array_equal(n1, n2) and np.array_equal(r1, r2)
