@@ -343,34 +343,72 @@ def _verify_jaccard_pairs(
 
     n_docs = shingles.count()
 
-    def add_pair_docs(t: TupleState, batch: pa.Table) -> None:
-        ha = hash_int64(batch["doc_a"].to_numpy(zero_copy_only=False), seed=55)
-        hb = hash_int64(batch["doc_b"].to_numpy(zero_copy_only=False), seed=55)
-        hll, bf = t.parts
-        hll.update_hashed(ha)
-        hll.update_hashed(hb)
-        bf.add_hashed(ha)
-        bf.add_hashed(hb)
-
-    ts = sketch_dataset(
-        cand,
-        lambda: TupleState((HyperLogLog(p=12), BloomFilter(capacity=cap, p=1e-4, seed=55))),
-        add_pair_docs,
-        TupleState,
-    )
-    if ts.parts[0].estimate() < 0.5 * n_docs:
-        bloom_ref = ray.put(ts.parts[1])
-
-        def prune(batch: pa.Table) -> pa.Table:
-            bf: BloomFilter = ray.get(bloom_ref)
-            hit = bf.contains_hashed(
-                hash_int64(batch["doc_id"].to_numpy(zero_copy_only=False), seed=55)
+    if n_pairs <= (1 << 16):
+        # small candidate set (the common near-dup case at any corpus size):
+        # the distinct candidate-doc ids fit the driver EXACTLY — skip the
+        # sketch pass entirely and prune by broadcast sorted-array membership
+        # (one fewer Ray stage than the HLL+Bloom path, zero false positives)
+        ids = np.unique(
+            np.concatenate(
+                [
+                    np.asarray(b["doc_a"], dtype=np.int64)
+                    for b in cand.iter_batches(batch_format="pyarrow")
+                ]
+                + [
+                    np.asarray(b["doc_b"], dtype=np.int64)
+                    for b in cand.iter_batches(batch_format="pyarrow")
+                ]
             )
-            return batch.filter(pa.array(hit))
+        )
+        if len(ids) < 0.5 * n_docs:
+            ids_ref = ray.put(ids)
 
-        cand_shingles = shingles.map_batches(prune, batch_format="pyarrow").materialize()
+            def prune_exact(batch: pa.Table) -> pa.Table:
+                from epichypersketch_jl_ray.stages.udaf import broadcast_get
+
+                known = broadcast_get(ids_ref)
+                d = np.asarray(batch["doc_id"], dtype=np.int64)
+                pos = np.searchsorted(known, d)
+                pos = np.minimum(pos, max(len(known) - 1, 0))
+                hit = (known[pos] == d) if len(known) else np.zeros(len(d), bool)
+                return batch.filter(pa.array(hit))
+
+            cand_shingles = shingles.map_batches(
+                prune_exact, batch_format="pyarrow"
+            ).materialize()
+        else:
+            cand_shingles = shingles
     else:
-        cand_shingles = shingles
+        # candidate-scale pair stream: one sketch scan builds BOTH the
+        # distinct-doc HLL (decides if pruning pays) and the membership Bloom
+        def add_pair_docs(t: TupleState, batch: pa.Table) -> None:
+            ha = hash_int64(batch["doc_a"].to_numpy(zero_copy_only=False), seed=55)
+            hb = hash_int64(batch["doc_b"].to_numpy(zero_copy_only=False), seed=55)
+            hll, bf = t.parts
+            hll.update_hashed(ha)
+            hll.update_hashed(hb)
+            bf.add_hashed(ha)
+            bf.add_hashed(hb)
+
+        ts = sketch_dataset(
+            cand,
+            lambda: TupleState((HyperLogLog(p=12), BloomFilter(capacity=cap, p=1e-4, seed=55))),
+            add_pair_docs,
+            TupleState,
+        )
+        if ts.parts[0].estimate() < 0.5 * n_docs:
+            bloom_ref = ray.put(ts.parts[1])
+
+            def prune(batch: pa.Table) -> pa.Table:
+                bf: BloomFilter = ray.get(bloom_ref)
+                hit = bf.contains_hashed(
+                    hash_int64(batch["doc_id"].to_numpy(zero_copy_only=False), seed=55)
+                )
+                return batch.filter(pa.array(hit))
+
+            cand_shingles = shingles.map_batches(prune, batch_format="pyarrow").materialize()
+        else:
+            cand_shingles = shingles
 
     # explicit schemas: probing with_a.schema() would execute the first
     # attach shuffle a second time (lazy-plan schema inference)
