@@ -260,7 +260,11 @@ def minhash_pairs(
     def band_rows(batch: pa.Table) -> pa.Table:
         return sig.from_shingle_table(batch)
 
-    exploded = shingles.map_batches(band_rows, batch_format="pyarrow", batch_size=2048)
+    # batch_size sizes PARALLELISM for the signature kernel (the pipeline's
+    # single heaviest compute stage: S x num_perms permuted mins) — 2048
+    # gave a 5k-doc corpus only ~3 tasks; 256 docs/task keeps every core fed
+    # while the (S, num_perms) temp stays cache-friendly (~4 MB)
+    exploded = shingles.map_batches(band_rows, batch_format="pyarrow", batch_size=256)
     cand = (
         exploded.groupby("band_bucket")
         .map_groups(candidate_pairs_from_band, batch_format="pyarrow")
