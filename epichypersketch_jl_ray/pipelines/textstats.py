@@ -466,7 +466,7 @@ def token_count_bpe(sf_dir: str) -> ray.data.Dataset:
     single non-space symbol pieces)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
-        BpeishTokenCounter, batch_format="pyarrow", batch_size=2048, concurrency=2
+        BpeishTokenCounter, batch_format="pyarrow", batch_size=512, concurrency=(1, 8)
     )
 
 
