@@ -337,7 +337,14 @@ def parts_never_discounted(
     from epichypersketch_jl_ray.state.bloom import BloomFilter
     from epichypersketch_jl_ray.state.keyset import Int64Set
 
-    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_discount"])
+    import pyarrow.dataset as pads
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_discount"],
+        filter=pads.field("l_discount") >= min_discount,  # row-group pushdown
+    )
 
     def discounted(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -963,9 +970,18 @@ def local_supplier_volume(
         hit = (keys[pos] == key_np) if len(keys) else np.zeros(len(key_np), bool)
         return hit, nats[pos]
 
+    import pyarrow.dataset as pads
+
     lo = pa.scalar(np.datetime64(date_from, "us"), pa.timestamp("us"))
     hi = pa.scalar(np.datetime64(date_to, "us"), pa.timestamp("us"))
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = read_table(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        # row-group pushdown of the date window; the in-batch filter below
+        # restates the predicate but removes nothing after pushdown
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
     lineitem = read_table(
         sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
     )

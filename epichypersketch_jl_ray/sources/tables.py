@@ -12,8 +12,21 @@ import os
 import ray.data
 
 
-def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
+def read_table(
+    sf_dir: str,
+    name: str,
+    columns: list[str] | None = None,
+    filter=None,
+) -> ray.data.Dataset:
+    """``filter`` is a pyarrow.dataset Expression pushed into the scan:
+    parquet row-group statistics skip whole groups and the fragment reader
+    drops non-matching rows before they ever enter the object store — the
+    row-level counterpart of the column pruning. Callers keep their
+    in-batch filter as documentation-of-predicate; after pushdown it
+    removes nothing."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if filter is not None:
+        return ray.data.read_parquet(path, columns=columns, filter=filter)
     return ray.data.read_parquet(path, columns=columns)
 
 
