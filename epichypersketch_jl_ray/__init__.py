@@ -53,6 +53,18 @@ def __getattr__(name):
         from epichypersketch_jl_ray.checkpoint import build_checkpointed
 
         return build_checkpointed
+    if name in ("pagerank_fixedpoint", "copurchase_pagerank"):
+        from epichypersketch_jl_ray.pipelines import graph
+
+        return getattr(graph, name)
+    if name in ("train_bpe", "train_bpe_distributed", "BpeTokenizer"):
+        from epichypersketch_jl_ray.functions import bpe
+
+        return getattr(bpe, name)
+    if name == "domain_cap_sample":
+        from epichypersketch_jl_ray.pipelines.curate import domain_cap_sample
+
+        return domain_cap_sample
     raise AttributeError(name)
 
 
@@ -81,5 +93,11 @@ __all__ = [
     "minhash_pairs",
     "ngram_jaccard_pairs",
     "build_checkpointed",
+    "pagerank_fixedpoint",
+    "copurchase_pagerank",
+    "train_bpe",
+    "train_bpe_distributed",
+    "BpeTokenizer",
+    "domain_cap_sample",
     "__version__",
 ]
