@@ -76,8 +76,13 @@ def _purchase_edges(sf_dir: str, *, broadcast_cap: int = 1 << 22) -> ray.data.Da
             okeys = broadcast_get(ok_ref)
             custs = broadcast_get(ck_ref)
             lok = np.asarray(batch["l_orderkey"], dtype=np.int64)
-            c = custs[np.searchsorted(okeys, lok)] * 2  # every orderkey resolves
-            s = np.asarray(batch["l_suppkey"], dtype=np.int64) * 2 + 1
+            # inner-join semantics: drop lineitem rows whose orderkey is
+            # missing (and guard the empty/out-of-range lookup, the ADVICE
+            # empty-broadcast pattern) — referential inputs lose nothing
+            pos = np.minimum(np.searchsorted(okeys, lok), max(len(okeys) - 1, 0))
+            hit = (okeys[pos] == lok) if len(okeys) else np.zeros(len(lok), bool)
+            c = custs[pos[hit]] * 2
+            s = np.asarray(batch["l_suppkey"], dtype=np.int64)[hit] * 2 + 1
             return _dedup_pairs(c, s)
 
         paired = li.map_batches(to_edges_bc, batch_format="pyarrow")
