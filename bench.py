@@ -43,6 +43,11 @@ def _init_ray():
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # worker prints relay to the DRIVER'S stdout and can interleave
+            # with (or trail) the single JSON result line, corrupting
+            # parse-last-line consumers — observed once from a MapBatches
+            # worker. Progress goes to stderr already; keep stdout machine-clean.
+            log_to_driver=False,
         )
     import ray.data
 
