@@ -78,13 +78,6 @@ def motif_pipeline(
     """
     from epichypersketch_jl_ray.stages.motifs import MotifCountState
 
-    if batch_size == ":auto":
-        from epichypersketch_jl_ray.memory import calculate_optimal_batch_size
-
-        batch_size = calculate_optimal_batch_size(
-            max_active_len, motif_size, conv=conv, delta=delta, epsilon=epsilon
-        )
-
     if spill_dir is not None:
         from epichypersketch_jl_ray.sources.sinks import write_partitioned
 
@@ -92,6 +85,30 @@ def motif_pipeline(
         act = ray.data.read_parquet(spill_dir)
     else:
         act = activation.materialize()
+
+    if batch_size == ":auto":
+        from epichypersketch_jl_ray.memory import calculate_optimal_batch_size
+
+        # size from the OBSERVED max sequence length, not the worst-case cap
+        # — exactly the reference's get_max_active_len -> batch-size chain
+        # (/root/reference/src/record.jl:58-62). The cap is a TRUNCATION
+        # bound; sizing C(cap, k) when real rows are ~7 long makes k=4/5
+        # batches of 10-67 rows, i.e. thousands of tasks and thousands of
+        # CMS partials per query. One cheap scan of the materialized
+        # activation (list lengths only) fixes the fan-in.
+        def _row_lens(batch: pa.Table) -> pa.Table:
+            arr = batch["features"]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            lens = np.asarray(arr.value_lengths(), dtype=np.int64)
+            m = int(lens.max()) if len(lens) else 0
+            return pa.table({"m": pa.array([m], pa.int64())})
+
+        observed = act.map_batches(_row_lens, batch_format="pyarrow").max("m")
+        eff_len = max(1, min(int(observed or 1), max_active_len))
+        batch_size = calculate_optimal_batch_size(
+            eff_len, motif_size, conv=conv, delta=delta, epsilon=epsilon
+        )
     kwargs = dict(
         motif_size=motif_size,
         conv=conv,
