@@ -184,6 +184,8 @@ def pagerank_fixedpoint(
     deg = np.array([r["d"] for r in deg_rows], dtype=np.int64)
     order = np.argsort(nodes)
     nodes, deg = nodes[order], deg[order]
+    if len(nodes) == 0:  # empty graph: no iterations, no shards
+        return nodes, np.empty(0, dtype=np.int64)
     if engine == "auto":
         engine = "actors" if len(nodes) <= driver_node_cap else "dataset"
     if engine == "actors":

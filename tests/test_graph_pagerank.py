@@ -94,3 +94,15 @@ def test_actor_engine_equals_dataset_engine(ray_session):
     n1, r1 = pagerank_fixedpoint(ds, n_iters=9, engine="actors")
     n2, r2 = pagerank_fixedpoint(ds, n_iters=9, engine="dataset")
     assert np.array_equal(n1, n2) and np.array_equal(r1, r2)
+
+
+def test_empty_edge_set(ray_session):
+    import pyarrow as pa
+    import ray
+
+    empty = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    for engine in ("actors", "dataset"):
+        nodes, rank = pagerank_fixedpoint(empty, n_iters=3, engine=engine)
+        assert len(nodes) == 0 and len(rank) == 0
