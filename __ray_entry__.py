@@ -77,7 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_cosine_topk": ann.ann_cosine_topk,
         "ann_approx_topk": merged.ann_approx_topk,
-        "embedding_principal_components": ann.embedding_principal_components,
+        "embedding_principal_components": merged.embedding_analysis,  # FD-PCA + k-means profile
         # multimodal (REAL decode: bmp/png, wav-pcm, raw video; remaining
         # compressed formats are documented codec seams)
         "multimodal_features": merged.multimodal_features,

@@ -253,6 +253,71 @@ def embedding_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
     return lsh.union(sem)
 
 
+def embedding_analysis(sf_dir: str) -> pd.DataFrame:
+    """Frequent-Directions principal components + full-corpus fixed-point
+    k-means cluster profile in one frame (method column; rows-only — both
+    algorithms are iterative/approximate; FD spectral bounds, k-means
+    determinism/batch-invariance and the profile invariants are pinned in
+    pytest): 'pca' rows are (id=component, v1=singular_value,
+    v2=energy_share); 'kmeans' rows are (id=cluster, v1=size,
+    v2=quantized-similarity sum — integer-summed, so batch-order
+    invariant)."""
+    import numpy as np
+
+    from epichypersketch_jl_ray.pipelines import ann
+    from epichypersketch_jl_ray.sources.tables import read_table
+    from epichypersketch_jl_ray.stages.kmeans import assign_clusters, kmeans_fit
+
+    pca = ann.embedding_principal_components(sf_dir)
+    pca = pd.DataFrame(
+        {
+            "method": "pca",
+            "id": pca["component"].astype("int64"),
+            "v1": pca["singular_value"].astype("float64"),
+            "v2": pca["energy_share"].astype("float64"),
+        }
+    )
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    model = kmeans_fit(ds, k=8)
+    tagged = assign_clusters(ds, model, keep_embedding=False)
+
+    def profile(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["cluster"], dtype=np.int64)
+        q = np.floor(
+            np.asarray(batch["cent_sim"], dtype=np.float64) * 65536.0
+        ).astype(np.int64)
+        k = int(c.max()) + 1 if len(c) else 0
+        # int64 scatter-add (not bincount-with-weights, which accumulates in
+        # float64): exact at any cluster mass, order-insensitive
+        qsim = np.zeros(k, dtype=np.int64)
+        np.add.at(qsim, c, q)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(k)),
+                "n": pa.array(np.bincount(c, minlength=k).astype(np.int64)),
+                "qsim": pa.array(qsim),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    prof = (
+        tagged.map_batches(profile, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("n", alias_name="size"), Sum("qsim", alias_name="qsim"))
+        .to_pandas()
+    )
+    km = pd.DataFrame(
+        {
+            "method": "kmeans",
+            "id": prof["cluster"].astype("int64"),
+            "v1": prof["size"].astype("float64"),
+            "v2": prof["qsim"].astype("float64"),
+        }
+    )
+    return pd.concat([pca, km], ignore_index=True)
+
+
 def dedup_exact_and_spans(sf_dir: str) -> ray.data.Dataset:
     """Document-level exact dedup AND substring-level duplicated spans in
     one oracled union (method column): 'doc' rows are (keep_id, dup_count)

@@ -167,3 +167,19 @@ def test_kmeans_k_larger_than_sample(ray_session, tmp_path):
     ds = read_table(str(d), "embeddings", columns=["vec_id", "embedding"])
     m = kmeans_fit(ds, k=16, iters=3, seed=2)
     assert m.centroids.shape[0] <= 4
+
+
+def test_embedding_analysis_merged_frame(ray_session, sf_dir):
+    """The registry's merged PCA + k-means profile: row shape, cluster sizes
+    sum to the corpus, quantized-sim determinism across calls and batchings."""
+    from epichypersketch_jl_ray.pipelines.merged import embedding_analysis
+    from epichypersketch_jl_ray.sources.tables import table_rows
+
+    out = embedding_analysis(sf_dir)
+    assert sorted(out.columns) == ["id", "method", "v1", "v2"]
+    km = out[out["method"] == "kmeans"].sort_values("id").reset_index(drop=True)
+    pca = out[out["method"] == "pca"]
+    assert len(pca) == 8 and (pca["v1"].to_numpy() >= 0).all()
+    assert int(km["v1"].sum()) == table_rows(sf_dir, "embeddings")
+    again = embedding_analysis(sf_dir)
+    assert out.equals(again)
