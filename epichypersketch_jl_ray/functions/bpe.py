@@ -234,7 +234,7 @@ def train_bpe_distributed(
     num_merges: int = 200,
     lowercase: bool = True,
     min_freq: int = 2,
-    max_words: int | None = None,
+    max_words: int | None = 1 << 20,
 ) -> BpeTokenizer:
     """EXACT corpus-wide BPE training: distributed word counts (the corpus
     is read once, the shuffle is distinct-word-scale), then the classic
@@ -244,7 +244,11 @@ def train_bpe_distributed(
     ``max_words`` is the 100 TB knob: keep only the top-N words by (count
     desc, word asc) before the driver loop — the standard frequency cap
     real tokenizer trainers apply when web-scale typo tails blow up the
-    distinct-word count. None (default) = no cap, fully exact."""
+    distinct-word count. The default (1<<20) bounds the one driver-side
+    ``take_all`` in this module by a constant instead of by the corpus'
+    distinct-word tail; pass ``max_words=None`` to opt out of the cap when
+    the vocabulary is known to be bounded (identical results whenever the
+    corpus has <= max_words distinct words, pinned in tests)."""
     wc = word_count_dataset(ds, column, lowercase=lowercase)
     if max_words is not None:
         wc = wc.sort(["count", "word"], descending=[True, False]).limit(max_words)

@@ -488,10 +488,17 @@ def domain_cap_sample(
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["doc_id"], dtype=np.int64)
-        src_hash = hash_strings_fast(batch["source"].combine_chunks())
-        mask = _keep_topk(src_hash, ids)
+        # group by a BATCH-LOCAL dictionary encoding of the source string —
+        # the batch is local, so no hash is needed and two domains can never
+        # share a quota (a 64-bit hash grouping could drop a global-top-k
+        # row on collision; the merge resolves by string but cannot recover
+        # rows the partial already dropped). The hash is used only for
+        # bucket ROUTING, where a collision just co-buckets two domains.
+        src = batch["source"].combine_chunks()
+        codes = np.asarray(pc.dictionary_encode(src).indices, dtype=np.int64)
+        mask = _keep_topk(codes, ids)
         kept = batch.filter(pa.array(mask))
-        kh = src_hash[mask]
+        kh = hash_strings_fast(kept["source"].combine_chunks())
         return pa.table(
             {
                 "source": kept["source"],

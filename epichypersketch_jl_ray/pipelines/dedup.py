@@ -232,6 +232,7 @@ def minhash_pairs(
     num_perms: int = 128,
     bands: int = 64,
     num_partitions: int = 8,
+    exact_prune_cap: int = 1 << 16,
 ) -> ray.data.Dataset:
     """Near-dup pairs via MinHash-LSH banding + DISTRIBUTED exact Jaccard
     verification, over any (doc_id, text) Dataset.
@@ -278,7 +279,11 @@ def minhash_pairs(
         .materialize()
     )
     return _verify_jaccard_pairs(
-        cand, shingles, threshold=threshold, num_partitions=num_partitions
+        cand,
+        shingles,
+        threshold=threshold,
+        num_partitions=num_partitions,
+        exact_prune_cap=exact_prune_cap,
     )
 
 
@@ -289,6 +294,7 @@ def _verify_jaccard_pairs(
     threshold: float,
     num_partitions: int = 8,
     dedupe_in_attach: bool = False,
+    exact_prune_cap: int = 1 << 16,
 ) -> ray.data.Dataset:
     """Shared exact-Jaccard verification tail: deduplicated candidate pairs
     (doc_a, doc_b) + the materialized shingle table -> verified pairs with
@@ -311,6 +317,11 @@ def _verify_jaccard_pairs(
     duplication factor is small (prefix filtering: ~1-2x); wrong when it is
     large (minhash banding: up to bands x — there, dedupe FIRST so the
     duplicate volume never enters the attach shuffle).
+
+    ``exact_prune_cap``: candidate-pair count up to which the semi-join
+    prune uses the exact broadcast-membership path instead of the HLL+Bloom
+    sketch path (set 0 to force the sketch path; equality of the two paths
+    is pinned in tests).
     """
     import pyarrow.compute as pc
 
@@ -347,23 +358,16 @@ def _verify_jaccard_pairs(
 
     n_docs = shingles.count()
 
-    if n_pairs <= (1 << 16):
+    if n_pairs <= exact_prune_cap:
         # small candidate set (the common near-dup case at any corpus size):
         # the distinct candidate-doc ids fit the driver EXACTLY — skip the
         # sketch pass entirely and prune by broadcast sorted-array membership
         # (one fewer Ray stage than the HLL+Bloom path, zero false positives)
-        ids = np.unique(
-            np.concatenate(
-                [
-                    np.asarray(b["doc_a"], dtype=np.int64)
-                    for b in cand.iter_batches(batch_format="pyarrow")
-                ]
-                + [
-                    np.asarray(b["doc_b"], dtype=np.int64)
-                    for b in cand.iter_batches(batch_format="pyarrow")
-                ]
-            )
-        )
+        id_chunks: list[np.ndarray] = []
+        for b in cand.iter_batches(batch_format="pyarrow"):
+            id_chunks.append(np.asarray(b["doc_a"], dtype=np.int64))
+            id_chunks.append(np.asarray(b["doc_b"], dtype=np.int64))
+        ids = np.unique(np.concatenate(id_chunks))
         if len(ids) < 0.5 * n_docs:
             ids_ref = ray.put(ids)
 

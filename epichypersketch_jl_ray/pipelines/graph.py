@@ -38,7 +38,7 @@ from ray.data.aggregate import Count, Sum
 
 from epichypersketch_jl_ray.sources.tables import read_table, table_rows
 from epichypersketch_jl_ray.stages.join import bucketed_hash_join
-from epichypersketch_jl_ray.stages.udaf import broadcast_get
+from epichypersketch_jl_ray.stages.udaf import broadcast_evict, broadcast_get
 
 FP_ONE = 10**9
 DAMP_NUM = 85
@@ -195,10 +195,17 @@ def pagerank_fixedpoint(
         driver_combine = len(nodes) <= driver_node_cap
 
     rank = np.full(len(nodes), FP_ONE, dtype=np.int64)
+    prev_ref = None
     for _ in range(n_iters):
         contrib_ref = ray.put(rank // deg)
 
-        def attach(batch: pa.Table, *, _c=contrib_ref) -> pa.Table:
+        def attach(batch: pa.Table, *, _c=contrib_ref, _p=prev_ref) -> pa.Table:
+            if _p is not None:
+                # only the latest contribution vector is ever re-read:
+                # evict the superseded iteration's node-scale entry from
+                # this worker's broadcast memo instead of letting n_iters
+                # vectors accumulate (bounded-LRU backstop notwithstanding)
+                broadcast_evict(_p)
             node_ids = broadcast_get(nodes_ref)
             contrib = broadcast_get(_c)
             src = np.asarray(batch["src"], dtype=np.int64)
@@ -228,6 +235,7 @@ def pagerank_fixedpoint(
             dst = np.array([r["dst"] for r in sums], dtype=np.int64)
             s = np.array([r["s"] for r in sums], dtype=np.int64)
             rank[np.searchsorted(nodes, dst)] += (DAMP_NUM * s) // DAMP_DEN
+        prev_ref = contrib_ref
     return nodes, rank
 
 

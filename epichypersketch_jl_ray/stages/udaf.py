@@ -214,18 +214,39 @@ def sketch_dataset(
 # on every call instead of returning zero-copy plasma views — a per-batch
 # ray.get in a pass-2 stage re-paid that decode per batch (measured 40x on
 # the sf0.1 k=4 motif select: 0.5 s -> 29 s). Memoize the deserialized
-# object per worker process, keyed by the ref; entries live as long as the
-# worker, which is exactly the lifetime the broadcast needs.
-_BROADCAST_CACHE: dict = {}
+# object per worker process, keyed by the ref. Bounded LRU: iterative
+# engines (PageRank) broadcast a fresh node-scale vector per iteration,
+# and an unbounded cache would pin every iteration's vector in every
+# long-lived worker for the whole session.
+from collections import OrderedDict
+
+_BROADCAST_CACHE: OrderedDict = OrderedDict()
+_BROADCAST_CACHE_MAX = 32
 
 
 def broadcast_get(ref):
     """ray.get memoized per worker process — use for every per-batch read of
     a ray.put sketch/state broadcast (plain numpy broadcasts stay zero-copy
-    through vanilla ray.get and don't need this)."""
+    through vanilla ray.get and don't need this). The memo is a small LRU;
+    callers that broadcast a sequence of one-shot values (one per iteration)
+    should also broadcast_evict the superseded ref."""
     import ray
 
     key = ref.hex() if hasattr(ref, "hex") else ref
-    if key not in _BROADCAST_CACHE:
-        _BROADCAST_CACHE[key] = ray.get(ref)
-    return _BROADCAST_CACHE[key]
+    if key in _BROADCAST_CACHE:
+        _BROADCAST_CACHE.move_to_end(key)
+        return _BROADCAST_CACHE[key]
+    value = ray.get(ref)
+    _BROADCAST_CACHE[key] = value
+    while len(_BROADCAST_CACHE) > _BROADCAST_CACHE_MAX:
+        _BROADCAST_CACHE.popitem(last=False)
+    return value
+
+
+def broadcast_evict(ref) -> None:
+    """Drop a broadcast entry from THIS process' cache. Worker processes
+    evict lazily via the LRU bound; call this on the driver (and in stages
+    that know a ref is superseded) for deterministic release of node-scale
+    one-iteration values."""
+    key = ref.hex() if hasattr(ref, "hex") else ref
+    _BROADCAST_CACHE.pop(key, None)

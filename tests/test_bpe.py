@@ -117,6 +117,26 @@ def test_distributed_training_max_words_cap(ray_session):
     assert got.merges == want
 
 
+def test_distributed_training_default_cap_is_finite(ray_session):
+    """The DEFAULT max_words is a finite constant (the one driver-side
+    take_all in bpe.py is corpus-bounded otherwise), and capped-by-default
+    training is byte-identical to an explicit uncapped run whenever the
+    distinct-word count is under the cap."""
+    import inspect
+    import ray
+
+    from epichypersketch_jl_ray.functions.bpe import train_bpe_distributed
+
+    default = inspect.signature(train_bpe_distributed).parameters["max_words"].default
+    assert default is not None and 0 < default <= 1 << 24
+
+    docs = [f"capped default training sample {i % 11} tokens" for i in range(90)]
+    ds = ray.data.from_items([{"text": t} for t in docs])
+    capped = train_bpe_distributed(ds, "text", num_merges=50)
+    uncapped = train_bpe_distributed(ds, "text", num_merges=50, max_words=None)
+    assert capped.merges == uncapped.merges
+
+
 def test_bpe_trained_counts_pipeline(ray_session, sf_dir):
     """The doc_lang_fingerprints BPE column: corpus-trained tokenizer counts
     equal direct local encode for every doc."""

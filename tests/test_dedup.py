@@ -44,6 +44,27 @@ def test_minhash_lsh_matches_exact_jaccard(ray_session, sf_dir):
     assert got == want
 
 
+def test_minhash_sketch_prune_path_equals_exact_path(ray_session, sf_dir):
+    """exact_prune_cap=0 forces the HLL+Bloom semi-join prune (the fallback
+    the sf fixtures never reach on their own — they produce few candidate
+    pairs); its verified output must equal the exact broadcast-membership
+    path, pair for pair with matching Jaccard values."""
+    import ray
+
+    from epichypersketch_jl_ray.pipelines.dedup import minhash_pairs
+    from epichypersketch_jl_ray.sources.tables import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+    exact = minhash_pairs(docs).to_pandas()
+    sketch = minhash_pairs(docs, exact_prune_cap=0).to_pandas()
+    cols = ["doc_a", "doc_b"]
+    exact = exact.sort_values(cols).reset_index(drop=True)
+    sketch = sketch.sort_values(cols).reset_index(drop=True)
+    assert len(exact) > 0
+    assert exact[cols].equals(sketch[cols])
+    assert (exact["jaccard"] - sketch["jaccard"]).abs().max() < 1e-12
+
+
 def test_minhash_lsh_distributed_verification_at_10x_candidates(ray_session, tmp_path):
     """The distributed verification path (bucketed attach + vectorized
     Jaccard) at ~10x the sf-fixture candidate-pair count: 40 near-dup

@@ -223,3 +223,27 @@ def test_heavy_ngrams_exact_verify_survives_coarse_sketch(ray_session, sf_dir):
         cols = sorted(df.columns)
         outs.append(df[cols].sort_values(cols).reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_broadcast_cache_is_bounded_lru(ray_session):
+    """The per-worker broadcast memo must not grow with the number of
+    broadcasts in a session: iterative engines put one node-scale vector
+    per iteration, so the cache is a bounded LRU with explicit eviction
+    for superseded refs."""
+    import ray
+
+    from epichypersketch_jl_ray.stages import udaf
+
+    udaf._BROADCAST_CACHE.clear()
+    refs = [ray.put(i) for i in range(udaf._BROADCAST_CACHE_MAX + 10)]
+    for i, r in enumerate(refs):
+        assert udaf.broadcast_get(r) == i
+    assert len(udaf._BROADCAST_CACHE) == udaf._BROADCAST_CACHE_MAX
+    # oldest entries evicted, newest retained (and still readable via ray.get)
+    assert udaf.broadcast_get(refs[-1]) == len(refs) - 1
+    assert udaf.broadcast_get(refs[0]) == 0  # re-fetch after eviction works
+    # explicit eviction of a superseded ref drops it immediately
+    udaf.broadcast_evict(refs[-1])
+    key = refs[-1].hex()
+    assert key not in udaf._BROADCAST_CACHE
+    udaf._BROADCAST_CACHE.clear()

@@ -139,3 +139,39 @@ def test_domain_cap_sample_matches_sql(ray_session, sf_dir):
     )
     exp["doc_id"] = exp["doc_id"].astype("int64")
     assert got.equals(exp)
+
+def test_domain_cap_sample_exact_under_total_hash_collision(ray_session, sf_dir, monkeypatch):
+    """The partial groups by batch-local dictionary codes of the STRING;
+    hashes only route merge buckets. Force EVERY domain hash to collide —
+    the result must still match the exact window-SQL oracle (a hash-grouped
+    partial would share one quota across all domains and drop rows)."""
+    import numpy as np
+    from oracle_util import duck_con
+
+    from epichypersketch_jl_ray.pipelines import curate
+
+    def all_collide(arr):
+        return np.zeros(len(arr), dtype=np.uint64)
+
+    # domain_cap_sample imports hash_strings_fast at call time on the
+    # driver; the patched function is captured by the partial closure and
+    # shipped to the workers with it
+    import epichypersketch_jl_ray.functions.hashing as hashing
+
+    monkeypatch.setattr(hashing, "hash_strings_fast", all_collide)
+
+    got = (
+        curate.domain_cap_sample(sf_dir, k=4, batch_size=7)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    con = duck_con(sf_dir)
+    exp = (
+        con.execute(curate.domain_cap_sample_sql(k=4))
+        .df()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    exp["doc_id"] = exp["doc_id"].astype("int64")
+    assert got.equals(exp)
