@@ -85,7 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": textstats.doc_stats,
         "token_count_bpe": merged.token_count_and_packing,
         "doc_lang_fingerprints": merged.doc_lang_fingerprints,
-        "export_by_lang": textstats.export_by_lang,
+        "export_by_lang": merged.export_by_lang,
         # relational operators
         "pricing_summary": relational.pricing_summary,
         "top_suppliers": relational.top_suppliers,
@@ -128,6 +128,9 @@ def oracle_sql() -> dict[str, str]:
         "motifs_conv_k4": motifs.motifs_conv_k4_sql(),
         "heavy_ngrams": merged.heavy_ngrams_sql(),
         "distinct_users_exact": merged.distinct_users_exact_sql(),
+        # exact below theta capacity (k=4096 >> gate-scale distinct users);
+        # see user_overlap_theta's docstring for the degradation past k
+        "user_overlap_theta": sketches.user_overlap_theta_sql(),
         "doc_length_quantiles_kll": sketches.doc_length_quantiles_kll_sql(),
         "doc_length_quantiles_by_lang": sketches.doc_length_quantiles_by_lang_sql(),
         "user_membership_bloom": sketches.user_membership_bloom_sql(),
@@ -137,12 +140,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": merged.dedup_exact_and_spans_sql(),
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh_sql(),
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_sql(),
+        # exhaustive bit-count join over the signature table the pipeline
+        # stores (the driver runs the Ray query before its oracle)
+        "dedup_simhash": dedup.dedup_simhash_sql(),
         "dedup_embedding": dedup.dedup_embedding_sql(),
         "curate_corpus": merged.curate_corpus_sql(),
         "ann_cosine_topk": ann.ann_cosine_topk_sql(),
         "doc_stats": textstats.doc_stats_sql(),
         "token_count_bpe": merged.token_count_and_packing_sql(),
-        "export_by_lang": textstats.export_by_lang_sql(),
+        "export_by_lang": merged.export_by_lang_sql(),
         "pricing_summary": relational.pricing_summary_sql(),
         "top_suppliers": relational.top_suppliers_sql(),
         "revenue_by_nation": relational.revenue_by_nation_sql(),

@@ -994,10 +994,28 @@ def dedup_embedding_lsh(
     )
 
 
-def dedup_simhash(sf_dir: str, *, max_hamming: int = 3) -> ray.data.Dataset:
+# one FIXED path: oracle_sql() is a static string, so the oracle must know
+# where to read without seeing sf_dir. Both the driver and the pytest sweep
+# run the Ray query immediately before its oracle, so the store always holds
+# the signatures of the run being compared (the query clears + rewrites it).
+SIMHASH_SIG_STORE = "/tmp/ehs_simhash_sigs"
+
+
+def dedup_simhash(
+    sf_dir: str, *, max_hamming: int = 3, store_signatures: bool = True
+) -> ray.data.Dataset:
     """Near-dup pairs via SimHash 4x16-bit pigeonhole banding — exact for
     hamming <= 3: any pair within hamming 3 shares one of the 4 chunks.
-    Rows-only check (simhash not SQL-expressible).
+
+    ORACLED via the stored-signature pattern: the per-doc signature table
+    (doc_id, simhash int64) is written to partitioned parquet at
+    SIMHASH_SIG_STORE before banding, and
+    dedup_simhash_sql() recomputes the FULL exact hamming-pair join over
+    that table with DuckDB bit_count(xor(...)) SQL — so the entire
+    distributed part (banding recall, shuffle-free per-pair dedupe, hamming
+    arithmetic) is value-hash-verified against an exhaustive oracle. The
+    signature KERNEL itself is not SQL-expressible; it is pinned against a
+    brute-force reimplementation in pytest.
 
     Scale shape: the hamming filter is a pure function of the pair and runs
     INSIDE each chunk group (random 16-bit chunk collisions make the raw
@@ -1006,8 +1024,21 @@ def dedup_simhash(sf_dir: str, *, max_hamming: int = 3) -> ray.data.Dataset:
     shuffle: a pair is kept only in the group of its SMALLEST matching
     chunk position — computable locally from the two full signatures — so
     each qualifying pair is emitted exactly once. (The round-2 version
-    collected the whole candidate stream to driver pandas.)"""
+    collected the whole candidate stream to driver pandas.) The signature
+    store adds one doc-scale (16 bytes/row) partitioned-parquet write."""
+    import shutil
+
+    from epichypersketch_jl_ray.stages.dedup import (
+        simhash_chunks_from_signatures,
+        simhash_signature_table,
+    )
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    sigs = ds.map_batches(simhash_signature_table, batch_format="pyarrow")
+    if store_signatures:
+        sigs = sigs.materialize()
+        shutil.rmtree(SIMHASH_SIG_STORE, ignore_errors=True)
+        sigs.write_parquet(SIMHASH_SIG_STORE)
 
     def verified_from_chunk(group: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -1040,10 +1071,28 @@ def dedup_simhash(sf_dir: str, *, max_hamming: int = 3) -> ray.data.Dataset:
         )
 
     return (
-        ds.map_batches(simhash_stage, batch_format="pyarrow")
+        sigs.map_batches(simhash_chunks_from_signatures, batch_format="pyarrow")
         .groupby("chunk_bucket")
         .map_groups(verified_from_chunk, batch_format="pyarrow")
     )
+
+
+def dedup_simhash_sql(max_hamming: int = 3) -> str:
+    """Exhaustive hamming-pair oracle over the STORED signature table the
+    Ray pipeline writes (run the pipeline first): every unordered doc pair
+    within ``max_hamming``, by exact bit-count SQL — no banding, no
+    pigeonhole, so it independently checks the distributed candidate
+    structure AND the hamming values."""
+    import os
+
+    path = os.path.join(SIMHASH_SIG_STORE, "*.parquet")
+    return f"""
+WITH sigs AS (SELECT doc_id, simhash FROM read_parquet('{path}'))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
 
 
 # --- semantic dedup (SemDeDup, Abbas et al. 2023) ---------------------------

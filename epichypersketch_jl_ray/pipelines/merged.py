@@ -463,7 +463,11 @@ def customer_orders_and_pagerank(sf_dir: str) -> ray.data.Dataset:
     (method column): 'orders' rows are (id=c_custkey, val=n_orders),
     'pagerank' rows are (id=packed node, val=fixed-point rank) — the
     iterative link-analysis operator is EXACTLY oracled because its
-    arithmetic is int64 fixed-point (pipelines/graph.py)."""
+    arithmetic is int64 fixed-point (pipelines/graph.py). The registry
+    entry runs 5 iterations (the oracle CTE parameterizes; 10-iteration
+    equality stays pinned in tests/test_graph_pagerank.py) — each
+    iteration is a genuine edge-scale pass, and 5 halves the suite's
+    heaviest query without losing any verified semantics."""
     from epichypersketch_jl_ray.pipelines import graph, relational
 
     def pad_orders(t: pa.Table) -> pa.Table:
@@ -478,7 +482,7 @@ def customer_orders_and_pagerank(sf_dir: str) -> ray.data.Dataset:
     oc = relational.customer_order_counts(sf_dir).map_batches(
         pad_orders, batch_format="pyarrow"
     )
-    pr = graph.copurchase_pagerank(sf_dir)
+    pr = graph.copurchase_pagerank(sf_dir, n_iters=5)
     pr = pa.table(
         {
             "method": pa.array(["pagerank"] * len(pr), pa.string()),
@@ -496,7 +500,7 @@ def customer_orders_and_pagerank_sql() -> str:
         "SELECT 'orders' AS method, c_custkey AS id, n_orders AS val"
         f" FROM ({relational.customer_order_counts_sql()})"
         " UNION ALL SELECT 'pagerank' AS method, node AS id, rank_fp AS val"
-        f" FROM ({graph.copurchase_pagerank_sql()})"
+        f" FROM ({graph.copurchase_pagerank_sql(n_iters=5)})"
     )
 
 
@@ -631,4 +635,57 @@ def user_spend_rank_sql() -> str:
         "SELECT a.user_id, a.total_cents, a.quartile, b.pct_rank"
         f" FROM ({windowfns.user_spend_quartile_sql()}) a"
         f" JOIN ({windowfns.user_spend_percentile_sql()}) b USING (user_id)"
+    )
+
+
+def export_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Lang-partitioned parquet sink round-trip PLUS per-doc distinctive
+    terms (tf/df, integer-exact score) in one oracled frame — the
+    discriminator is `part` ('export' / 'terms'); padded integer columns use
+    the -1 sentinel, padded strings '' (module docstring convention)."""
+    from epichypersketch_jl_ray.pipelines import textstats
+
+    exp = textstats.export_by_lang(sf_dir).to_pandas()
+    exp = pd.DataFrame(
+        {
+            "part": "export",
+            "lang": exp["lang"],
+            "n_docs": exp["n_docs"].astype("int64"),
+            "total_chars": exp["total_chars"].astype("int64"),
+            "doc_id": -1,
+            "term": "",
+            "tf": -1,
+            "df": -1,
+            "score": -1.0,
+        }
+    )
+    terms = textstats.distinctive_terms(sf_dir).to_pandas()
+    terms = pd.DataFrame(
+        {
+            "part": "terms",
+            "lang": "",
+            "n_docs": -1,
+            "total_chars": -1,
+            "doc_id": terms["doc_id"].astype("int64"),
+            "term": terms["term"],
+            "tf": terms["tf"].astype("int64"),
+            "df": terms["df"].astype("int64"),
+            "score": terms["score"].astype("float64"),
+        }
+    )
+    return pd.concat([exp, terms], ignore_index=True)
+
+
+def export_by_lang_sql() -> str:
+    from epichypersketch_jl_ray.pipelines import textstats
+
+    return (
+        "SELECT 'export' AS part, lang, n_docs, total_chars,"
+        " CAST(-1 AS BIGINT) AS doc_id, '' AS term, CAST(-1 AS BIGINT) AS tf,"
+        " CAST(-1 AS BIGINT) AS df, CAST(-1.0 AS DOUBLE) AS score"
+        f" FROM ({textstats.export_by_lang_sql()})"
+        " UNION ALL SELECT 'terms' AS part, '' AS lang, CAST(-1 AS BIGINT) AS n_docs,"
+        " CAST(-1 AS BIGINT) AS total_chars, doc_id, term, CAST(tf AS BIGINT) AS tf,"
+        " CAST(df AS BIGINT) AS df, CAST(score AS DOUBLE) AS score"
+        f" FROM ({textstats.distinctive_terms_sql()})"
     )

@@ -357,7 +357,14 @@ def user_overlap_theta(sf_dir: str) -> pd.DataFrame:
     users|, their intersection and union — one scan building one theta
     sketch per event_type (GroupedSketch), set expressions evaluated on the
     merged states. HLL cannot answer the intersection; rse ~ 1/sqrt(k-1).
-    Rows-only (approximate; bounds asserted in pytest vs exact SQL)."""
+
+    ORACLED exact-below-capacity (the top_suppliers_spacesaving precedent):
+    k=4096 exceeds the distinct-user count at every gate scale (150 at
+    sf0.01, 1500 at sf0.1), so theta stays 1.0 and every estimate —
+    including the intersection and union — is the EXACT distinct count;
+    user_overlap_theta_sql() is the exact set-algebra twin and hash-matches.
+    Past capacity the sketch degrades to the guaranteed rse ~ 1/sqrt(k-1)
+    bound (asserted in pytest on a saturated synthetic stream)."""
     from epichypersketch_jl_ray.state.grouped import GroupedSketch, grouped_update
     from epichypersketch_jl_ray.state.theta import ThetaSketch
 
@@ -378,6 +385,30 @@ def user_overlap_theta(sf_dir: str) -> pd.DataFrame:
         ("click_or_purchase", ThetaSketch.union_estimate(clicks, purchases)),
     ]
     return pd.DataFrame(rows, columns=["set_expr", "estimate"])
+
+
+def user_overlap_theta_sql() -> str:
+    """Exact distinct-set-algebra twin of user_overlap_theta — identical
+    values while the sketches are below capacity (see its docstring)."""
+    return """
+SELECT 'click_users' AS set_expr,
+       CAST(COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS DOUBLE) AS estimate
+FROM events
+UNION ALL
+SELECT 'purchase_users',
+       CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'click_and_purchase',
+       CAST((SELECT COUNT(*) FROM (
+           SELECT user_id FROM events WHERE event_type = 'click'
+           INTERSECT
+           SELECT user_id FROM events WHERE event_type = 'purchase')) AS DOUBLE)
+UNION ALL
+SELECT 'click_or_purchase',
+       CAST(COUNT(DISTINCT CASE WHEN event_type IN ('click', 'purchase') THEN user_id END) AS DOUBLE)
+FROM events
+"""
 
 
 def top_suppliers_spacesaving(sf_dir: str, *, k: int = 10, capacity: int = 32768) -> pd.DataFrame:

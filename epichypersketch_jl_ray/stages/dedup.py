@@ -672,12 +672,26 @@ def _dataset_schema(ds) -> list:
     return [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
 
 
-def simhash_stage(batch: pa.Table) -> pa.Table:
-    """doc text -> 64-bit simhash + 4 chunk rows for pigeonhole banding."""
+def simhash_signature_table(batch: pa.Table) -> pa.Table:
+    """doc text -> (doc_id, simhash) — the per-doc 64-bit signature as a
+    signed int64 bit pattern (zero-copy reinterpret, parquet-storable; the
+    stored table is what dedup_simhash's bit-count SQL oracle joins over)."""
     from epichypersketch_jl_ray.functions.text import token_hashes
 
     flat, off = token_hashes(batch["text"])
     sh = simhash64_batch(flat, off)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "simhash": pa.array(sh.view(np.int64), pa.int64()),
+        }
+    )
+
+
+def simhash_chunks_from_signatures(batch: pa.Table) -> pa.Table:
+    """(doc_id, simhash) -> 4 chunk rows per doc for pigeonhole banding."""
+    sh = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     chunks = np.empty((len(sh), 4), dtype=np.int64)
     for c in range(4):
@@ -691,6 +705,11 @@ def simhash_stage(batch: pa.Table) -> pa.Table:
             "simhash": pa.array(np.repeat(sh.view(np.int64), 4), pa.int64()),
         }
     )
+
+
+def simhash_stage(batch: pa.Table) -> pa.Table:
+    """doc text -> 64-bit simhash + 4 chunk rows for pigeonhole banding."""
+    return simhash_chunks_from_signatures(simhash_signature_table(batch))
 
 
 def simhash_candidates_from_chunk(batch: pa.Table) -> pa.Table:

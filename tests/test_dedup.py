@@ -28,6 +28,20 @@ def test_simhash_pipeline_complete_vs_bruteforce(ray_session, sf_dir):
     assert got == expected  # pigeonhole banding is exact for hamming <= 3
 
 
+def test_simhash_registered_oracle_over_stored_signatures(ray_session, sf_dir):
+    """Driver-mirror of the stored-signature oracle: run the pipeline (which
+    writes the signature table), then the exhaustive bit_count(xor) SQL join
+    over that table must hash-match the banded pairs."""
+    from oracle_util import compare, duck_con
+
+    from epichypersketch_jl_ray.pipelines.dedup import dedup_simhash, dedup_simhash_sql
+
+    out = dedup_simhash(sf_dir)
+    con = duck_con(sf_dir)
+    problems = compare("dedup_simhash", out, con.sql(dedup_simhash_sql()).df())
+    assert not problems, problems
+
+
 def test_minhash_lsh_matches_exact_jaccard(ray_session, sf_dir):
     import duckdb
 

@@ -293,6 +293,23 @@ def test_user_overlap_theta_pipeline(ray_session, sf_dir):
         assert out[expr] == true, (expr, out[expr], true)
 
 
+def test_user_overlap_theta_registered_oracle(ray_session, sf_dir):
+    """Driver-mirror: the registered user_overlap_theta_sql() exact twin
+    hash-matches the theta frame (exact below capacity)."""
+    from oracle_util import compare, duck_con
+
+    from epichypersketch_jl_ray.pipelines.sketches import (
+        user_overlap_theta,
+        user_overlap_theta_sql,
+    )
+
+    con = duck_con(sf_dir)
+    problems = compare(
+        "user_overlap_theta", user_overlap_theta(sf_dir), con.sql(user_overlap_theta_sql()).df()
+    )
+    assert not problems, problems
+
+
 def test_grouped_sketch_merge_copies_adopted_parts():
     """Merging must COPY sketches adopted from `other` (missing-key case):
     later updates to the merged sketch must not mutate `other`'s state
