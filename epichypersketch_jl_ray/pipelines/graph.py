@@ -273,20 +273,46 @@ class _EdgeShard:
 
 
 def _iterate_actor_shards(
-    edges: ray.data.Dataset, nodes: np.ndarray, deg: np.ndarray, *, n_iters: int
+    edges: ray.data.Dataset,
+    nodes: np.ndarray,
+    deg: np.ndarray,
+    *,
+    n_iters: int,
+    _iteration_hook=None,
 ) -> np.ndarray:
+    """Fault tolerance: a shard's state is a pure function of its edge-block
+    refs, which stay pinned in the (materialized) edges Dataset for the whole
+    run — so when an actor dies mid-iteration (node loss, OOM kill), the
+    shard is re-created FROM THE SAME REFS and its partial retried, and the
+    result is byte-identical to an undisturbed run (pinned in tests via
+    ``_iteration_hook``, which the kill test uses to murder an actor between
+    iterations). A shard that dies twice in one iteration propagates the
+    error — at that point the caller should fall back to the Dataset engine.
+    """
     refs = edges.to_arrow_refs()
     n_shards = max(1, min(len(refs), int(ray.cluster_resources().get("CPU", 8))))
-    chunks = np.array_split(np.arange(len(refs)), n_shards)
+    chunks = [c for c in np.array_split(np.arange(len(refs)), n_shards) if len(c)]
     nodes_ref = ray.put(nodes)
-    shards = [
-        _EdgeShard.remote([refs[i] for i in c], nodes_ref) for c in chunks if len(c)
-    ]
+
+    def make_shard(chunk: np.ndarray):
+        return _EdgeShard.remote([refs[i] for i in chunk], nodes_ref)
+
+    shards = [make_shard(c) for c in chunks]
     rank = np.full(len(nodes), FP_ONE, dtype=np.int64)
-    for _ in range(n_iters):
+    for it in range(n_iters):
+        if _iteration_hook is not None:
+            _iteration_hook(it, shards)
         contrib_ref = ray.put(rank // deg)
-        partials = ray.get([s.partial.remote(contrib_ref) for s in shards])
-        s_acc = np.sum(np.stack(partials), axis=0, dtype=np.int64)
+        futures = [s.partial.remote(contrib_ref) for s in shards]
+        s_acc = np.zeros(len(nodes), dtype=np.int64)
+        for i, f in enumerate(futures):
+            try:
+                part = ray.get(f)
+            except ray.exceptions.RayActorError:
+                # re-ingest the shard from the pinned edge blocks and retry
+                shards[i] = make_shard(chunks[i])
+                part = ray.get(shards[i].partial.remote(contrib_ref))
+            s_acc += part
         rank = BASE + (DAMP_NUM * s_acc) // DAMP_DEN
     for s in shards:
         ray.kill(s)

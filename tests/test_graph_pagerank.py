@@ -106,3 +106,41 @@ def test_empty_edge_set(ray_session):
     for engine in ("actors", "dataset"):
         nodes, rank = pagerank_fixedpoint(empty, n_iters=3, engine=engine)
         assert len(nodes) == 0 and len(rank) == 0
+
+
+def test_actor_engine_survives_shard_kill(ray_session):
+    """Kill an _EdgeShard actor mid-run: the engine re-ingests the shard
+    from the pinned edge blocks and the result is byte-identical to an
+    undisturbed run (and to the Dataset engine)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from epichypersketch_jl_ray.pipelines.graph import (
+        _iterate_actor_shards,
+        pagerank_fixedpoint,
+    )
+
+    und = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 1), (2, 5), (4, 1)]
+    edges = und + [(b, a) for a, b in und]
+    ds = ray.data.from_items([{"src": s, "dst": d} for s, d in edges]).repartition(4)
+
+    nodes_ref, rank_ref = pagerank_fixedpoint(ds, n_iters=7, engine="dataset")
+
+    mat = ds.materialize()
+    deg_rows = mat.groupby("src").aggregate(Count(alias_name="d")).take_all()
+    nodes = np.array(sorted(r["src"] for r in deg_rows), dtype=np.int64)
+    deg = np.array(
+        [d for _, d in sorted((r["src"], r["d"]) for r in deg_rows)], dtype=np.int64
+    )
+    assert np.array_equal(nodes, nodes_ref)
+
+    killed = []
+
+    def kill_one(it, shards):
+        if it == 3 and shards:
+            ray.kill(shards[0], no_restart=True)
+            killed.append(True)
+
+    rank = _iterate_actor_shards(mat, nodes, deg, n_iters=7, _iteration_hook=kill_one)
+    assert killed, "hook never fired"
+    assert np.array_equal(rank, rank_ref)
