@@ -59,3 +59,27 @@ def test_corpus_to_training_data_example(ray_session, tmp_path):
         " WHERE n = 128"
     ).fetchone()[0]
     assert full >= stats["n_sequences"] - 1
+
+
+def test_warc_to_training_shards_example(ray_session, tmp_path):
+    """The full crawl->training-shards chain: curation arithmetic holds AND
+    every survivor token lands in exactly one packed slice (the function
+    raises on conservation violation or doc-id collision)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/examples")
+    from warc_to_corpus import make_fixture_warc
+    from warc_to_training_shards import warc_to_training_shards
+
+    plan = make_fixture_warc(str(tmp_path / "warc"), n_docs=120, n_shards=4)
+    stats = warc_to_training_shards(
+        str(tmp_path / "warc"), str(tmp_path / "out"), seq_len=64, seqs_per_shard=8
+    )
+    expect = plan["n_docs"] - plan["n_dup"] - plan["n_short"] - plan["n_spam"]
+    assert stats["n_curated"] == expect
+    assert stats["total_sliced"] == stats["total_tokens"] > 0
+    assert stats["n_slices"] >= stats["total_tokens"] // 64
+    # resumable layout: shard dirs on disk
+    import os
+
+    assert any(d.startswith("shard=") for d in os.listdir(stats["out_dir"]))
