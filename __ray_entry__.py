@@ -137,6 +137,9 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams_spacesaving": merged.top_ngrams_spacesaving_sql(),
         "doc_sample": merged.doc_sample_sql(),
         "top_suppliers_spacesaving": sketches.top_suppliers_spacesaving_sql(),
+        # exact below majority-collision load (fixed seeds; verified at
+        # sf0.001/0.01/0.1) — the same contract as the SpaceSaving row
+        "top_suppliers_countsketch": sketches.top_suppliers_countsketch_sql(),
         "dedup_exact": merged.dedup_exact_and_spans_sql(),
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh_sql(),
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard_sql(),

@@ -457,9 +457,16 @@ def top_suppliers_countsketch(
     a median-of-rows unbiased estimate — the classic candidate+refine
     pairing for skewed streams where CMS-style counters systematically
     overestimate. Both sketches build in ONE shared pass over lineitem
-    (a 2-tuple partial under the same UDAF merge). Rows-only check (the
-    estimate is randomized; unbiasedness and the eps*||f||_2 bound are
-    pytest-asserted against the exact oracle)."""
+    (a 2-tuple partial under the same UDAF merge).
+
+    ORACLED exact-below-load (the top_suppliers_spacesaving contract): the
+    median-of-rows estimate for a key is exact unless a MAJORITY of the
+    sketch's rows hash another live key into that key's bucket — with
+    gate-scale distinct-supplier counts against the eps=0.005 width the
+    majority-collision probability is negligible and the seeds are fixed,
+    so the frame hash-matches the exact revenue SQL at sf0.001/0.01/0.1
+    (verified); past that load the eps*||f||_2 bound applies
+    (pytest-asserted on a saturated stream)."""
     from epichypersketch_jl_ray.state.countsketch import CountSketch
     from epichypersketch_jl_ray.state.spacesaving import SpaceSaving
     from epichypersketch_jl_ray.state.tuplestate import TupleState
@@ -495,6 +502,17 @@ def top_suppliers_countsketch(
             "l_suppkey": ss.keys[order].astype(np.int64),
             "revenue_cents_est": est[order].astype(np.int64),
         }
+    )
+
+
+def top_suppliers_countsketch_sql(k: int = 10) -> str:
+    """Exact twin while below majority-collision load (see the pipeline's
+    docstring); the alias keeps the estimator's column name."""
+    from epichypersketch_jl_ray.pipelines.relational import top_suppliers_sql
+
+    return (
+        "SELECT l_suppkey, revenue_cents AS revenue_cents_est"
+        f" FROM ({top_suppliers_sql(k)})"
     )
 
 
