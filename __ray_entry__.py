@@ -128,6 +128,9 @@ def oracle_sql() -> dict[str, str]:
         "motifs_conv_k4": motifs.motifs_conv_k4_sql(),
         "heavy_ngrams": merged.heavy_ngrams_sql(),
         "distinct_users_exact": merged.distinct_users_exact_sql(),
+        # register-level HLL oracle: recomputes hash->bucket->rho->max->linear
+        # counting entirely in SQL; exact in the linear-counting regime
+        "distinct_users_hll": merged.distinct_users_hll_sql(),
         # exact below theta capacity (k=4096 >> gate-scale distinct users);
         # see user_overlap_theta's docstring for the degradation past k
         "user_overlap_theta": sketches.user_overlap_theta_sql(),

@@ -67,16 +67,77 @@ def distinct_users_exact_sql() -> str:
 
 
 def distinct_users_hll(sf_dir: str) -> pd.DataFrame:
-    """Grouped + overall HLL distinct estimates in one frame (overall as
-    event_type='*'). Rows-only (approximate); accuracy vs exact in pytest."""
+    """Grouped + overall HLL distinct estimates (overall as event_type='*'),
+    WITH the register arrays dumped — FULLY oracled at the register level.
+
+    Rows: (event_type, bucket, value) where bucket >= 0 rows carry the
+    nonzero HLL registers (value = rho, the 1-based leftmost-1 position in
+    the low 64-p hash bits, max-merged per bucket) and the bucket = -1 row
+    carries the estimate. distinct_users_hll_sql() recomputes the ENTIRE
+    sketch in DuckDB: hash_int64 bit-for-bit (HUGEINT modular splitmix64),
+    bucket = h >> 50, rho via bin()-length, max per bucket, then linear
+    counting m*ln(m/V). The estimate row hash-matches because the
+    linear-counting branch uses scalar libm log (state/hll.py), bit-identical
+    to DuckDB ln over the full V domain (pinned in tests). Oracle validity:
+    the linear-counting regime (E <= 2.5m, V > 0) — true by orders of
+    magnitude at every gate scale (<= 1.5k users vs m = 16384); beyond it
+    the raw-estimate branch's float sum is order-sensitive and the sketch
+    falls back to rows-only semantics."""
+    import numpy as np
+
     from epichypersketch_jl_ray.pipelines import sketches
 
-    by = sketches.distinct_users_by_type(sf_dir)
-    overall = sketches.distinct_users_hll(sf_dir)
-    row = pd.DataFrame(
-        {"event_type": ["*"], "distinct_users_est": overall["distinct_users_est"]}
+    grouped = sketches._distinct_users_by_type_sketches(sf_dir)
+    overall = sketches._distinct_users_hll_sketch(sf_dir)
+    frames = []
+    for etype, sk in [*((t, grouped.parts[t]) for t in grouped.keys()), ("*", overall)]:
+        nz = np.nonzero(sk.registers)[0]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "event_type": etype,
+                    "bucket": nz.astype("int64"),
+                    "value": sk.registers[nz].astype(np.float64),
+                }
+            )
+        )
+        frames.append(
+            pd.DataFrame(
+                {"event_type": [etype], "bucket": [-1], "value": [float(sk.estimate())]}
+            )
+        )
+    return pd.concat(frames, ignore_index=True)
+
+
+def distinct_users_hll_sql(p: int = 14) -> str:
+    """Pure-SQL recomputation of the p=14 user_id HLL (see distinct_users_hll)."""
+    from epichypersketch_jl_ray.pipelines.sketches import SEED
+
+    m = 1 << p
+    low = 1 << (64 - p)  # 2^50: low-bit window holding rho
+    width = 64 - p
+    chain = _sql_splitmix64_chain(
+        SEED, table="events", key="user_id", carry="event_type", out="h"
     )
-    return pd.concat([by, row], ignore_index=True)
+    return f"""
+WITH {chain},
+ht AS (SELECT event_type, h FROM t6
+       UNION ALL SELECT '*' AS event_type, h FROM t6),
+regs AS (SELECT event_type,
+                CAST(h // {low} AS BIGINT) AS bucket,
+                CAST(h % {low} AS BIGINT) AS w
+         FROM ht),
+rho AS (SELECT event_type, bucket,
+               MAX(CASE WHEN w = 0 THEN {width + 1}
+                        ELSE {width + 1} - length(bin(w)) END) AS rho
+        FROM regs GROUP BY event_type, bucket),
+est AS (SELECT event_type, CAST(-1 AS BIGINT) AS bucket,
+               {m}.0 * ln({m}.0 / ({m} - COUNT(*))) AS value
+        FROM rho GROUP BY event_type)
+SELECT event_type, bucket, CAST(rho AS DOUBLE) AS value FROM rho
+UNION ALL
+SELECT event_type, bucket, value FROM est
+"""
 
 
 def doc_sample(sf_dir: str) -> pd.DataFrame:
@@ -96,9 +157,12 @@ def doc_sample(sf_dir: str) -> pd.DataFrame:
     return pd.concat([by, overall, cap], ignore_index=True)
 
 
-def _sql_splitmix64_prio(seed: int) -> str:
-    """CTE chain computing prio = splitmix64(doc_id ^ splitmix64(seed)) for
-    every documents row, exactly (validated bit-for-bit vs numpy).
+def _sql_splitmix64_chain(
+    seed: int, *, table: str, key: str, carry: str, out: str = "prio"
+) -> str:
+    """CTE chain t0..t6 computing ``out`` = splitmix64(key ^ splitmix64(seed))
+    (== functions/hashing.hash_int64) for every ``table`` row, exactly
+    (validated bit-for-bit vs numpy), carrying columns ``carry`` through.
 
     64-bit wrap-around arithmetic in SQL: values live in HUGEINT (128-bit)
     reduced mod 2^64; xor converts through the signed-BIGINT bit pattern
@@ -113,6 +177,7 @@ def _sql_splitmix64_prio(seed: int) -> str:
     s_mix = int(splitmix64(np.uint64(seed)))
     m = "CAST('18446744073709551616' AS HUGEINT)"
     half = "CAST('9223372036854775808' AS HUGEINT)"
+    c = f"{carry}, " if carry else ""
 
     def u2s(e: str) -> str:
         return f"CAST(CASE WHEN {e} >= {half} THEN {e} - {m} ELSE {e} END AS BIGINT)"
@@ -120,23 +185,27 @@ def _sql_splitmix64_prio(seed: int) -> str:
     def xoru(a: str, b: str) -> str:
         return f"(CAST(xor({u2s(a)}, {u2s(b)}) AS HUGEINT) + {m}) % {m}"
 
-    def mulmod(a: str, c: int) -> str:
-        cc = f"CAST('{c}' AS HUGEINT)"
+    def mulmod(a: str, cst: int) -> str:
+        cc = f"CAST('{cst}' AS HUGEINT)"
         return (
             f"((({a}) % 4294967296) * {cc} +"
             f" ((({a}) // 4294967296) * {cc} % 4294967296) * 4294967296) % {m}"
         )
 
     return f"""
-t0 AS (SELECT lang, doc_id,
-       {xoru('CAST(doc_id AS HUGEINT)', f"CAST('{s_mix}' AS HUGEINT)")} AS x
-       FROM documents),
-t1 AS (SELECT lang, doc_id, (x + CAST('11400714819323198485' AS HUGEINT)) % {m} AS z0 FROM t0),
-t2 AS (SELECT lang, doc_id, {xoru('z0', 'z0 // 1073741824')} AS y0 FROM t1),
-t3 AS (SELECT lang, doc_id, {mulmod('y0', 0xBF58476D1CE4E5B9)} AS z1 FROM t2),
-t4 AS (SELECT lang, doc_id, {xoru('z1', 'z1 // 134217728')} AS y1 FROM t3),
-t5 AS (SELECT lang, doc_id, {mulmod('y1', 0x94D049BB133111EB)} AS z2 FROM t4),
-t6 AS (SELECT lang, doc_id, {xoru('z2', 'z2 // 2147483648')} AS prio FROM t5)"""
+t0 AS (SELECT {c}{xoru(f'CAST({key} AS HUGEINT)', f"CAST('{s_mix}' AS HUGEINT)")} AS x
+       FROM {table}),
+t1 AS (SELECT {c}(x + CAST('11400714819323198485' AS HUGEINT)) % {m} AS z0 FROM t0),
+t2 AS (SELECT {c}{xoru('z0', 'z0 // 1073741824')} AS y0 FROM t1),
+t3 AS (SELECT {c}{mulmod('y0', 0xBF58476D1CE4E5B9)} AS z1 FROM t2),
+t4 AS (SELECT {c}{xoru('z1', 'z1 // 134217728')} AS y1 FROM t3),
+t5 AS (SELECT {c}{mulmod('y1', 0x94D049BB133111EB)} AS z2 FROM t4),
+t6 AS (SELECT {c}{xoru('z2', 'z2 // 2147483648')} AS {out} FROM t5)"""
+
+
+def _sql_splitmix64_prio(seed: int) -> str:
+    """doc_sample's chain: prio = hash_int64(doc_id, seed) over documents."""
+    return _sql_splitmix64_chain(seed, table="documents", key="doc_id", carry="lang, doc_id")
 
 
 def doc_sample_sql(k_overall: int = 100, k_lang: int = 20) -> str:

@@ -23,18 +23,24 @@ QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 # --- cardinality -----------------------------------------------------------
 
 
-def distinct_users_hll(sf_dir: str, *, p: int = 14) -> pd.DataFrame:
-    """Approximate COUNT(DISTINCT user_id) via HLL (rse ~= 1.04/sqrt(2^p)).
-
-    No SQL oracle (approximate answer); accuracy asserted in pytest against
-    the exact count.
-    """
+def _distinct_users_hll_sketch(sf_dir: str, *, p: int = 14) -> HyperLogLog:
+    """Build the overall user_id HLL (merged across all blocks)."""
     ds = read_table(sf_dir, "events", columns=["user_id"])
 
     def update(h: HyperLogLog, batch: pa.Table) -> None:
         h.update_hashed(hash_int64(batch["user_id"].to_numpy(zero_copy_only=False), seed=SEED))
 
-    hll = sketch_dataset(ds, lambda: HyperLogLog(p=p, seed=SEED), update, HyperLogLog)
+    return sketch_dataset(ds, lambda: HyperLogLog(p=p, seed=SEED), update, HyperLogLog)
+
+
+def distinct_users_hll(sf_dir: str, *, p: int = 14) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT user_id) via HLL (rse ~= 1.04/sqrt(2^p)).
+
+    The registry variant (pipelines/merged.distinct_users_hll) additionally
+    dumps the registers and is FULLY SQL-oracled in the linear-counting
+    regime; this plain-estimate form stays accuracy-tested in pytest.
+    """
+    hll = _distinct_users_hll_sketch(sf_dir, p=p)
     return pd.DataFrame({"distinct_users_est": [float(hll.estimate())]})
 
 
@@ -55,11 +61,9 @@ def _hll_14() -> HyperLogLog:
     return HyperLogLog(p=14, seed=SEED)
 
 
-def distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
-    """Grouped approximate distinct: one HLL per event_type
-    (state/grouped.GroupedSketch) — no corpus shuffle, only
-    (n_types x 2^p registers) of state. Rows-only (approximate); accuracy
-    vs the exact grouped count asserted in pytest."""
+def _distinct_users_by_type_sketches(sf_dir: str):
+    """One HLL per event_type (state/grouped.GroupedSketch) — no corpus
+    shuffle, only (n_types x 2^p registers) of state."""
     from epichypersketch_jl_ray.state.grouped import GroupedSketch, grouped_update
 
     ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
@@ -69,7 +73,14 @@ def distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
         users = hash_int64(batch["user_id"].to_numpy(zero_copy_only=False), seed=SEED)
         grouped_update(g, types, users, lambda sk, v: sk.update_hashed(v))
 
-    grouped = sketch_dataset(ds, lambda: GroupedSketch(_hll_14), update, GroupedSketch)
+    return sketch_dataset(ds, lambda: GroupedSketch(_hll_14), update, GroupedSketch)
+
+
+def distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped approximate distinct via per-type HLLs; accuracy vs the exact
+    grouped count asserted in pytest (register-level SQL verification lives
+    on the merged registry query)."""
+    grouped = _distinct_users_by_type_sketches(sf_dir)
     rows = [(t, float(grouped.parts[t].estimate())) for t in grouped.keys()]
     return pd.DataFrame(rows, columns=["event_type", "distinct_users_est"])
 

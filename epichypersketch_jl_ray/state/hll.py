@@ -12,6 +12,8 @@ Relative standard error ~= 1.04/sqrt(m). Inputs are pre-hashed uint64 keys
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from epichypersketch_jl_ray.state.base import MergeableSketch
@@ -74,7 +76,13 @@ class HyperLogLog(MergeableSketch):
         if e <= 2.5 * m:
             v = int(np.count_nonzero(self.registers == 0))
             if v > 0:
-                return m * np.log(m / v)  # linear counting
+                # linear counting — scalar libm log, NOT np.log: numpy's SIMD
+                # log differs from glibc/DuckDB `ln` in the last ulp for ~30%
+                # of inputs, while math.log is bit-identical over the full
+                # V in [1, m] domain (pinned in tests), which lets the
+                # registered query's estimate row hash-match a pure-SQL
+                # DuckDB oracle (pipelines/merged.distinct_users_hll_sql)
+                return m * math.log(m / v)
             return float(e)
         if e > _TWO64 / 30.0:
             return -_TWO64 * np.log1p(-e / _TWO64)

@@ -44,9 +44,33 @@ def test_non_oracled_queries_run(entrymod, sf_dir):
 def test_hll_within_bound(entrymod, con, sf_dir):
     qs = entrymod.queries()
     df = to_pandas(qs["distinct_users_hll"](sf_dir))
-    est = float(df.loc[df["event_type"] == "*", "distinct_users_est"].iloc[0])
+    est_rows = df[df["bucket"] == -1]
+    est = float(est_rows.loc[est_rows["event_type"] == "*", "value"].iloc[0])
     true = con.sql("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
     assert abs(est - true) <= 4 * (1.04 / np.sqrt(2**14)) * true + 2
+
+
+def test_hll_linear_counting_matches_duckdb_ln_over_full_domain():
+    """The registered HLL estimate row hash-matches SQL only if the scalar
+    libm log used by state/hll.py's linear-counting branch is bit-identical
+    to DuckDB's ln for every possible V in [1, m]. Pin that over the FULL
+    domain (m = 2^14), so any libm/DuckDB drift fails loudly here instead of
+    as a driver hash mismatch."""
+    import math
+
+    import duckdb
+
+    m = 1 << 14
+    ours = np.array([m * math.log(m / v) for v in range(1, m + 1)], dtype=np.float64)
+    theirs = (
+        duckdb.sql(
+            f"SELECT {m}.0*ln({m}.0/CAST(v AS DOUBLE)) AS e"
+            f" FROM (SELECT unnest(range(1,{m + 1})) AS v)"
+        )
+        .df()["e"]
+        .to_numpy()
+    )
+    assert np.array_equal(ours.view(np.uint64), theirs.view(np.uint64))
 
 
 def test_tdigest_within_bound(entrymod, con, sf_dir):
