@@ -136,6 +136,10 @@ def oracle_sql() -> dict[str, str]:
         "user_overlap_theta": sketches.user_overlap_theta_sql(),
         "doc_length_quantiles_kll": sketches.doc_length_quantiles_kll_sql(),
         "doc_length_quantiles_by_lang": sketches.doc_length_quantiles_by_lang_sql(),
+        # ddsketch rows: full register-level recompute from documents.n_chars;
+        # tdigest rows: exact quantile replay over the stored centroid table
+        # (clustering stays a pytest bound) — see the pipeline docstring
+        "doc_length_quantiles_approx": merged.doc_length_quantiles_approx_sql(),
         "user_membership_bloom": sketches.user_membership_bloom_sql(),
         "top_ngrams_spacesaving": merged.top_ngrams_spacesaving_sql(),
         "doc_sample": merged.doc_sample_sql(),
@@ -150,8 +154,14 @@ def oracle_sql() -> dict[str, str]:
         # stores (the driver runs the Ray query before its oracle)
         "dedup_simhash": dedup.dedup_simhash_sql(),
         "dedup_embedding": dedup.dedup_embedding_sql(),
+        # stored-assignment oracle (the dedup_simhash pattern): recomputes
+        # all within-bucket / within-cluster pairs + exact cosine in SQL
+        "dedup_embedding_lsh": merged.embedding_neardup_pairs_sql(),
         "curate_corpus": merged.curate_corpus_sql(),
         "ann_cosine_topk": ann.ann_cosine_topk_sql(),
+        # stored-candidate oracle: exact re-rank of each method's candidate
+        # stream; recall stays a pytest bound (see merged.ann_approx_topk)
+        "ann_approx_topk": merged.ann_approx_topk_sql(),
         "doc_stats": textstats.doc_stats_sql(),
         "token_count_bpe": merged.token_count_and_packing_sql(),
         "export_by_lang": merged.export_by_lang_sql(),

@@ -14,6 +14,26 @@ from epichypersketch_jl_ray.stages.ann import BruteForceTopK, _embedding_matrix,
 N_QUERIES = 5
 TOP_K = 10
 
+# one FIXED root (the dedup_simhash stored-state pattern): oracle_sql() is a
+# static string, so the oracle must know where to read without seeing sf_dir.
+# The driver and the pytest sweep run the Ray query immediately before its
+# oracle, so each method subdir always holds the candidate stream of the run
+# being compared (the query clears + rewrites it).
+ANN_CAND_STORE = "/tmp/ehs_ann_cands"
+
+
+def _store_candidates(cands: ray.data.Dataset, store: str) -> ray.data.Dataset:
+    """Materialize a (query_id, neighbor_id, sim) candidate stream and write
+    it to partitioned parquet at ``store`` so the SQL oracle can re-rank the
+    same candidates with exact cosine — returns the materialized stream for
+    the distributed top-k reduce (no recompute)."""
+    import shutil
+
+    cands = cands.materialize()
+    shutil.rmtree(store, ignore_errors=True)
+    cands.write_parquet(store)
+    return cands
+
 # (sf_dir, n) -> (q_ids, q matrix): the three ANN queries probe the same
 # vectors; one pushdown read per session serves all of them
 _PROBE_CACHE: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
@@ -61,12 +81,16 @@ def ann_cosine_topk(sf_dir: str, *, k: int = TOP_K) -> pd.DataFrame:
     return distributed_topk(cands, k=k).to_pandas()
 
 
-def ann_lsh_topk(sf_dir: str, *, k: int = TOP_K, bits: int = 6) -> pd.DataFrame:
+def ann_lsh_topk(
+    sf_dir: str, *, k: int = TOP_K, bits: int = 6, store: str | None = None
+) -> pd.DataFrame:
     """LSH-bucketed approximate top-k (the 100 TB scale path): candidates are
     restricted to rows whose hyperplane sign-signature is within hamming
-    distance 1 of the query's bucket, then ranked exactly. Approximate recall
-    — no SQL oracle (rows-only check; recall asserted vs brute force in
-    pytest)."""
+    distance 1 of the query's bucket, then ranked exactly. Recall is
+    approximate (asserted vs brute force in pytest); the final ranking over
+    the surviving candidates is exact, so with ``store`` set the SQL oracle
+    re-ranks the STORED candidate stream by exact cosine and hash-matches
+    the (query_id, neighbor_id, rank) result (see merged.ann_approx_topk)."""
     from epichypersketch_jl_ray.stages.ann import LSHBuckets
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -111,6 +135,8 @@ def ann_lsh_topk(sf_dir: str, *, k: int = TOP_K, bits: int = 6) -> pd.DataFrame:
         )
 
     cands = ds.map_batches(bucket_filter_topk, batch_format="pyarrow", batch_size=4096)
+    if store:
+        cands = _store_candidates(cands, store)
     return distributed_topk(cands, k=k).to_pandas()
 
 
@@ -123,6 +149,7 @@ def ann_ivf_topk(
     train_sample: int = 2048,
     kmeans_iters: int = 8,
     seed: int = 61,
+    store: str | None = None,
 ) -> pd.DataFrame:
     """IVF (inverted-file) approximate top-k — the second scale path next to
     LSH bucketing.
@@ -192,6 +219,8 @@ def ann_ivf_topk(
         )
 
     cands = ds.map_batches(ivf_batch, batch_format="pyarrow", batch_size=4096)
+    if store:
+        cands = _store_candidates(cands, store)
     return distributed_topk(cands, k=k).to_pandas()
 
 
@@ -207,6 +236,7 @@ def ann_ivfpq_topk(
     train_sample: int = 2048,
     kmeans_iters: int = 8,
     seed: int = 61,
+    store: str | None = None,
 ) -> pd.DataFrame:
     """IVF-PQ with exact re-rank (Jégou et al. 2011, "Product Quantization
     for Nearest Neighbor Search") — the compressed-store scale path beside
@@ -320,6 +350,8 @@ def ann_ivfpq_topk(
         )
 
     cands = ds.map_batches(ivfpq_batch, batch_format="pyarrow", batch_size=4096)
+    if store:
+        cands = _store_candidates(cands, store)
     return distributed_topk(cands, k=k).to_pandas()
 
 

@@ -919,6 +919,10 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 """
 
 
+EMB_LSH_BUCKET_STORE = "/tmp/ehs_emb_lsh_buckets"
+SEM_CLUSTER_STORE = "/tmp/ehs_sem_clusters"
+
+
 def dedup_embedding_lsh(
     sf_dir: str,
     *,
@@ -926,6 +930,7 @@ def dedup_embedding_lsh(
     bits: int = 4,
     probe_hamming: int = 1,
     table: str = "embeddings",
+    store_buckets: bool = False,
 ) -> ray.data.Dataset:
     """Approximate embedding near-dup pairs — the sub-quadratic scale path.
 
@@ -938,6 +943,15 @@ def dedup_embedding_lsh(
     recall < 1 by construction (asserted against the exact block-pair
     pipeline in tests); every emitted pair's cosine is exact, so precision
     is 1.
+
+    ``store_buckets=True`` writes the (bucket, vec_id) assignment table to
+    partitioned parquet at ``EMB_LSH_BUCKET_STORE`` (the dedup_simhash
+    stored-state pattern): the SQL oracle then independently recomputes
+    every within-bucket candidate pair AND its exact cosine from the raw
+    embeddings table, value-hash-verifying the whole distributed part
+    (bucket groupby, per-group pairing, threshold, cross-probe pair dedupe).
+    The hyperplane signature KERNEL itself is not SQL-expressible; it is
+    covered by the recall/precision tests vs the exact block-pair pipeline.
     """
     from epichypersketch_jl_ray.stages.ann import LSHBuckets, _embedding_matrix
 
@@ -985,9 +999,15 @@ def dedup_embedding_lsh(
 
     from ray.data.aggregate import Max
 
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    if store_buckets:
+        import shutil
+
+        assigned = assigned.materialize()
+        shutil.rmtree(EMB_LSH_BUCKET_STORE, ignore_errors=True)
+        assigned.select_columns(["bucket", "vec_id"]).write_parquet(EMB_LSH_BUCKET_STORE)
     return (
-        ds.map_batches(assign, batch_format="pyarrow")
-        .groupby("bucket")
+        assigned.groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .groupby(["vec_a", "vec_b"])
         .aggregate(Max("cosine", alias_name="cosine"))
@@ -1107,6 +1127,7 @@ def semantic_pairs(
     seed: int = 73,
     table: str = "embeddings",
     materialize: bool = True,
+    store_clusters: bool = False,
 ) -> ray.data.Dataset:
     """Within-cluster near-dup pairs after DISTRIBUTED k-means clustering —
     the SemDeDup candidate structure (cluster first, compare only inside a
@@ -1127,6 +1148,13 @@ def semantic_pairs(
     whenever the embedding table fits the cluster's aggregate store. At
     100 TB-of-vectors scale pass False: kmeans_fit then streams a fresh
     read per iteration instead of spilling.
+
+    ``store_clusters=True`` writes the (cluster, vec_id) assignment table
+    to partitioned parquet at ``SEM_CLUSTER_STORE`` so the SQL oracle can
+    independently recompute every within-cluster candidate pair and its
+    exact cosine from the raw embeddings (see dedup_embedding_lsh — same
+    stored-state pattern; k-means itself stays pinned by the determinism /
+    batch-invariance tests).
     """
     from epichypersketch_jl_ray.stages.kmeans import assign_clusters, kmeans_fit
 
@@ -1135,6 +1163,11 @@ def semantic_pairs(
         ds = ds.materialize()
     model = kmeans_fit(ds, k=k, iters=iters, seed=seed, spherical=True)
     tagged = assign_clusters(ds, model, keep_embedding=True)
+    if store_clusters:
+        import shutil
+
+        shutil.rmtree(SEM_CLUSTER_STORE, ignore_errors=True)
+        tagged.select_columns(["cluster", "vec_id"]).write_parquet(SEM_CLUSTER_STORE)
 
     def cluster_pairs(group: pa.Table) -> pa.Table:
         from epichypersketch_jl_ray.stages.ann import _embedding_matrix

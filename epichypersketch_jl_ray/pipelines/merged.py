@@ -34,12 +34,103 @@ def _tag(ds: ray.data.Dataset, col: str, value: str) -> ray.data.Dataset:
 def doc_length_quantiles_approx(sf_dir: str) -> pd.DataFrame:
     """t-digest + DDSketch n_chars quantiles in one frame (method column) —
     the two interpolating/relative-error estimators complementing the
-    oracled KLL queries. Rows-only (approximate); bounds in pytest."""
+    oracled KLL queries.
+
+    ORACLED, two different ways:
+    - ddsketch rows are recomputed END-TO-END in SQL from documents.n_chars:
+      bucket index ceil(ln(x)/ln(gamma)) (scalar-libm ln(gamma) in
+      state/ddsketch.py is bit-identical to DuckDB ln — the state/hll.py
+      lesson; the ceil index and the gamma^i midpoint are pinned
+      exhaustively vs DuckDB over the integer domain in tests), counts per
+      bucket, then the same rank walk as DDSketch.quantile.
+    - tdigest rows use the stored-centroid pattern: the sealed centroid
+      table goes to TDIGEST_CENTROID_STORE and the SQL replays quantile()'s
+      exact interpolation over it (unit weights make the cumulative centers
+      exact multiples of 0.5, so every arithmetic step is bit-reproducible);
+      the CLUSTERING stays pinned by the rank-error/merge-canonicality
+      tests in pytest."""
     from epichypersketch_jl_ray.pipelines import sketches
 
-    td = sketches.doc_length_quantiles_tdigest(sf_dir).assign(method="tdigest")
+    td = sketches.doc_length_quantiles_tdigest(sf_dir, store_centroids=True).assign(
+        method="tdigest"
+    )
     dd = sketches.doc_length_quantiles_dd(sf_dir).assign(method="ddsketch")
     return pd.concat([td, dd], ignore_index=True)[["method", "q", "n_chars_q"]]
+
+
+def doc_length_quantiles_approx_sql(*, alpha: float = 0.01) -> str:
+    """SQL twin of doc_length_quantiles_approx: full DDSketch recompute from
+    the documents view + t-digest quantile replay over the stored centroid
+    table (run the Ray query first)."""
+    import os
+
+    from epichypersketch_jl_ray.pipelines import sketches
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    g = repr(gamma)
+    td_glob = os.path.join(sketches.TDIGEST_CENTROID_STORE, "*.parquet")
+    selects = []
+    for q in sketches.QS:
+        ql = repr(float(q))
+        selects.append(f"""
+SELECT 'tdigest' AS method, {ql} AS q,
+       CASE WHEN (SELECT ncent FROM tagg) = 1 THEN (SELECT first_m FROM tagg)
+            WHEN b.hi_c = b.lo_c THEN b.lo_m
+            ELSE b.lo_m + ((b.target - b.lo_c) / (b.hi_c - b.lo_c)) * (b.hi_m - b.lo_m)
+       END AS n_chars_q
+FROM (
+  SELECT tg.target AS target,
+    CASE WHEN tg.target <= tg.first_c THEN tg.mn
+         WHEN tg.target >= tg.last_c THEN tg.last_m
+         ELSE (SELECT mean FROM tcent WHERE cum <= tg.target ORDER BY cum DESC LIMIT 1)
+    END AS lo_m,
+    CASE WHEN tg.target <= tg.first_c THEN 0.0
+         WHEN tg.target >= tg.last_c THEN tg.last_c
+         ELSE (SELECT cum FROM tcent WHERE cum <= tg.target ORDER BY cum DESC LIMIT 1)
+    END AS lo_c,
+    CASE WHEN tg.target <= tg.first_c THEN tg.first_m
+         WHEN tg.target >= tg.last_c THEN tg.mx
+         ELSE (SELECT mean FROM tcent WHERE cum > tg.target ORDER BY cum LIMIT 1)
+    END AS hi_m,
+    CASE WHEN tg.target <= tg.first_c THEN tg.first_c
+         WHEN tg.target >= tg.last_c THEN tg.n
+         ELSE (SELECT cum FROM tcent WHERE cum > tg.target ORDER BY cum LIMIT 1)
+    END AS hi_c
+  FROM (SELECT tagg.*, {ql} * n AS target FROM tagg) tg
+) b""")
+        selects.append(f"""
+SELECT 'ddsketch' AS method, {ql} AS q,
+       CASE WHEN {ql} * ((SELECT n FROM dagg) - 1) < (SELECT z FROM dagg) THEN 0.0
+            ELSE COALESCE(
+              (SELECT power({g}, CAST(dcum.i AS DOUBLE)) * 2.0 / ({g} + 1.0)
+               FROM dcum
+               WHERE (SELECT z FROM dagg) + dcum.cs > {ql} * ((SELECT n FROM dagg) - 1)
+               ORDER BY dcum.i LIMIT 1),
+              (SELECT power({g}, CAST((SELECT imax FROM dagg) AS DOUBLE)) * 2.0 / ({g} + 1.0)))
+       END AS n_chars_q""")
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH tstore AS (SELECT * FROM read_parquet('{td_glob}')),
+tcent AS (SELECT idx, mean, weight,
+                 SUM(weight) OVER (ORDER BY idx) - weight / 2 AS cum
+          FROM tstore WHERE idx >= 0),
+tagg AS (SELECT (SELECT SUM(weight) FROM tcent) AS n,
+                (SELECT COUNT(*) FROM tcent) AS ncent,
+                (SELECT mean FROM tstore WHERE idx = -1) AS mn,
+                (SELECT mean FROM tstore WHERE idx = -2) AS mx,
+                (SELECT mean FROM tcent ORDER BY idx LIMIT 1) AS first_m,
+                (SELECT cum FROM tcent ORDER BY idx LIMIT 1) AS first_c,
+                (SELECT mean FROM tcent ORDER BY idx DESC LIMIT 1) AS last_m,
+                (SELECT cum FROM tcent ORDER BY idx DESC LIMIT 1) AS last_c),
+db AS (SELECT CAST(ceiling(ln(CAST(n_chars AS DOUBLE)) / ln({g})) AS BIGINT) AS i,
+              COUNT(*) AS c
+       FROM documents WHERE n_chars > 0 GROUP BY 1),
+dcum AS (SELECT i, SUM(c) OVER (ORDER BY i) AS cs FROM db),
+dagg AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                (SELECT COUNT(*) FROM documents WHERE n_chars = 0) AS z,
+                (SELECT MAX(i) FROM db) AS imax)
+{body}
+"""
 
 
 def distinct_users_exact(sf_dir: str) -> pd.DataFrame:
@@ -297,29 +388,112 @@ def ann_approx_topk(sf_dir: str) -> pd.DataFrame:
     """LSH-bucketed + IVF + IVF-PQ approximate top-k in one frame (method
     column) — the sub-quadratic scale paths beside the oracled brute-force
     baseline (IVF-PQ additionally models the 16x-compressed code store with
-    ADC scan + exact re-rank). Rows-only; recall bounds vs brute force in
-    pytest."""
+    ADC scan + exact re-rank).
+
+    ORACLED via the stored-candidate pattern (see dedup_simhash): each
+    method writes its (query_id, neighbor_id, sim) candidate stream to a
+    fixed parquet store before the distributed top-k reduce, and
+    ann_approx_topk_sql() re-ranks the SAME candidates with exact cosine
+    recomputed from the embeddings view — so the distributed final reduce
+    (per-query merge, sim ordering, id tie-break, rank assignment) and the
+    emitted sims are value-hash-verified. RECALL (which candidates survive
+    the probe structure) is the approximate part and stays asserted vs
+    brute force in pytest."""
+    import os
+
     from epichypersketch_jl_ray.pipelines import ann
 
-    lsh = ann.ann_lsh_topk(sf_dir).assign(method="lsh")
-    ivf = ann.ann_ivf_topk(sf_dir).assign(method="ivf")
-    pq_ = ann.ann_ivfpq_topk(sf_dir).assign(method="ivfpq")
+    root = ann.ANN_CAND_STORE
+    lsh = ann.ann_lsh_topk(sf_dir, store=os.path.join(root, "lsh")).assign(method="lsh")
+    ivf = ann.ann_ivf_topk(sf_dir, store=os.path.join(root, "ivf")).assign(method="ivf")
+    pq_ = ann.ann_ivfpq_topk(sf_dir, store=os.path.join(root, "ivfpq")).assign(method="ivfpq")
     cols = ["method", "query_id", "neighbor_id", "rank"]
     return pd.concat([lsh[cols], ivf[cols], pq_[cols]], ignore_index=True)
+
+
+def ann_approx_topk_sql(k: int | None = None) -> str:
+    """Exact re-rank oracle over the STORED candidate streams the Ray
+    pipelines write (run the pipeline first): per (method, query), top-k by
+    exact cosine with the same ``sim DESC, neighbor_id ASC`` tie-break as
+    stages/ann.py distributed_topk."""
+    import os
+
+    from epichypersketch_jl_ray.pipelines import ann
+
+    k = ann.TOP_K if k is None else k
+    cand_union = " UNION ALL ".join(
+        f"SELECT '{m}' AS method, query_id, neighbor_id "
+        f"FROM read_parquet('{os.path.join(ann.ANN_CAND_STORE, m, '*.parquet')}')"
+        for m in ("lsh", "ivf", "ivfpq")
+    )
+    return f"""
+WITH cand AS (SELECT DISTINCT method, query_id, neighbor_id FROM ({cand_union})),
+s AS (SELECT c.method, c.query_id, c.neighbor_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])) AS sim
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings e ON e.vec_id = c.neighbor_id),
+r AS (SELECT method, query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY method, query_id
+                                ORDER BY sim DESC, neighbor_id) AS rn
+      FROM s)
+SELECT method, query_id, neighbor_id, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= {k}
+"""
 
 
 def embedding_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
     """Both sub-quadratic embedding near-dup scale paths in one frame
     (method column): 'lsh' = hyperplane-bucketed pairs, 'semantic' =
     SemDeDup within-k-means-cluster pairs (distributed fixed-point k-means,
-    stages/kmeans.py). Registry key stays dedup_embedding_lsh. Rows-only;
-    precision-1 and recall bounds vs the exact block-pair pipeline in
-    pytest (tests/test_dedup.py, tests/test_kmeans.py)."""
+    stages/kmeans.py). Registry key stays dedup_embedding_lsh.
+
+    ORACLED via the stored-assignment pattern (see dedup_simhash): both
+    variants write their assignment tables — (bucket, vec_id) hyperplane
+    buckets incl. probe replicas, (cluster, vec_id) k-means clusters — to
+    fixed parquet stores, and embedding_neardup_pairs_sql() independently
+    recomputes every within-group candidate pair plus its exact cosine
+    from the raw embeddings table, so the distributed candidate structure,
+    threshold filter, cross-probe pair dedupe and cosine values are all
+    value-hash-verified. The signature/centroid KERNELS stay pinned by the
+    recall/precision/determinism tests vs the exact block-pair pipeline."""
     from epichypersketch_jl_ray.pipelines import dedup
 
-    lsh = _tag(dedup.dedup_embedding_lsh(sf_dir), "method", "lsh")
-    sem = _tag(dedup.semantic_pairs(sf_dir), "method", "semantic")
+    lsh = _tag(dedup.dedup_embedding_lsh(sf_dir, store_buckets=True), "method", "lsh")
+    sem = _tag(dedup.semantic_pairs(sf_dir, store_clusters=True), "method", "semantic")
     return lsh.union(sem)
+
+
+def embedding_neardup_pairs_sql(threshold: float = 0.45) -> str:
+    """Exact-recompute oracle over the STORED assignment tables the Ray
+    pipeline writes (run the pipeline first): all within-bucket /
+    within-cluster unordered pairs, exact cosine from the embeddings view,
+    same threshold and rounding as the pipeline."""
+    import os
+
+    from epichypersketch_jl_ray.pipelines import dedup
+
+    lsh_glob = os.path.join(dedup.EMB_LSH_BUCKET_STORE, "*.parquet")
+    sem_glob = os.path.join(dedup.SEM_CLUSTER_STORE, "*.parquet")
+    return f"""
+WITH lshb AS (SELECT bucket, vec_id FROM read_parquet('{lsh_glob}')),
+lcand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM lshb a JOIN lshb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+clus AS (SELECT cluster, vec_id FROM read_parquet('{sem_glob}')),
+scand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM clus a JOIN clus b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+allc AS (SELECT 'lsh' AS method, vec_a, vec_b FROM lcand
+         UNION ALL SELECT 'semantic' AS method, vec_a, vec_b FROM scand)
+SELECT c.method, c.vec_a, c.vec_b,
+       round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])), 12) AS cosine
+FROM allc c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                             CAST(eb.embedding AS DOUBLE[])) >= {threshold}
+"""
 
 
 def embedding_analysis(sf_dir: str) -> pd.DataFrame:

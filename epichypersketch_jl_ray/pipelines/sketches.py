@@ -170,15 +170,58 @@ def doc_length_quantiles_by_lang_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
-def doc_length_quantiles_tdigest(sf_dir: str, *, compression: float = 200.0) -> pd.DataFrame:
-    """n_chars quantiles via merging t-digest (interpolated — no exact SQL
-    oracle; rank-error bound asserted in pytest)."""
+# fixed store (the dedup_simhash stored-state pattern): the sealed centroid
+# table of the LAST doc_length_quantiles_tdigest(store_centroids=True) run,
+# so the SQL oracle can replay the exact quantile interpolation
+TDIGEST_CENTROID_STORE = "/tmp/ehs_tdigest_centroids"
+
+
+def doc_length_quantiles_tdigest(
+    sf_dir: str, *, compression: float = 200.0, store_centroids: bool = False
+) -> pd.DataFrame:
+    """n_chars quantiles via merging t-digest.
+
+    The clustering itself is not SQL-expressible (rank-error bound asserted
+    in pytest), but the QUERY stage is: with ``store_centroids=True`` the
+    sealed (idx, mean, weight) centroid table plus min/max sentinel rows
+    (idx=-1/-2) is written to ``TDIGEST_CENTROID_STORE``, and
+    merged.doc_length_quantiles_approx_sql() replays quantile()'s exact
+    interpolation arithmetic over it in SQL. Bit-exactness holds because
+    unit-weight inputs make every centroid weight integer-valued, so the
+    cumulative half-weight centers are exact multiples of 0.5 in any
+    summation order, and the interpolation expression tree matches
+    state/tdigest.py term for term."""
     ds = read_table(sf_dir, "documents", columns=["n_chars"])
 
     def update(s: TDigest, batch: pa.Table) -> None:
         s.update(batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64))
 
     td = sketch_dataset(ds, lambda: TDigest(compression), update, TDigest)
+    td._compress()  # seal before both the store and the quantile queries
+    if store_centroids:
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        n_c = len(td.means)
+        tbl = pa.table(
+            {
+                "idx": pa.array(
+                    np.concatenate([np.arange(n_c), [-1, -2]]).astype(np.int64)
+                ),
+                "mean": pa.array(
+                    np.concatenate([td.means, [td._min, td._max]]), pa.float64()
+                ),
+                "weight": pa.array(
+                    np.concatenate([td.weights, [0.0, 0.0]]), pa.float64()
+                ),
+            }
+        )
+        shutil.rmtree(TDIGEST_CENTROID_STORE, ignore_errors=True)
+        import os
+
+        os.makedirs(TDIGEST_CENTROID_STORE, exist_ok=True)
+        pq.write_table(tbl, f"{TDIGEST_CENTROID_STORE}/part-0.parquet")
     return pd.DataFrame({"q": list(QS), "n_chars_q": [td.quantile(q) for q in QS]})
 
 

@@ -16,6 +16,8 @@ zeros track in a dedicated counter, negatives are rejected.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from epichypersketch_jl_ray.state.base import MergeableSketch
@@ -29,7 +31,11 @@ class DDSketch(MergeableSketch):
             raise ValueError(f"alpha must be in (0,1), got {alpha}")
         self.alpha = float(alpha)
         self.gamma = (1.0 + alpha) / (1.0 - alpha)
-        self._log_gamma = np.log(self.gamma)
+        # scalar libm log, NOT np.log: bit-identical to DuckDB ln(gamma), so
+        # the register-level SQL oracle's ceil(ln(x)/ln(gamma)) bucket index
+        # reproduces update()'s exactly (pinned exhaustively over the integer
+        # value domain in tests — the state/hll.py linear-counting lesson)
+        self._log_gamma = math.log(self.gamma)
         self.buckets: dict[int, int] = {}
         self.zero_count = 0
         self.count = 0

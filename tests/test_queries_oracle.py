@@ -73,6 +73,55 @@ def test_hll_linear_counting_matches_duckdb_ln_over_full_domain():
     assert np.array_equal(ours.view(np.uint64), theirs.view(np.uint64))
 
 
+def test_ddsketch_bucket_index_matches_duckdb_over_domain():
+    """The ddsketch rows of doc_length_quantiles_approx hash-match SQL only
+    if ceil(log(v)/log_gamma) in DDSketch.update (vectorized np.log over
+    scalar-libm math.log(gamma)) equals DuckDB's ceil(ln(v)/ln(gamma)) for
+    every integer value the documents table can hold. Pin exhaustively over
+    [1, 2^17] — any libm/SIMD drift that flips a bucket fails loudly here
+    instead of as a driver hash mismatch (the state/hll.py ln lesson)."""
+    import duckdb
+
+    from epichypersketch_jl_ray.state.ddsketch import DDSketch
+
+    dd = DDSketch(alpha=0.01)
+    n = 1 << 17
+    v = np.arange(1, n + 1, dtype=np.float64)
+    ours = np.ceil(np.log(v) / dd._log_gamma).astype(np.int64)
+    theirs = (
+        duckdb.sql(
+            f"SELECT CAST(ceiling(ln(CAST(v AS DOUBLE)) / ln({dd.gamma!r})) AS BIGINT) AS i"
+            f" FROM (SELECT unnest(range(1, {n + 1})) AS v)"
+        )
+        .df()["i"]
+        .to_numpy()
+    )
+    assert np.array_equal(ours, theirs)
+
+
+def test_ddsketch_bucket_midpoint_matches_duckdb_power():
+    """Same pin for the reported value: gamma**i * 2/(gamma+1) in
+    DDSketch.quantile vs DuckDB power(gamma, i) * 2/(gamma+1), over every
+    bucket index the [1, 2^17] value domain can produce (plus margin)."""
+    import duckdb
+
+    from epichypersketch_jl_ray.state.ddsketch import DDSketch
+
+    dd = DDSketch(alpha=0.01)
+    g = dd.gamma
+    lo, hi = -8, 1200  # ceil(ln(2^17)/ln(gamma)) ~ 593 at alpha=0.01
+    ours = np.array([g**i * 2.0 / (g + 1.0) for i in range(lo, hi)])
+    theirs = (
+        duckdb.sql(
+            f"SELECT power({g!r}, CAST(i AS DOUBLE)) * 2.0 / ({g!r} + 1.0) AS x"
+            f" FROM (SELECT unnest(range({lo}, {hi})) AS i)"
+        )
+        .df()["x"]
+        .to_numpy()
+    )
+    assert np.array_equal(ours.view(np.uint64), theirs.view(np.uint64))
+
+
 def test_tdigest_within_bound(entrymod, con, sf_dir):
     qs = entrymod.queries()
     approx = to_pandas(qs["doc_length_quantiles_approx"](sf_dir))
