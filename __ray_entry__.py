@@ -162,6 +162,10 @@ def oracle_sql() -> dict[str, str]:
         # stored-candidate oracle: exact re-rank of each method's candidate
         # stream; recall stays a pytest bound (see merged.ann_approx_topk)
         "ann_approx_topk": merged.ann_approx_topk_sql(),
+        # stored-state oracle: integer-quantized projection energies along
+        # the stored FD directions + argmax-cosine profile over the stored
+        # centroids; the FD/k-means training kernels stay pytest bounds
+        "embedding_principal_components": merged.embedding_analysis_sql(),
         "doc_stats": textstats.doc_stats_sql(),
         "token_count_bpe": merged.token_count_and_packing_sql(),
         "export_by_lang": merged.export_by_lang_sql(),

@@ -369,13 +369,13 @@ FROM r WHERE rn <= {k}
 """
 
 
-def embedding_principal_components(sf_dir: str, *, k: int = 8, ell: int = 64) -> pd.DataFrame:
-    """Approximate PCA of the embedding column in ONE pass via the mergeable
-    Frequent Directions matrix sketch (state/frequentdirections.py): per-block
-    l x d partials -> UDAF tree merge -> top-k singular directions. No N x d
-    materialization anywhere; state is O(l·d) per partial. Rows-only
-    (approximate; the covariance spectral bound and subspace quality are
-    asserted in pytest)."""
+def embedding_fd_directions(
+    sf_dir: str, *, k: int = 8, ell: int = 64
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """One-pass Frequent-Directions sketch over the embedding column:
+    per-block l x d partials -> UDAF tree merge -> (singular_values (k,),
+    directions vt (k, d), total Frobenius energy). No N x d materialization
+    anywhere; state is O(l·d) per partial."""
     from epichypersketch_jl_ray.stages.udaf import sketch_dataset
     from epichypersketch_jl_ray.state.frequentdirections import FrequentDirections
 
@@ -394,8 +394,16 @@ def embedding_principal_components(sf_dir: str, *, k: int = 8, ell: int = 64) ->
     fd = sketch_dataset(
         ds, lambda: FrequentDirections(dim, ell=ell), update, FrequentDirections
     )
-    s, _vt = fd.top_directions(k)
-    total = fd.frob_sq
+    s, vt = fd.top_directions(k)
+    return s, vt, float(fd.frob_sq)
+
+
+def embedding_principal_components(sf_dir: str, *, k: int = 8, ell: int = 64) -> pd.DataFrame:
+    """Approximate PCA of the embedding column via the mergeable Frequent
+    Directions matrix sketch (state/frequentdirections.py). Rows-only
+    (approximate; the covariance spectral bound and subspace quality are
+    asserted in pytest)."""
+    s, _vt, total = embedding_fd_directions(sf_dir, k=k, ell=ell)
     return pd.DataFrame(
         {
             "component": np.arange(len(s), dtype=np.int64),

@@ -496,53 +496,132 @@ WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
 """
 
 
+# fixed stores (the dedup_simhash stored-state pattern): the FD top
+# directions and the fitted k-means centroids of the LAST embedding_analysis
+# run, so the SQL oracle can replay the corpus measurement stages exactly
+PCA_COMPONENT_STORE = "/tmp/ehs_pca_components"
+KMEANS_CENTROID_STORE = "/tmp/ehs_kmeans_centroids"
+
+# fixed-point scales: pca energy quantum 2^-20, kmeans similarity quantum
+# 2^-16 (the original qsim scale). Both sums are int64-exact and convert to
+# float64 exactly below 2^53 — at ~1e12 corpus rows with O(10) energies the
+# pca sum approaches that bound; drop the scale a few bits at that size.
+_PCA_SCALE = float(1 << 20)
+_QSIM_SCALE = 65536.0
+
+
+def _write_vector_store(store: str, idx_name: str, vecs: "np.ndarray") -> None:
+    """Overwrite ``store`` with a tiny (idx, vec list<double>) parquet table."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    vecs = np.ascontiguousarray(vecs, dtype=np.float64)
+    tbl = pa.table(
+        {
+            idx_name: pa.array(np.arange(len(vecs), dtype=np.int64)),
+            "vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel(), pa.float64()), vecs.shape[1]
+            ),
+        }
+    )
+    shutil.rmtree(store, ignore_errors=True)
+    os.makedirs(store, exist_ok=True)
+    pq.write_table(tbl, f"{store}/part-0.parquet")
+
+
 def embedding_analysis(sf_dir: str) -> pd.DataFrame:
     """Frequent-Directions principal components + full-corpus fixed-point
-    k-means cluster profile in one frame (method column; rows-only — both
-    algorithms are iterative/approximate; FD spectral bounds, k-means
-    determinism/batch-invariance and the profile invariants are pinned in
-    pytest): 'pca' rows are (id=component, v1=singular_value,
-    v2=energy_share); 'kmeans' rows are (id=cluster, v1=size,
-    v2=quantized-similarity sum — integer-summed, so batch-order
-    invariant)."""
+    k-means cluster profile in one frame (method column): 'pca' rows are
+    (id=component, v1=corpus singular value sqrt(sum (x.v)^2), v2=exact
+    energy share along the FD direction); 'kmeans' rows are (id=cluster,
+    v1=size, v2=quantized-similarity sum).
+
+    ORACLED via the stored-state pattern (see dedup_simhash): the FD top
+    directions go to PCA_COMPONENT_STORE and the fitted centroids to
+    KMEANS_CENTROID_STORE, and embedding_analysis_sql() replays BOTH corpus
+    measurement stages from the raw embeddings view — per-row projections
+    floor((x.v)^2 * 2^20) summed as integers (so v1/v2 derive from exact
+    int64 sums by deterministic IEEE sqrt/divide), and the argmax-cosine
+    assignment + floor(sim * 65536) profile with the same lowest-index
+    tie-break as stages/kmeans.py. The FD / k-means TRAINING kernels are
+    not SQL-expressible; they stay pinned by the spectral-bound and
+    determinism/batch-invariance tests. Every derived number the query
+    emits is an exact corpus measurement given the stored state."""
     import numpy as np
 
     from epichypersketch_jl_ray.pipelines import ann
     from epichypersketch_jl_ray.sources.tables import read_table
+    from epichypersketch_jl_ray.stages.ann import _embedding_matrix
     from epichypersketch_jl_ray.stages.kmeans import assign_clusters, kmeans_fit
+    from ray.data.aggregate import Sum
 
-    pca = ann.embedding_principal_components(sf_dir)
-    pca = pd.DataFrame(
-        {
-            "method": "pca",
-            "id": pca["component"].astype("int64"),
-            "v1": pca["singular_value"].astype("float64"),
-            "v2": pca["energy_share"].astype("float64"),
-        }
-    )
+    _s, vt, _total = ann.embedding_fd_directions(sf_dir)
+    _write_vector_store(PCA_COMPONENT_STORE, "component", vt)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    model = kmeans_fit(ds, k=8)
-    tagged = assign_clusters(ds, model, keep_embedding=False)
+    vt_ref = ray.put(np.ascontiguousarray(vt, dtype=np.float64))
 
-    def profile(batch: pa.Table) -> pa.Table:
-        c = np.asarray(batch["cluster"], dtype=np.int64)
-        q = np.floor(
-            np.asarray(batch["cent_sim"], dtype=np.float64) * 65536.0
-        ).astype(np.int64)
-        k = int(c.max()) + 1 if len(c) else 0
-        # int64 scatter-add (not bincount-with-weights, which accumulates in
-        # float64): exact at any cluster mass, order-insensitive
-        qsim = np.zeros(k, dtype=np.int64)
-        np.add.at(qsim, c, q)
+    def energy(batch: pa.Table) -> pa.Table:
+        v = ray.get(vt_ref)
+        x = _embedding_matrix(batch, "embedding")
+        d = x @ v.T  # (n, k) projections
+        # (d*d)*SCALE then floor: the exact expression tree the SQL twin
+        # uses, so the only driver-vs-oracle seam is last-ulp dot drift
+        # against a 2^-20 quantum
+        q = np.floor(d * d * _PCA_SCALE).astype(np.int64).sum(axis=0)
+        etot = int(np.floor((x * x).sum(axis=1) * _PCA_SCALE).astype(np.int64).sum())
         return pa.table(
             {
-                "cluster": pa.array(np.arange(k)),
-                "n": pa.array(np.bincount(c, minlength=k).astype(np.int64)),
-                "qsim": pa.array(qsim),
+                "component": pa.array(
+                    np.concatenate([np.arange(len(v), dtype=np.int64), [-1]])
+                ),
+                "qe": pa.array(np.concatenate([q, [etot]]).astype(np.int64)),
             }
         )
 
-    from ray.data.aggregate import Sum
+    esums = (
+        ds.map_batches(energy, batch_format="pyarrow")
+        .groupby("component")
+        .aggregate(Sum("qe", alias_name="qe"))
+        .to_pandas()
+        .set_index("component")["qe"]
+    )
+    e_total = float(esums.loc[-1])
+    comp = esums.drop(index=-1).sort_index()
+    pca = pd.DataFrame(
+        {
+            "method": "pca",
+            "id": comp.index.to_numpy(dtype=np.int64),
+            "v1": np.sqrt(comp.to_numpy(dtype=np.float64) / _PCA_SCALE),
+            "v2": comp.to_numpy(dtype=np.float64) / e_total,
+        }
+    )
+
+    model = kmeans_fit(ds, k=8)
+    _write_vector_store(KMEANS_CENTROID_STORE, "cluster", model.centroids)
+    k_model = len(model.centroids)
+    tagged = assign_clusters(ds, model, keep_embedding=False)
+
+    def profile(batch: pa.Table, _k=k_model) -> pa.Table:
+        c = np.asarray(batch["cluster"], dtype=np.int64)
+        q = np.floor(
+            np.asarray(batch["cent_sim"], dtype=np.float64) * _QSIM_SCALE
+        ).astype(np.int64)
+        # int64 scatter-add (not bincount-with-weights, which accumulates in
+        # float64): exact at any cluster mass, order-insensitive; emit every
+        # model cluster so globally-empty clusters still get their zero row
+        # (the stored centroid table is the oracle's spine)
+        qsim = np.zeros(_k, dtype=np.int64)
+        np.add.at(qsim, c, q)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(_k)),
+                "n": pa.array(np.bincount(c, minlength=_k).astype(np.int64)),
+                "qsim": pa.array(qsim),
+            }
+        )
 
     prof = (
         tagged.map_batches(profile, batch_format="pyarrow")
@@ -559,6 +638,57 @@ def embedding_analysis(sf_dir: str) -> pd.DataFrame:
         }
     )
     return pd.concat([pca, km], ignore_index=True)
+
+
+def embedding_analysis_sql() -> str:
+    """Exact-recompute oracle over the STORED FD directions and k-means
+    centroids the Ray pipeline writes (run the pipeline first): integer-
+    quantized projection energies per component, argmax-cosine assignment
+    (sim DESC, cluster ASC tie-break = numpy first-extremum) and the
+    quantized-similarity profile per cluster, all from the raw embeddings
+    view."""
+    import os
+
+    pca_glob = os.path.join(PCA_COMPONENT_STORE, "*.parquet")
+    km_glob = os.path.join(KMEANS_CENTROID_STORE, "*.parquet")
+    scale = repr(_PCA_SCALE)
+    qs = repr(_QSIM_SCALE)
+    return f"""
+WITH comp AS (SELECT component, vec FROM read_parquet('{pca_glob}')),
+proj AS (SELECT c.component,
+                list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                 CAST(c.vec AS DOUBLE[])) AS d
+         FROM embeddings e CROSS JOIN comp c),
+psum AS (SELECT component,
+                CAST(SUM(CAST(floor(d * d * {scale}) AS BIGINT)) AS DOUBLE) AS s
+         FROM proj GROUP BY 1),
+etot AS (SELECT CAST(SUM(CAST(floor(
+                  list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[])) * {scale})
+                AS BIGINT)) AS DOUBLE) AS e
+         FROM embeddings),
+cent AS (SELECT cluster, vec FROM read_parquet('{km_glob}')),
+sims AS (SELECT e.vec_id, c.cluster,
+                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(c.vec AS DOUBLE[])) AS sim
+         FROM embeddings e CROSS JOIN cent c),
+best AS (SELECT vec_id, cluster, sim,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cluster) AS rn
+         FROM sims),
+kprof AS (SELECT cluster,
+                 CAST(COUNT(*) AS DOUBLE) AS v1,
+                 CAST(SUM(CAST(floor(sim * {qs}) AS BIGINT)) AS DOUBLE) AS v2
+          FROM best WHERE rn = 1 GROUP BY 1)
+SELECT 'pca' AS method, component AS id,
+       sqrt(s / {scale}) AS v1,
+       s / (SELECT e FROM etot) AS v2
+FROM psum
+UNION ALL
+SELECT 'kmeans' AS method, c.cluster AS id,
+       COALESCE(k.v1, 0.0) AS v1, COALESCE(k.v2, 0.0) AS v2
+FROM cent c LEFT JOIN kprof k USING (cluster)
+"""
 
 
 def dedup_exact_and_spans(sf_dir: str) -> ray.data.Dataset:
