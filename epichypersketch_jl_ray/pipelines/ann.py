@@ -23,16 +23,14 @@ ANN_CAND_STORE = "/tmp/ehs_ann_cands"
 
 
 def _store_candidates(cands: ray.data.Dataset, store: str) -> ray.data.Dataset:
-    """Materialize a (query_id, neighbor_id, sim) candidate stream and write
-    it to partitioned parquet at ``store`` so the SQL oracle can re-rank the
-    same candidates with exact cosine — returns the materialized stream for
-    the distributed top-k reduce (no recompute)."""
-    import shutil
+    """Write a candidate stream's (query_id, neighbor_id) pairs to the fixed
+    parquet store so the SQL oracle can re-rank the same candidates with
+    exact cosine — returns the materialized stream for the distributed top-k
+    reduce (no recompute; sim stays out of the store, the oracle recomputes
+    it from the embeddings view)."""
+    from epichypersketch_jl_ray.sources.sinks import overwrite_store
 
-    cands = cands.materialize()
-    shutil.rmtree(store, ignore_errors=True)
-    cands.write_parquet(store)
-    return cands
+    return overwrite_store(cands, store, columns=["query_id", "neighbor_id"])
 
 # (sf_dir, n) -> (q_ids, q matrix): the three ANN queries probe the same
 # vectors; one pushdown read per session serves all of them
@@ -82,32 +80,50 @@ def ann_cosine_topk(sf_dir: str, *, k: int = TOP_K) -> pd.DataFrame:
 
 
 def ann_lsh_topk(
-    sf_dir: str, *, k: int = TOP_K, bits: int = 6, store: str | None = None
+    sf_dir: str,
+    *,
+    k: int = TOP_K,
+    bits: int = 8,
+    probe_hamming: int = 3,
+    store: str | None = None,
 ) -> pd.DataFrame:
-    """LSH-bucketed approximate top-k (the 100 TB scale path): candidates are
-    restricted to rows whose hyperplane sign-signature is within hamming
-    distance 1 of the query's bucket, then ranked exactly. Recall is
-    approximate (asserted vs brute force in pytest); the final ranking over
-    the surviving candidates is exact, so with ``store`` set the SQL oracle
-    re-ranks the STORED candidate stream by exact cosine and hash-matches
-    the (query_id, neighbor_id, rank) result (see merged.ann_approx_topk)."""
+    """LSH-bucketed approximate top-k (the 100 TB scale path): each query's
+    candidates are restricted to rows whose hyperplane sign-signature is
+    within hamming distance ``probe_hamming`` of THAT query's bucket, then
+    ranked exactly. Recall is approximate (asserted vs brute force in
+    pytest); the final ranking over the surviving candidates is exact, so
+    with ``store`` set the SQL oracle re-ranks the STORED candidate stream
+    by exact cosine and hash-matches the (query_id, neighbor_id, rank)
+    result (see merged.ann_approx_topk)."""
+    from itertools import combinations
+
     from epichypersketch_jl_ray.stages.ann import LSHBuckets
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q_ids, q = _fetch_probes(sf_dir)
     lsh = LSHBuckets(q.shape[1], bits=bits)
     q_buckets = lsh.bucket_of(q)
-    # multi-probe: query bucket plus all hamming-1 neighbours
-    probes = {int(b) for b in q_buckets}
-    for b in list(probes):
-        for j in range(bits):
-            probes.add(b ^ (1 << j))
-    probes_ref = ray.put((q_ids, q, np.array(sorted(probes), dtype=np.int64)))
+    # multi-probe: PER QUERY, every bucket within hamming distance
+    # probe_hamming — a (nq, 2^bits) lookup table so each query only ever
+    # sees candidates from its own probe set (scoring the union of all
+    # queries' buckets would inflate recall and scan ~nq x more rows)
+    flips = [0]
+    for r in range(1, probe_hamming + 1):
+        flips += [
+            int(np.bitwise_or.reduce([1 << j for j in c]))
+            for c in combinations(range(bits), r)
+        ]
+    allowed = np.zeros((len(q_ids), 1 << bits), dtype=bool)
+    for i, b in enumerate(q_buckets):
+        for f in flips:
+            allowed[i, int(b) ^ f] = True
+    union_probes = np.flatnonzero(allowed.any(axis=0)).astype(np.int64)
+    probes_ref = ray.put((q_ids, q, union_probes, allowed))
 
     def bucket_filter_topk(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         e = _embedding_matrix(batch, "embedding")
-        qids, qmat, probe_buckets = ray.get(probes_ref)
+        qids, qmat, probe_buckets, allow_lut = ray.get(probes_ref)
         lsh_local = LSHBuckets(e.shape[1], bits=bits)
         buckets = lsh_local.bucket_of(e)
         mask = np.isin(buckets, probe_buckets)
@@ -119,18 +135,22 @@ def ann_lsh_topk(
                     "sim": pa.array([], pa.float64()),
                 }
             )
-        e, ids = e[mask], ids[mask]
+        e, ids, buckets = e[mask], ids[mask], buckets[mask]
         norms = np.linalg.norm(e, axis=1, keepdims=True)
         e = e / np.where(norms == 0, 1, norms)
         qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
         sims = qn @ e.T
+        allow = allow_lut[:, buckets]  # (nq, n_cand) per-query probe mask
+        sims = np.where(allow, sims, -np.inf)
         kk = min(k, sims.shape[1])
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        top_sims = np.take_along_axis(sims, part, axis=1)
+        keep = np.isfinite(top_sims).ravel()  # drop other-query fillers
         return pa.table(
             {
-                "query_id": pa.array(np.repeat(qids, kk), pa.int64()),
-                "neighbor_id": pa.array(ids[part].ravel(), pa.int64()),
-                "sim": pa.array(np.take_along_axis(sims, part, axis=1).ravel(), pa.float64()),
+                "query_id": pa.array(np.repeat(qids, kk)[keep], pa.int64()),
+                "neighbor_id": pa.array(ids[part].ravel()[keep], pa.int64()),
+                "sim": pa.array(top_sims.ravel()[keep], pa.float64()),
             }
         )
 

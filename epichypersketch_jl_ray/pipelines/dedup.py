@@ -1001,11 +1001,11 @@ def dedup_embedding_lsh(
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
     if store_buckets:
-        import shutil
+        from epichypersketch_jl_ray.sources.sinks import overwrite_store
 
-        assigned = assigned.materialize()
-        shutil.rmtree(EMB_LSH_BUCKET_STORE, ignore_errors=True)
-        assigned.select_columns(["bucket", "vec_id"]).write_parquet(EMB_LSH_BUCKET_STORE)
+        assigned = overwrite_store(
+            assigned, EMB_LSH_BUCKET_STORE, columns=["bucket", "vec_id"]
+        )
     return (
         assigned.groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
@@ -1046,8 +1046,6 @@ def dedup_simhash(
     each qualifying pair is emitted exactly once. (The round-2 version
     collected the whole candidate stream to driver pandas.) The signature
     store adds one doc-scale (16 bytes/row) partitioned-parquet write."""
-    import shutil
-
     from epichypersketch_jl_ray.stages.dedup import (
         simhash_chunks_from_signatures,
         simhash_signature_table,
@@ -1056,9 +1054,9 @@ def dedup_simhash(
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     sigs = ds.map_batches(simhash_signature_table, batch_format="pyarrow")
     if store_signatures:
-        sigs = sigs.materialize()
-        shutil.rmtree(SIMHASH_SIG_STORE, ignore_errors=True)
-        sigs.write_parquet(SIMHASH_SIG_STORE)
+        from epichypersketch_jl_ray.sources.sinks import overwrite_store
+
+        sigs = overwrite_store(sigs, SIMHASH_SIG_STORE)
 
     def verified_from_chunk(group: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -1164,10 +1162,11 @@ def semantic_pairs(
     model = kmeans_fit(ds, k=k, iters=iters, seed=seed, spherical=True)
     tagged = assign_clusters(ds, model, keep_embedding=True)
     if store_clusters:
-        import shutil
+        from epichypersketch_jl_ray.sources.sinks import overwrite_store
 
-        shutil.rmtree(SEM_CLUSTER_STORE, ignore_errors=True)
-        tagged.select_columns(["cluster", "vec_id"]).write_parquet(SEM_CLUSTER_STORE)
+        # materialize-then-store (one execution feeds both the store and the
+        # pair stage — and the corpus-wide assign pass runs once, not twice)
+        tagged = overwrite_store(tagged, SEM_CLUSTER_STORE, columns=["cluster", "vec_id"])
 
     def cluster_pairs(group: pa.Table) -> pa.Table:
         from epichypersketch_jl_ray.stages.ann import _embedding_matrix

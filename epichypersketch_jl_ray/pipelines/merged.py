@@ -457,7 +457,11 @@ def embedding_neardup_pairs(sf_dir: str) -> ray.data.Dataset:
     from the raw embeddings table, so the distributed candidate structure,
     threshold filter, cross-probe pair dedupe and cosine values are all
     value-hash-verified. The signature/centroid KERNELS stay pinned by the
-    recall/precision/determinism tests vs the exact block-pair pipeline."""
+    recall/precision/determinism tests vs the exact block-pair pipeline.
+    Contract note: zero-norm embedding rows are outside the oracle contract
+    (the pipelines treat a zero vector's cosine as 0.0 where DuckDB's
+    list_cosine_similarity yields -1.0); the table generators never emit
+    one, and ingest paths normalize or drop empties upstream."""
     from epichypersketch_jl_ray.pipelines import dedup
 
     lsh = _tag(dedup.dedup_embedding_lsh(sf_dir, store_buckets=True), "method", "lsh")
@@ -502,11 +506,14 @@ WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
 PCA_COMPONENT_STORE = "/tmp/ehs_pca_components"
 KMEANS_CENTROID_STORE = "/tmp/ehs_kmeans_centroids"
 
-# fixed-point scales: pca energy quantum 2^-20, kmeans similarity quantum
+# fixed-point scales: pca energy quantum 2^-16, kmeans similarity quantum
 # 2^-16 (the original qsim scale). Both sums are int64-exact and convert to
-# float64 exactly below 2^53 — at ~1e12 corpus rows with O(10) energies the
-# pca sum approaches that bound; drop the scale a few bits at that size.
-_PCA_SCALE = float(1 << 20)
+# float64 exactly below 2^53. The quantum also sets the driver-vs-oracle
+# floor-cliff probability (BLAS matmul vs DuckDB sequential dot drift
+# ~1e-14 per projection): P(flip) ~ drift x scale per value, so 2^16 keeps
+# a full sf0.1 sweep's expected flips ~1e-5 while v1/v2 still carry ~5
+# exact digits of corpus energy.
+_PCA_SCALE = float(1 << 16)
 _QSIM_SCALE = 65536.0
 
 
@@ -543,13 +550,15 @@ def embedding_analysis(sf_dir: str) -> pd.DataFrame:
     directions go to PCA_COMPONENT_STORE and the fitted centroids to
     KMEANS_CENTROID_STORE, and embedding_analysis_sql() replays BOTH corpus
     measurement stages from the raw embeddings view — per-row projections
-    floor((x.v)^2 * 2^20) summed as integers (so v1/v2 derive from exact
+    floor((x.v)^2 * 2^16) summed as integers (so v1/v2 derive from exact
     int64 sums by deterministic IEEE sqrt/divide), and the argmax-cosine
     assignment + floor(sim * 65536) profile with the same lowest-index
     tie-break as stages/kmeans.py. The FD / k-means TRAINING kernels are
     not SQL-expressible; they stay pinned by the spectral-bound and
     determinism/batch-invariance tests. Every derived number the query
-    emits is an exact corpus measurement given the stored state."""
+    emits is an exact corpus measurement given the stored state. Zero-norm
+    embedding rows are outside the oracle contract (see
+    embedding_neardup_pairs)."""
     import numpy as np
 
     from epichypersketch_jl_ray.pipelines import ann
@@ -569,7 +578,7 @@ def embedding_analysis(sf_dir: str) -> pd.DataFrame:
         d = x @ v.T  # (n, k) projections
         # (d*d)*SCALE then floor: the exact expression tree the SQL twin
         # uses, so the only driver-vs-oracle seam is last-ulp dot drift
-        # against a 2^-20 quantum
+        # against the _PCA_SCALE quantum
         q = np.floor(d * d * _PCA_SCALE).astype(np.int64).sum(axis=0)
         etot = int(np.floor((x * x).sum(axis=1) * _PCA_SCALE).astype(np.int64).sum())
         return pa.table(

@@ -79,3 +79,21 @@ def resumable_transform_write(
         "rows": rows,
         "files": [out_paths[f] for f in sorted(input_files)],
     }
+
+
+def overwrite_store(
+    ds: ray.data.Dataset, store: str, *, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Materialize ``ds`` once, then REPLACE the fixed-path parquet store at
+    ``store`` with (optionally a column subset of) that same execution's
+    output — the stored-state oracle pattern: a SQL twin re-reads the exact
+    state the pipeline used, so the store and the downstream stages must
+    come from ONE execution, never two. Returns the materialized dataset so
+    the caller's downstream stages reuse it without recompute."""
+    import shutil
+
+    ds = ds.materialize()
+    shutil.rmtree(store, ignore_errors=True)
+    out = ds.select_columns(columns) if columns else ds
+    out.write_parquet(store)
+    return ds
