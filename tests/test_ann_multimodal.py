@@ -236,3 +236,35 @@ def test_ann_ivfpq_deterministic(ray_session, sf_dir):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ann_lsh_candidates_stay_in_their_querys_probe_set(ray_session, sf_dir):
+    """Every candidate the LSH path emits must come from ITS OWN query's
+    probe set (hamming <= probe_hamming of that query's bucket) — the
+    regression guard for the cross-query leakage fixed in round 5, where
+    rows from the UNION of all queries' buckets were scored against every
+    query, inflating recall."""
+    import pyarrow.dataset as pads
+
+    from epichypersketch_jl_ray.pipelines.ann import _fetch_probes, ann_lsh_topk
+    from epichypersketch_jl_ray.sources.tables import read_table
+    from epichypersketch_jl_ray.stages.ann import LSHBuckets, _embedding_matrix
+
+    bits, radius = 8, 3
+    store = "/tmp/ehs_test_lsh_containment"
+    ann_lsh_topk(sf_dir, bits=bits, probe_hamming=radius, store=store)
+    cands = pads.dataset(store).to_table().to_pandas()
+    assert len(cands) > 0
+
+    q_ids, q = _fetch_probes(sf_dir)
+    lsh = LSHBuckets(q.shape[1], bits=bits)
+    q_bucket = dict(zip(q_ids.tolist(), lsh.bucket_of(q).tolist()))
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
+    tbl = emb.to_pandas()
+    import pyarrow as pa
+
+    mat = _embedding_matrix(pa.Table.from_pandas(tbl), "embedding")
+    n_bucket = dict(zip(tbl["vec_id"].tolist(), lsh.bucket_of(mat).tolist()))
+    for qid, nid in zip(cands["query_id"], cands["neighbor_id"]):
+        ham = bin(q_bucket[int(qid)] ^ n_bucket[int(nid)]).count("1")
+        assert ham <= radius, (qid, nid, ham)
