@@ -104,30 +104,44 @@ def ann_lsh_topk(
     lsh = LSHBuckets(q.shape[1], bits=bits)
     q_buckets = lsh.bucket_of(q)
     # multi-probe: PER QUERY, every bucket within hamming distance
-    # probe_hamming — a (nq, 2^bits) lookup table so each query only ever
-    # sees candidates from its own probe set (scoring the union of all
-    # queries' buckets would inflate recall and scan ~nq x more rows)
-    flips = [0]
-    for r in range(1, probe_hamming + 1):
-        flips += [
+    # probe_hamming of its own bucket — one sorted probe array per query
+    # (size sum C(bits, <=r), NOT 2^bits, so wide signatures stay cheap);
+    # each query scores only the rows in ITS probe set, so per-batch FLOPs
+    # scale with sum_i |probe_i| instead of nq x the union
+    flips = np.array(
+        [0]
+        + [
             int(np.bitwise_or.reduce([1 << j for j in c]))
+            for r in range(1, probe_hamming + 1)
             for c in combinations(range(bits), r)
-        ]
-    allowed = np.zeros((len(q_ids), 1 << bits), dtype=bool)
-    for i, b in enumerate(q_buckets):
-        for f in flips:
-            allowed[i, int(b) ^ f] = True
-    union_probes = np.flatnonzero(allowed.any(axis=0)).astype(np.int64)
-    probes_ref = ray.put((q_ids, q, union_probes, allowed))
+        ],
+        dtype=np.int64,
+    )
+    probe_sets = [np.sort(int(b) ^ flips) for b in q_buckets]
+    probes_ref = ray.put((q_ids, q, probe_sets))
 
     def bucket_filter_topk(batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         e = _embedding_matrix(batch, "embedding")
-        qids, qmat, probe_buckets, allow_lut = ray.get(probes_ref)
+        qids, qmat, psets = ray.get(probes_ref)
         lsh_local = LSHBuckets(e.shape[1], bits=bits)
         buckets = lsh_local.bucket_of(e)
-        mask = np.isin(buckets, probe_buckets)
-        if not mask.any():
+        qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+        out_q, out_n, out_s = [], [], []
+        for i in range(len(qids)):
+            idx = np.flatnonzero(np.isin(buckets, psets[i]))
+            if idx.size == 0:
+                continue
+            cand = e[idx]
+            norms = np.linalg.norm(cand, axis=1, keepdims=True)
+            cand = cand / np.where(norms == 0, 1, norms)
+            sims_i = cand @ qn[i]
+            kk = min(k, idx.size)
+            part = np.argpartition(-sims_i, kk - 1)[:kk]
+            out_q.append(np.full(kk, qids[i], dtype=np.int64))
+            out_n.append(ids[idx[part]])
+            out_s.append(sims_i[part])
+        if not out_q:
             return pa.table(
                 {
                     "query_id": pa.array([], pa.int64()),
@@ -135,22 +149,11 @@ def ann_lsh_topk(
                     "sim": pa.array([], pa.float64()),
                 }
             )
-        e, ids, buckets = e[mask], ids[mask], buckets[mask]
-        norms = np.linalg.norm(e, axis=1, keepdims=True)
-        e = e / np.where(norms == 0, 1, norms)
-        qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-        sims = qn @ e.T
-        allow = allow_lut[:, buckets]  # (nq, n_cand) per-query probe mask
-        sims = np.where(allow, sims, -np.inf)
-        kk = min(k, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        top_sims = np.take_along_axis(sims, part, axis=1)
-        keep = np.isfinite(top_sims).ravel()  # drop other-query fillers
         return pa.table(
             {
-                "query_id": pa.array(np.repeat(qids, kk)[keep], pa.int64()),
-                "neighbor_id": pa.array(ids[part].ravel()[keep], pa.int64()),
-                "sim": pa.array(top_sims.ravel()[keep], pa.float64()),
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
             }
         )
 

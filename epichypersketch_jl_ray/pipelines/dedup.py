@@ -1164,9 +1164,17 @@ def semantic_pairs(
     if store_clusters:
         from epichypersketch_jl_ray.sources.sinks import overwrite_store
 
-        # materialize-then-store (one execution feeds both the store and the
-        # pair stage — and the corpus-wide assign pass runs once, not twice)
-        tagged = overwrite_store(tagged, SEM_CLUSTER_STORE, columns=["cluster", "vec_id"])
+        # materialize-then-store when the corpus fits (one execution feeds
+        # both the store and the pair stage); on the materialize=False
+        # streaming path the write streams through unpinned and the pair
+        # stage re-runs assign — a pure function of the broadcast centroids,
+        # so both executions agree exactly
+        tagged = overwrite_store(
+            tagged,
+            SEM_CLUSTER_STORE,
+            columns=["cluster", "vec_id"],
+            materialize=materialize,
+        )
 
     def cluster_pairs(group: pa.Table) -> pa.Table:
         from epichypersketch_jl_ray.stages.ann import _embedding_matrix

@@ -391,14 +391,14 @@ def ann_approx_topk(sf_dir: str) -> pd.DataFrame:
     ADC scan + exact re-rank).
 
     ORACLED via the stored-candidate pattern (see dedup_simhash): each
-    method writes its (query_id, neighbor_id, sim) candidate stream to a
-    fixed parquet store before the distributed top-k reduce, and
-    ann_approx_topk_sql() re-ranks the SAME candidates with exact cosine
-    recomputed from the embeddings view — so the distributed final reduce
-    (per-query merge, sim ordering, id tie-break, rank assignment) and the
-    emitted sims are value-hash-verified. RECALL (which candidates survive
-    the probe structure) is the approximate part and stays asserted vs
-    brute force in pytest."""
+    method writes its (query_id, neighbor_id) candidate pairs to a fixed
+    parquet store before the distributed top-k reduce (sim stays OUT of
+    the store), and ann_approx_topk_sql() re-ranks the SAME candidates
+    with exact cosine recomputed from the embeddings view — so the
+    distributed final reduce (per-query merge, sim ordering, id tie-break,
+    rank assignment) is value-hash-verified against an independent exact
+    scoring. RECALL (which candidates survive the probe structure) is the
+    approximate part and stays asserted vs brute force in pytest."""
     import os
 
     from epichypersketch_jl_ray.pipelines import ann

@@ -82,17 +82,27 @@ def resumable_transform_write(
 
 
 def overwrite_store(
-    ds: ray.data.Dataset, store: str, *, columns: list[str] | None = None
+    ds: ray.data.Dataset,
+    store: str,
+    *,
+    columns: list[str] | None = None,
+    materialize: bool = True,
 ) -> ray.data.Dataset:
-    """Materialize ``ds`` once, then REPLACE the fixed-path parquet store at
-    ``store`` with (optionally a column subset of) that same execution's
-    output — the stored-state oracle pattern: a SQL twin re-reads the exact
-    state the pipeline used, so the store and the downstream stages must
-    come from ONE execution, never two. Returns the materialized dataset so
-    the caller's downstream stages reuse it without recompute."""
+    """REPLACE the fixed-path parquet store at ``store`` with (optionally a
+    column subset of) ``ds`` — the stored-state oracle pattern: a SQL twin
+    re-reads the exact state the pipeline used.
+
+    ``materialize=True`` (default) pins one execution in the object store
+    so the store write and the caller's downstream stages share it — use
+    whenever the dataset fits the cluster's aggregate store. Pass False on
+    the corpus-scale streaming path: the write streams through without
+    pinning, and the caller's downstream stages re-execute the (then
+    necessarily deterministic) producing stages — two executions of a pure
+    function of broadcast state, not two sources of truth."""
     import shutil
 
-    ds = ds.materialize()
+    if materialize:
+        ds = ds.materialize()
     shutil.rmtree(store, ignore_errors=True)
     out = ds.select_columns(columns) if columns else ds
     out.write_parquet(store)
